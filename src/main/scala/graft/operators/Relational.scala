@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Relational operator library (SURVEY §2.2-2.8). Every function is a pure
+  * `DataFrame => DataFrame` transformation; plans stay lazy so Catalyst can
+  * push filters/projections into the scan and pick join strategies. Nothing
+  * here collects to the driver.
+  */
+object Relational {
+
+  /** Exact-by-decimal sum for hash-compared outputs. Double summation is
+    * order-dependent (and Spark's partial aggregation order is
+    * nondeterministic across partitionings), so money-ish sums are done in
+    * DECIMAL(18,2) — exact and associative — then cast to double at the end
+    * (a single deterministic conversion). Oracle side mirrors with
+    * `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Deterministic ratio: integer/decimal numerator and denominator, one
+    * double division, rounded. */
+  def ratio(num: Column, den: Column, scale: Int = 6): Column =
+    round(num.cast(DoubleType) / den.cast(DoubleType), scale)
+
+  /** W1 + A1: ordinal rank within a group, then ordered group-concat.
+    * Mirrors the reference's track-list build (ingest_graph_db.py:90-115):
+    * `with_row_index` + `rank("ordinal").over(album_id)` + group_by + agg.
+    * Spark has no "file order", so the ordinal is anchored to an explicit
+    * `orderCols` key; `collect_list` alone is order-nondeterministic, so we
+    * sort structs inside the group before joining to a string.
+    *
+    * Scale: one shuffle on `groupCol` shared by the window and the
+    * aggregation (same partitioning → Catalyst reuses the exchange).
+    */
+  def orderedGroupConcat(
+      fact: DataFrame,
+      groupCol: String,
+      orderCols: Seq[String],
+      entry: Column => Column, // pos => entry expression
+      sep: String): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(orderCols.map(col): _*)
+    fact
+      .withColumn("pos", row_number().over(w))
+      .withColumn("entry", entry(col("pos")))
+      .groupBy(groupCol)
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("entry")))),
+            s => s.getField("entry")),
+          sep).as("items"))
+  }
+
+  /** W2: dedup-by-priority (data_transformation_helpers.py:89-120) —
+    * "sort then keep first per key", for a chain of keys. Polars'
+    * `maintain_order=True` has no Spark analog, so priority is encoded
+    * entirely in `priority` sort expressions (caller must make the order
+    * total, e.g. by appending a unique tiebreaker).
+    * One window (= one shuffle) per dedup key.
+    */
+  def dedupByPriority(df: DataFrame, keys: Seq[String], priority: Seq[Column]): DataFrame =
+    keys.foldLeft(df) { (d, k) =>
+      d.withColumn("__rn", row_number().over(Window.partitionBy(k).orderBy(priority: _*)))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+    }
+
+  /** W4/A9/O4: top-K rows per group under a total order (priority sort +
+    * head(k), detect_communities.py:138-165; best-release selection
+    * musicbrainz_helpers.py:280-308). */
+  def topKPerGroup(df: DataFrame, partCols: Seq[String], order: Seq[Column], k: Int): DataFrame =
+    df.withColumn("__rn", row_number().over(Window.partitionBy(partCols.map(col): _*).orderBy(order: _*)))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+
+  /** A7/A8: top-N most frequent values per group — the single-pass rewrite
+    * of the reference's per-community Python loops
+    * (detect_communities.py:100-135). `valueCol` may be an exploded list
+    * column (A7) or a scalar (A8).
+    * Two shuffles: count groupBy, then window on `group`; at scale the
+    * second reuses the first's hash partitioning on the group prefix.
+    */
+  def topNFrequent(df: DataFrame, group: Seq[String], valueCol: String, n: Int): DataFrame = {
+    val counted = df.groupBy((group :+ valueCol).map(col): _*).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(group.map(col): _*).orderBy(col("cnt").desc, col(valueCol).asc)
+    counted.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+
+  /** O2: deterministic offset/limit pagination (extract_artists.py:298-303
+    * `slice(offset, n)`); requires a total sort order. */
+  def paginate(df: DataFrame, order: Seq[Column], offset: Int, limit: Int): DataFrame =
+    df.orderBy(order: _*).offset(offset).limit(limit)
+
+  /** U1: schema-relaxed union (merge_wikipedia_articles.py:56
+    * `pl.concat(how="vertical_relaxed")`). `unionByName` reconciles column
+    * supersets; type relaxation is the caller's explicit cast. */
+  def unionRelaxed(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b, allowMissingColumns = true)
+
+  /** J5: theta join (`a = x OR x IN a_list`) decomposed into a union of
+    * equi-joins so both sides stay hash-joinable (ingest_graph_db.py:236-243
+    * SIMILAR_TO edges). A naive OR-predicate join would force a nested-loop
+    * cross product — O(n^2) at scale.
+    */
+  def equiUnionJoin(
+      left: DataFrame,
+      right: DataFrame,
+      conds: Seq[(String, String)]): DataFrame =
+    conds
+      .map { case (lc, rc) => left.join(right, left(lc) === right(rc), "inner") }
+      .reduce(_ unionByName _)
+      .distinct()
+}

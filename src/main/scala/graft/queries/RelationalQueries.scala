@@ -1,0 +1,332 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.{Checks, Relational => R}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational-core queries (SURVEY §2.2-2.8) bound to the synthetic tables.
+  * Each query has a DuckDB oracle; aggregate doubles go through
+  * DECIMAL(18,2) (see Relational.dsum) so both engines produce bit-identical
+  * values regardless of partial-aggregation order.
+  */
+object RelationalQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // A2/A5-style grouped pricing summary (the reference's group-agg shape,
+    // ingest_graph_db.py:103-107 / checks.py aggregates).
+    Q("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          R.dsum(col("l_quantity")).as("sum_qty"),
+          R.dsum(col("l_extendedprice")).as("sum_base_price"),
+          // computed product: cast FACTORS to decimal (exact 2-decimal
+          // inputs), multiply exactly — never round a computed double
+          // (Java shortest-repr vs binary rounding diverge on ties).
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", R.ratio(col("sum_qty"), col("count_order")))
+    },
+
+    // P2/P4-style conjunctive filter + projection; predicate and column set
+    // must reach the parquet scan (PushedFilters / ReadSchema).
+    Q("q02_filter_pushdown",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) < DATE '1996-01-01' AND l_quantity > 30""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(to_date(col("l_shipdate")) < lit("1996-01-01").cast("date") && col("l_quantity") > 30)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    },
+
+    // FLAGSHIP (SURVEY §3.2/§7.3): scan → window rank (W1) → project →
+    // ordered group-concat (A1) → left join (J1). Mirrors the reference's
+    // release-tracklist plan (ingest_graph_db.py:90-115).
+    Q("q03_order_tracklist",
+      """WITH ranked AS (
+        |  SELECT l_orderkey,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |                            ORDER BY l_linenumber, l_partkey, l_suppkey) AS pos,
+        |         l_partkey
+        |  FROM lineitem),
+        |entries AS (
+        |  SELECT l_orderkey,
+        |         string_agg(pos || '. ' || l_partkey, '; ' ORDER BY pos) AS items
+        |  FROM ranked GROUP BY l_orderkey)
+        |SELECT o.o_orderkey, o.o_orderstatus, e.items
+        |FROM orders o LEFT JOIN entries e ON o.o_orderkey = e.l_orderkey""".stripMargin) { (s, dir) =>
+      val grouped = R.orderedGroupConcat(
+        Tables(s, dir, "lineitem"),
+        groupCol = "l_orderkey",
+        // (orderkey, linenumber) is NOT unique in the synthetic data —
+        // row_number needs a total order or ranks are nondeterministic.
+        orderCols = Seq("l_linenumber", "l_partkey", "l_suppkey"),
+        entry = pos => concat(pos, lit(". "), col("l_partkey")),
+        sep = "; ")
+      val orders = Tables(s, dir, "orders")
+      orders
+        .join(grouped, orders("o_orderkey") === grouped("l_orderkey"), "left")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("items"))
+    },
+
+    // J1/J3: dim joins — nation and region are small, broadcast them
+    // explicitly (the reference's driver-side dict lookups,
+    // extract_artists_articles.py:77-97).
+    Q("q04_customer_geo_rollup",
+      """SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name, n.n_name""".stripMargin) { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val n = broadcast(Tables(s, dir, "nation"))
+      val r = broadcast(Tables(s, dir, "region"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_customers"), R.dsum(col("c_acctbal")).as("sum_bal"))
+    },
+
+    // W1/A9: best row per group by total order (top order per customer).
+    Q("q05_top_order_per_customer",
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin) { (s, dir) =>
+      R.topKPerGroup(
+        Tables(s, dir, "orders"),
+        partCols = Seq("o_custkey"),
+        order = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        k = 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    },
+
+    // W2: chained dedup-by-priority (data_transformation_helpers.py:89-120):
+    // earliest order per customer, then earliest of those per status.
+    Q("q06_dedup_priority",
+      """WITH first_per_cust AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+        |      row_number() OVER (PARTITION BY o_custkey
+        |                         ORDER BY o_orderdate, o_orderkey) AS rn
+        |    FROM orders) WHERE rn = 1)
+        |SELECT o_custkey, o_orderkey, o_orderstatus,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY o_orderdate, o_orderkey) AS rn2
+        |  FROM first_per_cust) WHERE rn2 = 1""".stripMargin) { (s, dir) =>
+      R.dedupByPriority(
+        Tables(s, dir, "orders"),
+        keys = Seq("o_custkey", "o_orderstatus"),
+        priority = Seq(col("o_orderdate").asc, col("o_orderkey").asc))
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+    },
+
+    // O1/O3: global top-k — Spark plans TakeOrderedAndProject (no full sort).
+    Q("q07_global_topk",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    },
+
+    // O2/O5: deterministic offset+limit pagination (slice(offset, n),
+    // extract_artists.py:298-303).
+    Q("q08_pagination",
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 50 OFFSET 100""".stripMargin) { (s, dir) =>
+      R.paginate(Tables(s, dir, "orders"), Seq(col("o_orderdate").asc, col("o_orderkey").asc), 100, 50)
+        .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+    },
+
+    // U1: schema-relaxed union (merge_wikipedia_articles.py:56) — suppliers
+    // lack mktsegment, filled with null by unionByName(allowMissing).
+    Q("q09_union_relaxed",
+      """SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal,
+        |       c_mktsegment AS segment, 'customer' AS side
+        |FROM customer
+        |UNION ALL
+        |SELECT s_suppkey AS id, s_name AS name, s_acctbal AS acctbal,
+        |       NULL AS segment, 'supplier' AS side
+        |FROM supplier""".stripMargin) { (s, dir) =>
+      val c = Tables(s, dir, "customer").select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"), col("c_mktsegment").as("segment"),
+        lit("customer").as("side"))
+      val sup = Tables(s, dir, "supplier").select(
+        col("s_suppkey").as("id"), col("s_name").as("name"),
+        col("s_acctbal").as("acctbal"), lit("supplier").as("side"))
+      R.unionRelaxed(c, sup)
+    },
+
+    // J6/U3: anti join — customers with no orders (left_anti = NOT EXISTS).
+    Q("q10_anti_join",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    },
+
+    // J7: semi join — parts that appear in some lineitem (EXISTS).
+    Q("q11_semi_join",
+      """SELECT p_partkey, p_name FROM part p
+        |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "part")
+        .join(Tables(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"), "left_semi")
+        .select("p_partkey", "p_name")
+    },
+
+    // N1/U4: explode a tokenized list column then count distinct values
+    // (extract_genres.py:52-60 explode+unique).
+    Q("q12_explode_distinct",
+      """SELECT token, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(string_split(p_type, ' ')) AS token FROM part)
+        |GROUP BY token""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "part")
+        .select(explode(split(col("p_type"), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("cnt"))
+    },
+
+    // A7: top-N most frequent list values per group (the single-groupBy
+    // rewrite of detect_communities.py:100-117's per-community loop).
+    Q("q13_topn_per_group",
+      """SELECT p_brand, token, cnt, rn FROM (
+        |  SELECT p_brand, token, cnt,
+        |    row_number() OVER (PARTITION BY p_brand ORDER BY cnt DESC, token) AS rn
+        |  FROM (
+        |    SELECT p_brand, token, COUNT(*) AS cnt FROM (
+        |      SELECT p_brand, unnest(string_split(p_type, ' ')) AS token FROM part)
+        |    GROUP BY p_brand, token
+        |  )) WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      R.topNFrequent(
+        Tables(s, dir, "part").select(col("p_brand"), explode(split(col("p_type"), " ")).as("token")),
+        group = Seq("p_brand"), valueCol = "token", n = 3)
+        .select("p_brand", "token", "cnt", "rn")
+    },
+
+    // A3: per-column null counts (checks.py:27-30).
+    Q("q14_null_counts",
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(o_custkey) AS nulls_o_custkey,
+        |  COUNT(*) - COUNT(o_orderstatus) AS nulls_o_orderstatus,
+        |  COUNT(*) - COUNT(o_totalprice) AS nulls_o_totalprice
+        |FROM orders""".stripMargin) { (s, dir) =>
+      Checks.nullCounts(Tables(s, dir, "orders"), Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+    },
+
+    // A4: full-row duplicate detection (checks.py:33-41).
+    Q("q15_duplicate_stats",
+      """SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS dup_rows, COUNT(*) AS dup_groups FROM (
+        |  SELECT COUNT(*) AS cnt FROM nation
+        |  GROUP BY n_nationkey, n_name, n_regionkey HAVING COUNT(*) > 1)""".stripMargin) { (s, dir) =>
+      Checks.duplicateStats(Tables(s, dir, "nation"))
+    },
+
+    // A5: completeness ratio from exact integer counts (checks.py:68-86).
+    Q("q16_completeness_ratio",
+      """SELECT CAST(SUM(CASE WHEN c_acctbal > 0 AND c_mktsegment IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_complete,
+        |  COUNT(*) AS n_rows,
+        |  ROUND(CAST(SUM(CASE WHEN c_acctbal > 0 AND c_mktsegment IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 6) AS ratio
+        |FROM customer""".stripMargin) { (s, dir) =>
+      Checks.completenessRatio(
+        Tables(s, dir, "customer"),
+        col("c_acctbal") > 0 && col("c_mktsegment").isNotNull)
+    },
+
+    // A6: count-distinct ratio (checks.py:100-115 avg releases/artist).
+    Q("q17_count_distinct",
+      """SELECT COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT o_custkey), 6) AS orders_per_customer
+        |FROM orders""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .agg(countDistinct(col("o_custkey")).as("n_customers"), count(lit(1)).as("n_orders"))
+        .withColumn("orders_per_customer", R.ratio(col("n_orders"), col("n_customers")))
+    },
+
+    // A11: group-size histogram stats (neo4j_helpers.py:271-290).
+    Q("q18_group_size_stats",
+      """SELECT COUNT(*) AS n_groups, MAX(sz) AS largest, MIN(sz) AS smallest,
+        |  ROUND(AVG(sz), 6) AS mean_size
+        |FROM (SELECT COUNT(*) AS sz FROM orders GROUP BY o_custkey)""".stripMargin) { (s, dir) =>
+      Checks.groupSizeStats(Tables(s, dir, "orders"), "o_custkey")
+    },
+
+    // O4: multi-key priority "best release" (musicbrainz_helpers.py:280-308):
+    // prefer status 'F', then earliest date, deterministic tiebreak.
+    Q("q19_best_per_group",
+      """SELECT o_custkey, o_orderkey, o_orderstatus,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END,
+        |             o_orderdate, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin) { (s, dir) =>
+      R.topKPerGroup(
+        Tables(s, dir, "orders"),
+        partCols = Seq("o_custkey"),
+        order = Seq(
+          when(col("o_orderstatus") === "F", 0).otherwise(1).asc,
+          col("o_orderdate").asc, col("o_orderkey").asc),
+        k = 1)
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+    },
+
+    // J5: theta join (match on key1 OR key2) as a union of equi-joins —
+    // keeps both paths hash-joinable (ingest_graph_db.py:236-243).
+    Q("q20_equi_union_join",
+      """SELECT s_suppkey, COUNT(*) AS n_matches FROM (
+        |  SELECT DISTINCT s.s_suppkey, c.c_custkey FROM supplier s JOIN customer c
+        |    ON s.s_nationkey = c.c_nationkey
+        |  UNION
+        |  SELECT DISTINCT s.s_suppkey, c.c_custkey FROM supplier s JOIN customer c
+        |    ON ROUND(s.s_acctbal / 1000) = ROUND(c.c_acctbal / 1000)
+        |) GROUP BY s_suppkey""".stripMargin) { (s, dir) =>
+      val sup = Tables(s, dir, "supplier")
+        .withColumn("bal_bucket", round(col("s_acctbal") / 1000))
+      val cust = Tables(s, dir, "customer")
+        .withColumn("c_bal_bucket", round(col("c_acctbal") / 1000))
+      R.equiUnionJoin(
+        sup.select(col("s_suppkey"), col("s_nationkey"), col("bal_bucket")),
+        cust.select(col("c_custkey"), col("c_nationkey"), col("c_bal_bucket")),
+        conds = Seq(("s_nationkey", "c_nationkey"), ("bal_bucket", "c_bal_bucket")))
+        .select("s_suppkey", "c_custkey")
+        .distinct()
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_matches"))
+    },
+
+    // O1: multi-key global sort + limit.
+    Q("q21_multi_sort",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey LIMIT 200""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .orderBy(col("o_orderstatus").asc, col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(200)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    },
+  )
+}
