@@ -14,7 +14,8 @@ object SparkEntry {
 
   /** All registered queries, grouped by domain module. */
   def registry: Seq[Q] =
-    graft.queries.RelationalQueries.all
+    graft.queries.RelationalQueries.all ++
+      graft.queries.TextQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The release-tracklist plan (SURVEY §3.2): window rank → ordered

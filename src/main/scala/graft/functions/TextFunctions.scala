@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions (SURVEY §2.9 + the training-data-pipeline
+  * extensions): everything here is composed from codegen'd built-ins (or the
+  * native expressions in TextExpressions) — no Scala UDFs in the hot path.
+  */
+object TextFunctions {
+
+  /** T1 (data_transformation_helpers.py:20-86): repair + normalize text.
+    * NFKC (custom expression) → unescape quotes → collapse newlines →
+    * collapse whitespace → trim. ftfy's mojibake repair has no JVM
+    * equivalent; NFKC + the quote unescapes approximate it (documented
+    * deviation, SURVEY §7.5). */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(TextExpressions.nfkc(c), "\\\\\"", "\""),
+        "[\\n\\r]+", " "),
+      "\\s+", " "))
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("\\S+"), lit(0)))
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation —
+    * a deterministic JVM proxy for subword tokenizers (SURVEY §7.5 risk 3).
+    * Pattern avoids lookahead so the same regex runs on RE2 (DuckDB). */
+  val bpeTokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(bpeTokenPattern), lit(0)))
+
+  /** Stopword dictionaries for the language-ID heuristic (n-gram/stopword
+    * scoring — the classic trigram approach reduced to its top signal). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "you3", "wo3", "ta1", "zhe4", "men5", "bu4"))
+
+  /** Language-ID: score = |tokens ∩ stopwords(lang)|, pick argmax with
+    * alphabetical tie-break; 'und' when no stopword hits at all. Pure
+    * column expressions (array_intersect over a split), so it stays in
+    * codegen and distributes trivially. */
+  def langId(text: Column): Column = {
+    val tokens = split(lower(text), "\\s+")
+    val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(array_intersect(tokens, array(words.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // argmax: sort (score asc, lang desc) and take the last = highest score,
+    // alphabetically-first lang on ties.
+    val best = element_at(
+      array_sort(
+        array(scores: _*),
+        (l, r) => when(l.getField("score") < r.getField("score"), -1)
+          .when(l.getField("score") > r.getField("score"), 1)
+          .when(l.getField("lang") > r.getField("lang"), -1)
+          .when(l.getField("lang") < r.getField("lang"), 1)
+          .otherwise(0)),
+      -1)
+    when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Quality score: 0.5 * stopword-token ratio + 0.5 * (1 - punctuation
+    * ratio) — the length/punct/stopword composite from the brief. Ratios
+    * come from integer counts, so the double math is two divisions + one
+    * add (bit-identical across engines); callers round for output. */
+  def qualityScore(text: Column): Column = {
+    val toks = regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+    val nToks = greatest(size(toks), lit(1))
+    val stopHits = size(filter(toks, t => t.isin(stopwords("en"): _*)))
+    val nPunct = size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0)))
+    val nChars = greatest(length(text), lit(1))
+    stopHits.cast("double") / nToks * 0.5 +
+      (lit(1.0) - nPunct.cast("double") / nChars) * 0.5
+  }
+
+  /** N5 (data_transformation_helpers.py:123-158): order-preserving dedup +
+    * Oxford-comma natural-language join ("A, B, and C"). */
+  def oxfordJoin(arr0: Column): Column = {
+    val arr = array_distinct(arr0)
+    val n = size(arr)
+    when(n <= 0, lit(""))
+      .when(n === 1, element_at(arr, 1))
+      .when(n === 2, concat(element_at(arr, 1), lit(" and "), element_at(arr, 2)))
+      .otherwise(concat(
+        array_join(slice(arr, lit(1), n - 1), ", "),
+        lit(", and "), element_at(arr, -1)))
+  }
+
+  /** T5: chunk-id synthesis (extract_artists_articles.py:199-200). */
+  def chunkId(docId: Column, idx: Column): Column =
+    concat(docId, lit("_chunk_"), idx + 1)
+
+  /** T6: content-addressed doc id — first 32 hex chars of SHA-256 over
+    * "article-id" (chroma_helpers.py:111-124). */
+  def contentDocId(article: Column, id: Column): Column =
+    substring(sha2(concat_ws("-", article, id), 256), 1, 32)
+}

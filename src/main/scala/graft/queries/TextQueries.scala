@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.{TextExpressions, TextFunctions => T}
+import graft.text.{Chunker, Sections}
+import org.apache.spark.sql.functions._
+
+/** Text/RAG-layer queries (SURVEY §2.9, §2.13 generators; plus the
+  * text-analysis ops from the brief: token counting, quality scoring,
+  * language-ID, fingerprinting). Oracles use RE2-safe regexes so the same
+  * pattern runs on DuckDB.
+  */
+object TextQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Token counting (whitespace + BPE-ish regex) and md5 fingerprint.
+    Q("q22_doc_stats",
+      """SELECT doc_id, length(text) AS n_chars,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_bpe_tokens,
+        |  md5(text) AS fp_md5
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        T.tokenCount(col("text")).as("n_tokens"),
+        T.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        md5(col("text")).as("fp_md5"))
+    },
+
+    // T3 chunker (fixed window, 200 chars / 50 overlap) as a Dataset
+    // flatMap generator; the closed-form boundaries make it oracle-able.
+    Q("q23_chunk_fixed",
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    GREATEST(1, CAST(CEIL((length(text) - 50) / 150.0) AS BIGINT)) AS n_chunks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, text, n_chunks,
+        |        unnest(generate_series(0, n_chunks - 1)) AS i FROM d)
+        |SELECT doc_id, i AS chunk_index,
+        |  doc_id || '_chunk_' || (i + 1) AS chunk_id,
+        |  substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk, n_chunks
+        |FROM idx""".stripMargin) { (s, dir) =>
+      Chunker.explode(Tables(s, dir, "documents"), size = 200, overlap = 50)
+        .select(
+          col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
+          col("chunk_id"), col("chunk"), col("n_chunks").cast("long").as("n_chunks"))
+    },
+
+    // T2 section parser generator. The synthetic corpus has no `== x ==`
+    // headers, so the oracle covers the degenerate single-"Introduction"
+    // path; header/stop/min-length logic is covered by SectionsSpec.
+    Q("q24_sections",
+      """SELECT doc_id, 'Introduction' AS section, trim(text) AS content
+        |FROM documents WHERE length(trim(text)) >= 30""".stripMargin) { (s, dir) =>
+      Sections.explode(Tables(s, dir, "documents")).toDF()
+    },
+
+    // T1 normalize (NFKC expression + regex sanitize) + T6 SHA-256. NFKC is
+    // identity on this ASCII corpus, letting the regex-only oracle match;
+    // Unicode behavior is covered by TextFunctionsSpec.
+    Q("q25_normalize",
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(text, '\\"', '"', 'g'),
+        |       '[\n\r]+', ' ', 'g'), '\s+', ' ', 'g')) AS clean,
+        |  sha256(trim(regexp_replace(regexp_replace(regexp_replace(text, '\\"', '"', 'g'),
+        |       '[\n\r]+', ' ', 'g'), '\s+', ' ', 'g'))) AS digest
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), T.normalizeText(col("text")).as("clean"))
+        .withColumn("digest", sha2(col("clean"), 256))
+    },
+
+    // Quality scoring: stopword ratio + punctuation ratio composite.
+    Q("q26_quality_score",
+      """SELECT doc_id, ROUND(
+        |  CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        |       x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+        |    / GREATEST(len(regexp_extract_all(lower(text), '[a-z]+')), 1) * 0.5
+        |  + (1 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
+        |        / GREATEST(length(text), 1)) * 0.5, 6) AS quality
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), round(T.qualityScore(col("text")), 6).as("quality"))
+    },
+
+    // Language-ID heuristic (stopword argmax). Not SQL-expressible without
+    // replicating the dictionaries — rows-only check; determinism + accuracy
+    // are covered by TextFunctionsSpec.
+    Q.noOracle("q27_lang_id") { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        T.langId(col("text")).as("lang_pred"))
+    },
+
+    // T6: content-addressed doc ids (sha256("text-id") prefix,
+    // chroma_helpers.py:111-124).
+    Q("q28_content_ids",
+      """SELECT doc_id, substr(sha256(text || '-' || doc_id), 1, 32) AS content_id
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), T.contentDocId(col("text"), col("doc_id")).as("content_id"))
+    },
+
+    // Rolling-hash fingerprint (custom codegen'd Catalyst expression) — no
+    // DuckDB equivalent; value determinism covered by TextFunctionsSpec.
+    Q.noOracle("q29_rolling_fingerprint") { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextExpressions.rollingHash(col("text")).as("fp64"))
+    },
+
+    // N5: ordered-unique + Oxford-comma natural-language join
+    // (data_transformation_helpers.py:123-158), per part brand.
+    Q("q30_oxford_join",
+      """WITH toks AS (
+        |  SELECT DISTINCT p_brand, unnest(string_split(p_type, ' ')) AS tok FROM part),
+        |agg AS (SELECT p_brand, list_sort(list(tok)) AS arr FROM toks GROUP BY p_brand)
+        |SELECT p_brand,
+        |  CASE WHEN len(arr) = 1 THEN arr[1]
+        |       WHEN len(arr) = 2 THEN arr[1] || ' and ' || arr[2]
+        |       ELSE array_to_string(arr[1:len(arr)-1], ', ') || ', and ' || arr[len(arr)]
+        |  END AS pretty
+        |FROM agg""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "part")
+        .select(col("p_brand"), explode(split(col("p_type"), " ")).as("tok"))
+        .groupBy("p_brand")
+        .agg(sort_array(collect_set(col("tok"))).as("arr"))
+        .select(col("p_brand"), T.oxfordJoin(col("arr")).as("pretty"))
+    },
+
+    // T3 recursive separator-cascade chunker (the reference's actual
+    // splitter shape) — boundaries aren't closed-form; rows-only +
+    // ChunkerSpec coverage invariants.
+    Q.noOracle("q31_chunk_recursive") { (s, dir) =>
+      Chunker.explode(Tables(s, dir, "documents"), size = 200, overlap = 50, recursive = true)
+        .toDF()
+    },
+  )
+}
