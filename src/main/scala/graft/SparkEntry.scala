@@ -15,7 +15,9 @@ object SparkEntry {
   /** All registered queries, grouped by domain module. */
   def registry: Seq[Q] =
     graft.queries.RelationalQueries.all ++
-      graft.queries.TextQueries.all
+      graft.queries.TextQueries.all ++
+      graft.queries.DedupQueries.all ++
+      graft.queries.VectorQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The release-tracklist plan (SURVEY §3.2): window rank → ordered

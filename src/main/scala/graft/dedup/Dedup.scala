@@ -1,0 +1,140 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator library — the training-data-pipeline extensions
+  * from the brief (exact, MinHash+LSH, SimHash, n-gram Jaccard), designed
+  * for 100 TB corpora:
+  *
+  *  - All hashing is *portable arithmetic over md5 hex* so every operator
+  *    has an exact DuckDB oracle (no engine-specific hash functions).
+  *  - MinHash signatures use one md5 per shingle + k·(h1 + i·h2) double
+  *    hashing (Broder-style), computed as k partial `min` aggregates in a
+  *    single map-side-combining groupBy — the shuffle carries only
+  *    |docs|·|shingles| narrow rows and the combiner collapses them to
+  *    |docs| rows per partition before the exchange.
+  *  - SimHash is 32 conditional-sum aggregates in one groupBy (one shuffle).
+  *  - Jaccard runs only inside LSH-style blocks (source × length bucket) —
+  *    never a full cross join.
+  *
+  * The reference itself dedups only exactly (unique-by-key,
+  * data_transformation_helpers.py:89-120 via /root/reference); the
+  * near-dup family is the scale extension the brief asks for.
+  */
+object Dedup {
+
+  /** Lowercased word tokens — the shingling base. Same regex runs on
+    * DuckDB's RE2. */
+  def wordTokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
+  /** Distinct word n-gram shingles (space-joined). Callers should filter
+    * `size(wordTokens) >= n` first; shorter docs would yield one truncated
+    * shingle. */
+  def wordShingles(toks: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+
+  /** 48-bit base hashes from md5 hex — h1 = hex[1..12], h2 = hex[13..24]
+    * forced odd. 48 bits keeps h1 + 15·h2 < 2^53 (no overflow in either
+    * engine); odd h2 makes the double-hash family well-distributed. */
+  val HashSpace: Long = 1L << 48
+  def h1(s: Column): Column = conv(substring(md5(s), 1, 12), 16, 10).cast("long")
+  def h2odd(s: Column): Column =
+    conv(substring(md5(s), 13, 12), 16, 10).cast("long") * 2 + 1
+
+  /** Exact dedup: content-hash groupBy keeping the smallest id per group
+    * (the distributed version of unique-by-key; one shuffle on the 64-hex
+    * fingerprint, partial-aggregated map-side). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature + LSH banding. Returns (id, band, band_key): docs
+    * sharing any (band, band_key) are near-dup candidates. `numHashes`
+    * minhashes split into `bands` bands; band key = md5 of the comma-joined
+    * band slice.
+    *
+    * Scale shape: explode shingles (narrow rows), ONE md5 per distinct
+    * shingle occurrence, then a single groupBy(id) computing all k mins as
+    * partial aggregates; banding is a pure projection. Candidate pairing
+    * afterwards is a self-equi-join on (band, band_key) — hash-joinable,
+    * never quadratic.
+    */
+  def minhashBands(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val toks = wordTokens(col(textCol))
+    val sh = df
+      .filter(size(toks) >= shingleN)
+      .select(col(idCol), explode(wordShingles(toks, shingleN)).as("s"))
+      .select(col(idCol), h1(col("s")).as("h1"), h2odd(col("s")).as("h2"))
+    val mins = (0 until numHashes).map(i =>
+      min((col("h1") + col("h2") * i) % HashSpace).as(s"mh$i"))
+    val sig = sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val bandKeys = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      md5(concat_ws(",", slice: _*))
+    }
+    sig.select(
+      col(idCol),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+  }
+
+  /** LSH candidate pairs: ids sharing at least one band key. */
+  def lshCandidates(bandsDf: DataFrame, idCol: String): DataFrame = {
+    val a = bandsDf.select(col(idCol).as("id_a"), col("band"), col("band_key"))
+    val b = bandsDf.select(col(idCol).as("id_b"), col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** 32-bit SimHash over the distinct-token set, as a '0'/'1' bitstring
+    * (MSB-first per hex nibble of the token's md5). One shuffle: 32
+    * conditional-sum partial aggregates in a single groupBy(id). */
+  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toksRows = df.select(
+      col(idCol), explode(array_distinct(wordTokens(col(textCol)))).as("tok"))
+      .withColumn("m", md5(col("tok")))
+    val bitSums = (0 until 32).map { j =>
+      val nib = conv(substring(col("m"), j / 4 + 1, 1), 16, 10).cast("int")
+      val bit = shiftright(nib, 3 - j % 4) % 2
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val sums = toksRows.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val bitChars = (0 until 32).map(j =>
+      when(col(s"b$j") >= 0, lit("1")).otherwise(lit("0")))
+    sums.select(col(idCol), concat(bitChars: _*).as("simhash"))
+  }
+
+  /** Blocked n-gram Jaccard: pairwise |A∩B|/|A∪B| over distinct shingle
+    * sets, restricted to blocks (e.g. source × length-bucket) so the join
+    * stays an equi-join — the blocking that makes pairwise similarity
+    * feasible at corpus scale. `blockCols` must exist in `df`. */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[Column], shingleN: Int = 2): DataFrame = {
+    val toks = wordTokens(col(textCol))
+    val base = df
+      .filter(size(toks) >= shingleN)
+      .select(col(idCol) +: (blockCols :+ wordShingles(toks, shingleN).as("sh")): _*)
+    val a = base.columns.foldLeft(base)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+    val b = base.columns.foldLeft(base)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+    val joinCond = base.columns.filterNot(c => c == idCol || c == "sh")
+      .map(c => col(s"a_$c") === col(s"b_$c"))
+      .reduce(_ && _) && col(s"a_$idCol") < col(s"b_$idCol")
+    val inter = size(array_intersect(col("a_sh"), col("b_sh")))
+    val union = size(col("a_sh")) + size(col("b_sh")) - inter
+    a.join(b, joinCond)
+      .select(
+        col(s"a_$idCol").as("id_a"), col(s"b_$idCol").as("id_b"),
+        round(inter.cast("double") / union.cast("double"), 6).as("jaccard"))
+  }
+}

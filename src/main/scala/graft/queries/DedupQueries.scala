@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+/** Deduplication queries (the brief's training-data-pipeline extensions)
+  * over the `documents` table, each with an exact DuckDB oracle — all
+  * hashing is portable md5-hex arithmetic (Dedup.scala).
+  */
+object DedupQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup via content-hash groupBy: fingerprint → representative id
+    // + multiplicity (the distributed unique-by-key; reference dedups via
+    // unique(subset, keep="first"), data_transformation_helpers.py:89-120).
+    Q("q32_dedup_exact",
+      """SELECT sha256(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY sha256(text)""".stripMargin) { (s, dir) =>
+      Dedup.exactGroups(Tables(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // MinHash(16) + LSH banding (4 bands × 4 rows): docs sharing a
+    // (band, band_key) are near-dup candidates. One md5 per shingle;
+    // signature = 16 partial-min aggregates in one groupBy.
+    Q("q33_minhash_lsh",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(t) - 2),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |    FROM toks WHERE len(t) >= 3)),
+        |hh AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(generate_series(1, 12),
+        |      i -> CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS h1,
+        |    list_reduce(list_transform(generate_series(13, 24),
+        |      i -> CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) * 2 + 1 AS h2
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, i, MIN((h1 + i * h2) % 281474976710656) AS mh
+        |  FROM hh CROSS JOIN range(16) r(i) GROUP BY doc_id, i)
+        |SELECT doc_id, CAST(i // 4 AS INT) AS band,
+        |       md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS band_key
+        |FROM sig GROUP BY doc_id, i // 4""".stripMargin) { (s, dir) =>
+      Dedup.minhashBands(Tables(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4)
+    },
+
+    // 32-bit SimHash over the distinct-token set (bitstring output).
+    Q("q34_simhash",
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, md5(tok) AS m FROM toks),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    SUM(CASE WHEN ((strpos('0123456789abcdef', substr(m, j // 4 + 1, 1)) - 1)
+        |                   >> (3 - j % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+        |  FROM h CROSS JOIN range(32) r(j) GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |       string_agg(CASE WHEN sgn >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.simhash32(Tables(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // Blocked 2-gram Jaccard: pairwise similarity inside
+    // (source, length-bucket) blocks — the blocking keeps the pair join
+    // an equi-join instead of a corpus cross product.
+    Q("q35_ngram_jaccard",
+      """WITH base AS (
+        |  SELECT doc_id, source, CAST(n_chars // 100 AS INT) AS lb,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 1),
+        |      i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' ' ||
+        |           regexp_extract_all(lower(text), '[a-z0-9]+')[i+1])) AS sh
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 2)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+        |        / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))),
+        |        6) AS jaccard
+        |FROM base a JOIN base b
+        |  ON a.source = b.source AND a.lb = b.lb AND a.doc_id < b.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.ngramJaccardPairs(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        blockCols = Seq(col("source"), (col("n_chars") / 100).cast("int").as("lb")),
+        shingleN = 2)
+    },
+  )
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.vector.Similarity
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity queries (SURVEY §2.11 V2 + the brief's ANN scale
+  * path) over the `embeddings` table (64-dim float vectors).
+  *
+  * Dot products fold left-to-right over doubles in both engines
+  * (Spark `aggregate(zip_with(...))` ≡ DuckDB `list_reduce`), so raw
+  * cosines are bit-identical and the top-k sets/orderings agree exactly.
+  */
+object VectorQueries {
+
+  private val Dims = 64
+  private val Planes = 8
+
+  /** Shared oracle prelude: widened vectors + norms. */
+  private val normCte =
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, label, v,
+      |    sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+      |  FROM e)""".stripMargin
+
+  private val dotAB =
+    "list_reduce(list_transform(generate_series(1, 64), k -> a.v[k] * b.v[k]), (x, y) -> x + y)"
+
+  /** The deterministic ±1 hyperplane matrix, inlined in both engines
+    * (derived from md5 parity — Similarity.hyperplaneSigns). */
+  private lazy val signsSqlValues: String =
+    Similarity.hyperplaneSigns(Planes, Dims).zipWithIndex
+      .map { case (row, p) => s"($p, [${row.mkString(", ")}])" }
+      .mkString(", ")
+
+  val all: Seq[Q] = Seq(
+
+    // Embedding near-dup: nearest neighbor per vector within its label
+    // block (block → pairwise cosine → best match; thresholding is the
+    // caller's last step).
+    Q("q36_embedding_neardup",
+      s"""$normCte,
+         |p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    $dotAB / (a.nrm * b.nrm) AS cos_raw
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |r AS (
+         |  SELECT id_a, id_b, cos_raw,
+         |    row_number() OVER (PARTITION BY id_a ORDER BY cos_raw DESC, id_b) AS rn
+         |  FROM p)
+         |SELECT id_a, id_b, ROUND(cos_raw, 6) AS cos_sim FROM r WHERE rn = 1""".stripMargin) { (s, dir) =>
+      Similarity.nearestInBlock(Tables(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos_sim"))
+    },
+
+    // Brute-force cosine top-10 for the anchor query vector (min vec_id) —
+    // the exact-kNN baseline (V2; ChromaDB collection.query n_results=k).
+    Q("q37_knn_brute",
+      s"""$normCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n ORDER BY vec_id LIMIT 1)
+         |SELECT a.vec_id,
+         |  ROUND(list_reduce(list_transform(generate_series(1, 64), k -> a.v[k] * q.qv[k]),
+         |        (x, y) -> x + y) / (a.nrm * q.qn), 6) AS cos_sim
+         |FROM n a CROSS JOIN q
+         |WHERE a.vec_id <> q.q_id
+         |ORDER BY list_reduce(list_transform(generate_series(1, 64), k -> a.v[k] * q.qv[k]),
+         |        (x, y) -> x + y) / (a.nrm * q.qn) DESC, a.vec_id
+         |LIMIT 10""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.knnBrute(emb, "vec_id", "embedding",
+        query = emb.orderBy("vec_id").limit(1), k = 10)
+        .select(col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
+    },
+
+    // ANN: sign-random-projection LSH bucketing (8 planes → 256 buckets),
+    // exact cosine re-rank inside the anchor's bucket only.
+    Q("q38_ann_lsh",
+      s"""$normCte,
+         |signs(p, sv) AS (VALUES $signsSqlValues),
+         |bkt AS (
+         |  SELECT n.vec_id,
+         |    string_agg(CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+         |          k -> v[k] * sv[k]), (x, y) -> x + y) >= 0
+         |      THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+         |  FROM n CROSS JOIN signs GROUP BY n.vec_id),
+         |nb AS (SELECT n.vec_id, n.v, n.nrm, bkt.bucket FROM n JOIN bkt USING (vec_id)),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS q_bucket
+         |      FROM nb ORDER BY vec_id LIMIT 1)
+         |SELECT a.vec_id, a.bucket,
+         |  ROUND(list_reduce(list_transform(generate_series(1, 64), k -> a.v[k] * q.qv[k]),
+         |        (x, y) -> x + y) / (a.nrm * q.qn), 6) AS cos_sim
+         |FROM nb a JOIN q ON a.bucket = q.q_bucket AND a.vec_id <> q.q_id
+         |ORDER BY list_reduce(list_transform(generate_series(1, 64), k -> a.v[k] * q.qv[k]),
+         |        (x, y) -> x + y) / (a.nrm * q.qn) DESC, a.vec_id
+         |LIMIT 5""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.annLsh(emb, "vec_id", "embedding",
+        query = emb.orderBy("vec_id").limit(1), k = 5, planes = Planes, dims = Dims)
+        .select(col("vec_id"), col("bucket"), round(col("cos_raw"), 6).as("cos_sim"))
+    },
+  )
+}

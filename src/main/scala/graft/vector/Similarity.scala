@@ -1,0 +1,126 @@
+package graft.vector
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector/ML operator library (SURVEY §2.11 V2 kNN retrieval + the ANN
+  * scale path from the brief).
+  *
+  * Everything is higher-order-function column math (`zip_with` +
+  * `aggregate`) — codegen'd, no UDFs, no driver-side loops. Dot products
+  * fold left-to-right over doubles, which DuckDB's `list_reduce` mirrors
+  * bit-for-bit, so cosine scores are hash-comparable across engines.
+  *
+  * Reference behavior mirrored: ChromaDB cosine-space kNN with n_results=k
+  * and metadata pre-filtering (scripts/query_embeddings.py:52-58,
+  * ingest_community_summaries.py:136-139 in /root/reference).
+  */
+object Similarity {
+
+  /** Exact float→double widening; keeps Spark and DuckDB bit-identical. */
+  def vecD(c: Column): Column = c.cast("array<double>")
+
+  /** Left-to-right fold dot product — order-deterministic. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Brute-force cosine top-k against one query vector (the exact
+    * baseline). The single query row is broadcast; scoring is an
+    * embarrassingly parallel scan + TakeOrderedAndProject — the right
+    * plan at any scale when k is small. */
+  def knnBrute(
+      emb: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, k: Int): DataFrame = {
+    val corpus = emb.select(
+      col(idCol), vecD(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = broadcast(query.select(
+      col(idCol).as("q_id"), vecD(col(vecCol)).as("qv"))
+      .withColumn("q_nrm", norm(col("qv"))))
+    corpus.crossJoin(q)
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col(idCol), cosine(col("v"), col("qv"), col("nrm"), col("q_nrm")).as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Nearest neighbor per vector within a blocking column (embedding-based
+    * near-dup detection: block → pairwise cosine → best match; callers
+    * threshold the score). The block join is an equi-join, never a global
+    * cross product. */
+  def nearestInBlock(
+      emb: DataFrame, idCol: String, vecCol: String, blockCol: String): DataFrame = {
+    val base = emb.select(
+      col(idCol), col(blockCol), vecD(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val a = base.select(
+      col(idCol).as("id_a"), col(blockCol).as("blk"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(
+      col(idCol).as("id_b"), col(blockCol).as("blk"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a").orderBy(col("cos_raw").desc, col("id_b").asc)
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        cosine(col("va"), col("vb"), col("na"), col("nb")).as("cos_raw"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Deterministic ±1 hyperplane matrix for sign-random-projection LSH:
+    * sign(p,k) derived from the parity of the first hex nibble of
+    * md5("p:k"). Computed once at plan-build time and inlined as literals
+    * (the DuckDB oracle inlines the same constants). */
+  def hyperplaneSigns(planes: Int, dims: Int): Array[Array[Int]] = {
+    val mdt = MessageDigest.getInstance("MD5")
+    Array.tabulate(planes, dims) { (p, k) =>
+      val hex = mdt.digest(s"$p:$k".getBytes(StandardCharsets.UTF_8))
+      // first hex nibble = high nibble of byte 0
+      if (((hex(0) >> 4) & 0xF) % 2 == 0) 1 else -1
+    }
+  }
+
+  /** Random-hyperplane LSH bucket id ('0'/'1' bitstring, one bit per
+    * plane): the ANN scale path — bucket once (a pure projection, no
+    * shuffle), then search only within the query's bucket. */
+  def lshBucket(vec: Column, signs: Array[Array[Int]]): Column = {
+    val bits = signs.map { plane =>
+      val sv = array(plane.map(lit(_)): _*)
+      when(dot(vec, sv) >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** ANN: top-k by exact cosine *within the query's LSH bucket*. Returns
+    * (id, bucket, cos_raw). Recall vs brute force is the usual SRP-LSH
+    * trade; the candidate set shrinks ~2^planes-fold. */
+  def annLsh(
+      emb: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, k: Int, planes: Int, dims: Int): DataFrame = {
+    val signs = hyperplaneSigns(planes, dims)
+    val corpus = emb.select(col(idCol), vecD(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("bucket", lshBucket(col("v"), signs))
+    val q = broadcast(query.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("qv"))
+      .withColumn("q_nrm", norm(col("qv")))
+      .withColumn("q_bucket", lshBucket(col("qv"), signs)))
+    corpus.join(q, col("bucket") === col("q_bucket") && col(idCol) =!= col("q_id"))
+      .select(
+        col(idCol), col("bucket"),
+        cosine(col("v"), col("qv"), col("nrm"), col("q_nrm")).as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col(idCol).asc)
+      .limit(k)
+  }
+}
