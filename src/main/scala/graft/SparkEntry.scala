@@ -17,7 +17,9 @@ object SparkEntry {
     graft.queries.RelationalQueries.all ++
       graft.queries.TextQueries.all ++
       graft.queries.DedupQueries.all ++
-      graft.queries.VectorQueries.all
+      graft.queries.VectorQueries.all ++
+      graft.queries.GraphQueries.all ++
+      graft.queries.PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The release-tracklist plan (SURVEY §3.2): window rank → ordered

@@ -1,0 +1,83 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, EdgeTriplet, Graph, Pregel, VertexId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph/community layer (SURVEY §2.10) on GraphX.
+  *
+  * Mirrors the reference's graph plane: bipartite graph build
+  * (neo4j_helpers.py:196-234 via /root/reference), community detection
+  * (detect_communities.py:219-226 — Leiden there; here a deterministic
+  * synchronous label propagation, the GraphX-idiomatic approximation per
+  * SURVEY §7.4), community stats (neo4j_helpers.py:271-290), and multi-hop
+  * traversal (ingest_graph_db.py:366-377 — expressed as edge-DataFrame
+  * self-joins, the scalable form of the 2-hop Cypher).
+  *
+  * Scale notes: edge lists arrive as DataFrames (distinct equi-join
+  * products, shuffled on their keys); GraphX partitions edges via
+  * EdgePartition2D at cluster scale; CC/LPA are Pregel programs whose
+  * per-superstep cost is one shuffle over the (pruned) active edge set.
+  */
+object GraphOps {
+
+  /** Build a GraphX graph from an edge DataFrame with two long columns.
+    * Vertex attrs carry the original (kind, key) so ids can be namespaced
+    * (e.g. part → 2k, supplier → 2k+1) without losing provenance. */
+  def fromEdges(spark: SparkSession, edges: DataFrame, srcCol: String, dstCol: String): Graph[Long, Int] = {
+    val edgeRdd = edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    Graph.fromEdges(edgeRdd, defaultValue = 0L)
+  }
+
+  /** Vertex degrees (G1/A11 substrate) as a DataFrame(id, degree). */
+  def degreesDF(spark: SparkSession, g: Graph[Long, Int]): DataFrame = {
+    import spark.implicits._
+    g.degrees.map { case (id, d) => (id, d) }.toDF("id", "degree")
+  }
+
+  /** Connected components → DataFrame(id, component) where component is
+    * GraphX's min-vertex-id label. Deterministic (min propagation). */
+  def connectedComponentsDF(spark: SparkSession, g: Graph[Long, Int]): DataFrame = {
+    import spark.implicits._
+    g.connectedComponents().vertices.map { case (id, cc) => (id, cc) }
+      .toDF("id", "component")
+  }
+
+  /** Deterministic synchronous label propagation (the G2 community
+    * detector): every superstep each vertex adopts the most frequent
+    * neighbor label, ties broken by smallest label — a total order, so the
+    * result is reproducible run-to-run (the reference pins Leiden's
+    * seed=42 for the same reason, settings.py:137). */
+  def labelPropagation(g: Graph[Long, Int], maxIter: Int): Graph[VertexId, Int] = {
+    val lpa = g.mapVertices { case (vid, _) => vid }
+    def sendMsg(e: EdgeTriplet[VertexId, Int]): Iterator[(VertexId, Map[VertexId, Long])] =
+      Iterator((e.srcId, Map(e.dstAttr -> 1L)), (e.dstId, Map(e.srcAttr -> 1L)))
+    def mergeMsg(a: Map[VertexId, Long], b: Map[VertexId, Long]): Map[VertexId, Long] =
+      (a.keySet ++ b.keySet).iterator
+        .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    def vprog(vid: VertexId, attr: VertexId, msg: Map[VertexId, Long]): VertexId =
+      if (msg.isEmpty) attr
+      else msg.toSeq.minBy { case (label, cnt) => (-cnt, label) }._1
+    Pregel(lpa, initialMsg = Map.empty[VertexId, Long], maxIterations = maxIter)(
+      vprog, sendMsg, mergeMsg)
+  }
+
+  def lpaDF(spark: SparkSession, g: Graph[Long, Int], maxIter: Int): DataFrame = {
+    import spark.implicits._
+    labelPropagation(g, maxIter).vertices.map { case (id, label) => (id, label) }
+      .toDF("id", "label")
+  }
+
+  /** G5 multi-hop as edge-DataFrame self-joins — anchor → 1-hop mids →
+    * 2-hop neighbors with path counts. Stays hash-joinable (two shuffles
+    * on the edge keys) instead of a Pregel BFS; the right shape when the
+    * hop count is a small constant. */
+  def twoHop(edges: DataFrame, srcCol: String, dstCol: String, anchor: Long): DataFrame = {
+    val hop1 = edges.filter(col(srcCol) === anchor).select(col(dstCol).as("mid"))
+    edges.join(hop1, edges(dstCol) === col("mid"))
+      .filter(col(srcCol) =!= anchor)
+      .groupBy(col(srcCol).as("neighbor"))
+      .agg(countDistinct(col("mid")).as("n_paths"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, decoded/feature-extracted in partition-batched executor code
+  * (the JVM analog of the brief's mapInPandas slot; V1/V4's pluggable
+  * inference surface in SURVEY §2.11).
+  *
+  * The actual media decode is a STUB — this container has no image/audio
+  * codecs — but everything Spark-side is real: binary column schema,
+  * typed Dataset boundary, mapPartitions batch shape, deterministic
+  * output contract (which is what makes the oracle exact).
+  */
+object Multimodal {
+
+  final case class BinaryDoc(doc_id: Long, content: Array[Byte])
+  final case class MediaMeta(
+      doc_id: Long, n_bytes: Int, format: String,
+      width: Int, height: Int, first_byte: Int)
+
+  /** STUB decode: deterministic fake header parse standing in for a real
+    * codec (swap the body for e.g. javax.imageio / JavaCV in production;
+    * the signature — bytes in, typed metadata out, batched per partition —
+    * is the real contract). */
+  def decodeStub(b: Array[Byte]): (String, Int, Int) = {
+    val n = b.length
+    val fmt = (n % 3) match { case 0 => "png"; case 1 => "jpeg"; case _ => "webp" }
+    (fmt, 64 + n % 1024, 64 + (n * 7) % 1024)
+  }
+
+  /** Partition-batched metadata extraction: one iterator pass per
+    * partition (codec/model init would amortize per partition exactly like
+    * a Pandas-UDF batch; chroma_helpers.py:62-81's batch embedder is the
+    * reference shape). */
+  def extractMeta(docs: Dataset[BinaryDoc]): Dataset[MediaMeta] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { it =>
+      // per-partition init slot (codec handles, model weights, ...)
+      it.map { d =>
+        val (fmt, w, h) = decodeStub(d.content)
+        MediaMeta(d.doc_id, d.content.length, fmt, w, h,
+          if (d.content.isEmpty) -1 else d.content(0) & 0xFF)
+      }
+    }
+  }
+
+  /** Text corpus → opaque binary column (the ingestion boundary: real
+    * pipelines land media bytes + metadata side columns exactly like
+    * this). */
+  def asBinary(documents: DataFrame): Dataset[BinaryDoc] = {
+    import documents.sparkSession.implicits._
+    documents
+      .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").as("content"))
+      .as[BinaryDoc]
+  }
+}

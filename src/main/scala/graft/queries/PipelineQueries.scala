@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.multimodal.Multimodal
+import graft.operators.{Relational => R}
+import graft.sinks.Sinks
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pipeline-surface queries: events/time (streaming's batch-equivalent
+  * forms), sinks (JSONL roundtrip, partitioned parquet + K7 validation),
+  * multimodal binary plumbing, nested-JSON extraction (N6), and the
+  * remaining relational free-wins (rollup, intersect/except, templating,
+  * array truncation).
+  */
+object PipelineQueries {
+
+  private def tmpPath(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_$name"
+
+  val all: Seq[Q] = Seq(
+
+    // Tumbling-window aggregation — the batch-equivalent of the streaming
+    // plan (EventStreams.streamingTumbling shares this exact logical plan;
+    // StreamingSpec proves batch ≡ streaming).
+    Q("q44_windowed_agg",
+      """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      EventStreams.tumblingAgg(Tables(s, dir, "events"), "1 hour")
+    },
+
+    // Sessionization (gaps-and-islands, 300 s gap) — exact-integer micros
+    // end to end; the streaming twin is flatMapGroupsWithState
+    // (EventStreams.sessionizeStream, proven equivalent in StreamingSpec).
+    Q("q45_sessionize",
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 300000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM t),
+        |sess AS (
+        |  SELECT user_id, us,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(us) AS start_us, MAX(us) AS end_us, MAX(us) - MIN(us) AS duration_us
+        |FROM sess GROUP BY user_id, session_id""".stripMargin) { (s, dir) =>
+      EventStreams.sessionizeBatch(Tables(s, dir, "events"), gapSec = 300L)
+    },
+
+    // Multimodal: opaque binary column → partition-batched (stub) decode →
+    // typed metadata. The decode contract is deterministic, so the Spark
+    // mapPartitions path has an exact SQL oracle.
+    Q("q46_multimodal_meta",
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  CASE CAST(octet_length(encode(text)) AS INT) % 3
+        |       WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+        |  CAST(64 + octet_length(encode(text)) % 1024 AS INT) AS width,
+        |  CAST(64 + (octet_length(encode(text)) * 7) % 1024 AS INT) AS height,
+        |  CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Multimodal.extractMeta(Multimodal.asBinary(Tables(s, dir, "documents"))).toDF()
+    },
+
+    // K2+S2: sparse-JSONL sink roundtrip — null-stripped NDJSON out,
+    // explicit-schema scan back, aggregate compared against the source
+    // table (proving the write/read path is lossless).
+    Q("q47_jsonl_roundtrip",
+      """SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(CASE WHEN n_chars >= 150 THEN lang END) AS n_extra,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .withColumn("extra", when(col("n_chars") >= 150, col("lang")))
+      val path = tmpPath(s"jsonl_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      Sinks.writeSparseJsonl(docs, path)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType), StructField("extra", StringType)))
+      Sinks.readJsonl(s, path, schema)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(col("extra")).as("n_extra"),
+          sum(col("n_chars")).as("sum_chars"))
+    },
+
+    // N6: nested-JSON field extraction from the events props payload
+    // (the Wikidata claims-path analog, wikidata_helpers.py:348-494).
+    Q("q48_json_extract",
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+    },
+
+    // Rollup (subtotal hierarchy) — free from Catalyst (SURVEY §2.4
+    // "absent in reference, built-in in Spark").
+    Q("q49_rollup",
+      """SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP(r.r_name, n.n_name)""".stripMargin) { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val n = broadcast(Tables(s, dir, "nation"))
+      val r = broadcast(Tables(s, dir, "region"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .select(col("r_name"), col("n_name"), col("c_acctbal"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), R.dsum(col("c_acctbal")).as("sum_bal"))
+    },
+
+    // U-family completion: INTERSECT + EXCEPT in one tagged result.
+    Q("q50_intersect_except",
+      """SELECT 'both' AS tag, k FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'no_orders' AS tag, k FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT SELECT o_custkey FROM orders)""".stripMargin) { (s, dir) =>
+      val building = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+      val withOrders = Tables(s, dir, "orders").select(col("o_custkey").as("k"))
+      building.intersect(withOrders).select(lit("both").as("tag"), col("k"))
+        .unionByName(
+          building.except(withOrders).select(lit("no_orders").as("tag"), col("k")))
+    },
+
+    // T4: context-header templating with conditional parts
+    // (extract_artists_articles.py:146-193's search_document prefix).
+    Q("q51_context_template",
+      """SELECT doc_id,
+        |  'search_document: Topic: ' || source || '.' ||
+        |  CASE WHEN n_chars >= 150 THEN ' Context: ' || lang || ' |' ELSE '' END ||
+        |  ' doc ' || CAST(doc_id AS VARCHAR) || ' (Section: Introduction) | ' ||
+        |  substr(text, 1, 80) AS doc_header
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          lit("search_document: Topic: "), col("source"), lit("."),
+          when(col("n_chars") >= 150,
+            concat(lit(" Context: "), col("lang"), lit(" |"))).otherwise(lit("")),
+          lit(" doc "), col("doc_id").cast("string"),
+          lit(" (Section: Introduction) | "), substring(col("text"), 1, 80)
+        ).as("doc_header"))
+    },
+
+    // N3+N4+A12: sorted-distinct collect, truncation cap, comma-join
+    // (the metadata caps of ingest_community_summaries.py:49,63).
+    Q("q52_array_truncate",
+      """WITH toks AS (
+        |  SELECT DISTINCT p_brand, unnest(string_split(p_type, ' ')) AS tok FROM part),
+        |agg AS (SELECT p_brand, list_sort(list(tok)) AS arr FROM toks GROUP BY p_brand)
+        |SELECT p_brand, CAST(len(arr) AS INT) AS n_distinct,
+        |  array_to_string(arr[1:5], ', ') AS top5
+        |FROM agg""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "part")
+        .select(col("p_brand"), explode(split(col("p_type"), " ")).as("tok"))
+        .groupBy("p_brand")
+        .agg(sort_array(collect_set(col("tok"))).as("arr"))
+        .select(
+          col("p_brand"), size(col("arr")).as("n_distinct"),
+          array_join(slice(col("arr"), 1, 5), ", ").as("top5"))
+    },
+
+    // K1/K6/K7: partitioned parquet sink + read-back validation — the
+    // grouped stats are computed FROM THE READ-BACK files, so a lossy or
+    // misparitioned write would fail the oracle.
+    Q("q53_sink_validated",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key, CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val path = tmpPath(s"part_orders_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      Sinks.writePartitioned(
+        Tables(s, dir, "orders").select("o_orderkey", "o_orderstatus"), path, "o_orderstatus")
+      s.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          min("o_orderkey").cast("long").as("min_key"),
+          max("o_orderkey").cast("long").as("max_key"))
+    },
+  )
+}

@@ -1,0 +1,40 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Sink layer (SURVEY §2.12): sparse JSONL (K2), partitioned parquet with
+  * overwrite idempotency (K1/K6), and read-back count validation (K7/K8).
+  *
+  * Spark's FileOutputCommitter already gives the reference's tmp+atomic-
+  * rename discipline (io_managers.py:84-120 via /root/reference); overwrite
+  * mode replaces its destructive-reload loops (neo4j_helpers.py:103-189).
+  */
+object Sinks {
+
+  /** K2: null-stripped NDJSON (the reference's omit_defaults JSONL,
+    * io_managers.py:151-212). One file per partition — a distributed
+    * streaming write, no driver collect. */
+  def writeSparseJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("ignoreNullFields", "true").json(path)
+
+  /** S2: JSONL scan with explicit schema (inference drift is the failure
+    * mode SURVEY §2.1 warns about). */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** K1: partitioned parquet write (layout = partition column directories,
+    * the scalable analog of per-partition asset files). */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** K7: post-write count validation — write, read back, compare. Returns
+    * (written, readBack, ok); throws nothing (callers decide, mirroring
+    * the reference's warn-on-mismatch, ingest_graph_db.py:336-363). */
+  def writeParquetValidated(df: DataFrame, path: String): (Long, Long, Boolean) = {
+    val expected = df.count()
+    df.write.mode("overwrite").parquet(path)
+    val actual = df.sparkSession.read.parquet(path).count()
+    (expected, actual, expected == actual)
+  }
+}
