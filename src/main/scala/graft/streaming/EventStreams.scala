@@ -63,7 +63,7 @@ object EventStreams {
   final case class SessionOut(
       user_id: Long, session_id: Long, n_events: Long,
       start_us: Long, end_us: Long, duration_us: Long)
-  private final case class SessionState(
+  final case class SessionState(
       sessionId: Long, nEvents: Long, startUs: Long, lastUs: Long)
 
   /** Streaming sessionization: per-user keyed state, emitting a session

@@ -1,0 +1,67 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+/** Near-dup detection on planted duplicates — the evidence the synthetic
+  * corpus (no dups) can't provide. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "spark catalyst optimizes logical plans into physical plans using " +
+      "cost based rules and pushes filters into columnar parquet scans " +
+      "while broadcast joins avoid shuffles for small dimension tables"
+  private val nearDup = base.replace("small dimension", "compact dimension")
+  private val unrelated =
+    "completely different text about cooking pasta with tomato sauce " +
+      "and fresh basil leaves in a large pot of boiling salted water " +
+      "until al dente then serving with grated parmesan cheese on top"
+
+  private lazy val docs = Seq(
+    (1L, base), (2L, base), (3L, nearDup), (4L, unrelated))
+    .toDF("doc_id", "text")
+
+  test("exactGroups collapses identical texts to one representative") {
+    val out = Dedup.exactGroups(docs, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(1) == 1L && out(0).getLong(2) == 2L) // docs 1,2 merged
+  }
+
+  test("minhash LSH: exact+near dups collide, unrelated does not") {
+    val bands = Dedup.minhashBands(docs, "doc_id", "text").cache()
+    val pairs = Dedup.lshCandidates(bands, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical → all bands collide
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near-dup caught
+    assert(!pairs.exists { case (a, b) => b == 4L || a == 4L }) // unrelated stays out
+  }
+
+  test("minhash signature is deterministic across runs") {
+    val a = Dedup.minhashBands(docs, "doc_id", "text").orderBy("doc_id", "band")
+      .collect().map(_.toSeq)
+    val b = Dedup.minhashBands(docs, "doc_id", "text").orderBy("doc_id", "band")
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("simhash: identical texts equal, near-dups within small hamming distance") {
+    val hs = Dedup.simhash32(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    def hamming(x: String, y: String) = x.zip(y).count { case (a, b) => a != b }
+    assert(hs(1L) == hs(2L))
+    assert(hamming(hs(1L), hs(3L)) <= 6)
+    assert(hamming(hs(1L), hs(4L)) > 6)
+  }
+
+  test("ngram jaccard: identity 1.0, near-dup high, blocked pairs only") {
+    val blocked = docs.withColumn("blk", lit(1))
+    val out = Dedup.ngramJaccardPairs(blocked, "doc_id", "text", Seq(col("blk")))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((1L, 3L)) > 0.8)
+    assert(out((1L, 4L)) < 0.05)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{Checks, Relational => R}
+import org.apache.spark.sql.functions._
+
+/** Operator-level tests on tiny frames mirroring the reference's LazyFrame
+  * fixtures (SURVEY §5.1; e.g. test_ingest_graph_db.py:55-59's
+  * 1-release/2-track shape). */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("orderedGroupConcat ranks within group and joins in order (W1+A1)") {
+    // album 10: tracks in line order 2,1 — output must re-rank to 1,2
+    val tracks = Seq((10L, 2, "B"), (10L, 1, "A"), (20L, 1, "C"))
+      .toDF("album_id", "line", "title")
+    val out = R.orderedGroupConcat(
+      tracks, "album_id", Seq("line"),
+      pos => concat(pos, lit(". "), col("title")), "; ")
+      .orderBy("album_id").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("1. A; 2. B", "1. C"))
+  }
+
+  test("dedupByPriority keeps first per key under the priority order (W2)") {
+    // reference: sort by start_date then unique-first per artist_uri, then name
+    val df = Seq(
+      ("u1", "alice", "2001"), ("u1", "alice", "1999"),
+      ("u2", "alice", "2005"), ("u3", "bob", "2000"))
+      .toDF("uri", "name", "start")
+    val out = R.dedupByPriority(df, Seq("uri", "name"), Seq(col("start").asc, col("uri").asc))
+      .orderBy("name").collect()
+    // per-uri first: (u1,1999),(u2,2005),(u3,2000); then per-name first:
+    // alice → u1/1999, bob → u3/2000
+    assert(out.map(r => (r.getString(0), r.getString(2))).toSeq ==
+      Seq(("u1", "1999"), ("u3", "2000")))
+  }
+
+  test("topKPerGroup selects k best under total order (O4 best-release)") {
+    val df = Seq(
+      ("rg1", "Official", "2000-01-01"), ("rg1", "Bootleg", "1990-01-01"),
+      ("rg1", "Official", "1995-05-05"))
+      .toDF("rg", "status", "date")
+    val out = R.topKPerGroup(df, Seq("rg"),
+      Seq(when(col("status") === "Official", 0).otherwise(1).asc, col("date").asc), 1)
+      .collect()
+    assert(out.length == 1 && out(0).getString(2) == "1995-05-05")
+  }
+
+  test("topNFrequent returns most-frequent values with deterministic ties (A7)") {
+    val df = Seq((1, "rock"), (1, "rock"), (1, "pop"), (1, "jazz"), (1, "pop"))
+      .toDF("cid", "tag")
+    val out = R.topNFrequent(df, Seq("cid"), "tag", 2)
+      .orderBy("rn").select("tag").as[String].collect()
+    assert(out.toSeq == Seq("pop", "rock")) // both cnt=2; tie-break alphabetical
+  }
+
+  test("unionRelaxed reconciles column supersets with nulls (U1)") {
+    val a = Seq((1, "x")).toDF("id", "extra")
+    val b = Seq(2).toDF("id")
+    val out = R.unionRelaxed(a, b).orderBy("id").collect()
+    assert(out.length == 2 && out(1).isNullAt(1))
+  }
+
+  test("equiUnionJoin matches either key without a cross product (J5)") {
+    val l = Seq((1, "k1", "z9"), (2, "k2", "z8")).toDF("lid", "a", "b")
+    val r = Seq((10, "k1", "zz"), (20, "kX", "z8")).toDF("rid", "ra", "rb")
+    val out = R.equiUnionJoin(l, r, Seq(("a", "ra"), ("b", "rb")))
+      .select("lid", "rid").as[(Int, Int)].collect().toSet
+    assert(out == Set((1, 10), (2, 20)))
+  }
+
+  test("paginate is deterministic offset/limit under total order (O2)") {
+    val df = (1 to 10).toDF("n")
+    val out = R.paginate(df, Seq(col("n").asc), 3, 4).as[Int].collect()
+    assert(out.toSeq == Seq(4, 5, 6, 7))
+  }
+
+  test("checks: nullCounts / duplicateStats / completeness (A3-A5)") {
+    val df = Seq(("a", Some(1)), ("a", Some(1)), ("b", None))
+      .toDF("k", "v")
+    val nulls = Checks.nullCounts(df, Seq("v")).collect()(0)
+    assert(nulls.getLong(1) == 1)
+    val dups = Checks.duplicateStats(df).collect()(0)
+    assert(dups.getLong(0) == 2 && dups.getLong(1) == 1)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.vector.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f), 0),
+    (1L, Array(0.9f, 0.1f, 0f, 0f), 0),
+    (2L, Array(0f, 1f, 0f, 0f), 0),
+    (3L, Array(-1f, 0f, 0f, 0f), 1),
+    (4L, Array(0.8f, 0.2f, 0f, 0f), 1))
+    .toDF("vec_id", "embedding", "label")
+
+  test("knnBrute ranks by exact cosine") {
+    val q = vecs.filter(col("vec_id") === 0)
+    val out = Similarity.knnBrute(vecs, "vec_id", "embedding", q, 3)
+      .select("vec_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 4L, 2L)) // cos: .994, .970, 0 (then -1 excluded by k)
+  }
+
+  test("nearestInBlock finds best match within label only") {
+    val out = Similarity.nearestInBlock(vecs, "vec_id", "embedding", "label")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toMap
+    assert(out(0L) == 1L && out(1L) == 0L && out(2L) == 1L)
+    assert(out(3L) == 4L && out(4L) == 3L) // label-1 block: only each other
+  }
+
+  test("lsh bucketing: colinear vectors share bucket, opposite vectors differ") {
+    val signs = Similarity.hyperplaneSigns(8, 4)
+    val out = vecs.select(col("vec_id"),
+      Similarity.lshBucket(Similarity.vecD(col("embedding")), signs).as("b"))
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) == out(1L)) // nearly identical direction
+    assert(out(0L) != out(3L)) // opposite direction → complementary bits
+    assert(out.values.forall(b => b.length == 8 && b.forall(c => c == '0' || c == '1')))
+  }
+
+  test("annLsh returns bucket-mates ranked by cosine") {
+    val q = vecs.filter(col("vec_id") === 0)
+    val out = Similarity.annLsh(vecs, "vec_id", "embedding", q, k = 3, planes = 8, dims = 4)
+      .select("vec_id").as[Long].collect()
+    assert(out.nonEmpty && out.head == 1L) // 1 shares 0's bucket and ranks first
+  }
+
+  test("hyperplaneSigns is deterministic and balanced-ish") {
+    val a = Similarity.hyperplaneSigns(8, 64)
+    val b = Similarity.hyperplaneSigns(8, 64)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    val ones = a.flatten.count(_ == 1)
+    assert(ones > 200 && ones < 312) // ~half of 512
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.multimodal.Multimodal
+import graft.sinks.Sinks
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String) =
+    Files.createTempDirectory(s"graft_$name").toString + "/out"
+
+  test("sparse JSONL roundtrip: nulls stripped on disk, restored by schema") {
+    val df = Seq((1L, "a", Some("x")), (2L, "b", None))
+      .toDF("id", "s", "extra")
+    val path = tmp("jsonl")
+    Sinks.writeSparseJsonl(df, path)
+    // on-disk: the null row must not contain the key at all
+    val raw = spark.read.text(path).as[String].collect()
+    assert(raw.exists(l => l.contains("\"id\":2") && !l.contains("extra")))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("extra", StringType)))
+    val back = Sinks.readJsonl(spark, path, schema)
+    assert(back.count() == 2)
+    assert(back.filter(col("extra").isNull).select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("partitioned parquet write + K7 read-back validation") {
+    val df = Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("k", "p")
+    val path = tmp("part")
+    Sinks.writePartitioned(df, path, "p")
+    val back = spark.read.parquet(path)
+    assert(back.count() == 3)
+    assert(back.filter(col("p") === "A").count() == 2)
+    val (w, r, ok) = Sinks.writeParquetValidated(df, tmp("val"))
+    assert(ok && w == 3 && r == 3)
+  }
+
+  test("multimodal: binary plumbing + partition-batched stub decode") {
+    val docs = Seq((5L, "hello world")).toDF("doc_id", "text")
+    val meta = Multimodal.extractMeta(Multimodal.asBinary(docs)).collect()(0)
+    assert(meta.n_bytes == 11)
+    assert(meta.first_byte == 'h'.toInt)
+    assert(meta.format == "webp") // 11 % 3 == 2
+    assert(meta.width == 64 + 11 && meta.height == 64 + 77)
+  }
+}

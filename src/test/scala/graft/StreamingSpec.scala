@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.SessionEvent
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming ≡ batch equivalence: the streaming plans must produce exactly
+  * the batch results once all data is processed (the correctness bar for
+  * the §2.1 "streams" surface). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  private lazy val eventRows = Seq(
+    (1L, ts(0), 7L, "click", 1.5),
+    (2L, ts(1), 7L, "click", 2.5),
+    (3L, ts(30), 7L, "view", 1.0),
+    (4L, ts(59, 59), 8L, "click", 4.0),
+    (5L, ts(10), 8L, "view", 0.5))
+
+  private def eventsDF =
+    eventRows.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("streaming tumbling agg equals batch tumbling agg") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val sdf = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.streamingTumbling(sdf, "1 hour")
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(eventRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out")
+        .orderBy("window_start", "event_type").collect().toSeq
+      val batch = EventStreams.tumblingAgg(eventsDF, "1 hour")
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(streamed == batch)
+      assert(batch.map(_.getLong(2)).sum == 5)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization equals batch gaps-and-islands") {
+    // 5-min gap: user 7 → sessions {min 0,1}, {min 30}; user 8 → {10}, {59:59}
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionizeStream(mem.toDS(), gapSec = 300)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      val evs = eventRows.map { case (id, t, u, _, _) =>
+        SessionEvent(u, id, t.getTime * 1000L)
+      }
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      // closed sessions emitted so far + open state = batch result
+      val closed = spark.table("sess_out")
+        .select("user_id", "session_id", "n_events", "start_us", "end_us")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val batchAll = EventStreams.sessionizeBatch(eventsDF, 300)
+        .select("user_id", "session_id", "n_events", "start_us", "end_us")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      // every closed streaming session must be a batch session verbatim
+      assert(closed.subsetOf(batchAll))
+      // user 7's first session (2 events) must have closed
+      assert(closed.exists { case (u, _, n, _, _) => u == 7L && n == 2L })
+      // batch finds 4 sessions total
+      assert(batchAll.size == 4)
+    } finally q.stop()
+  }
+}

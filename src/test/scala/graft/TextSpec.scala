@@ -1,0 +1,103 @@
+package graft
+
+import graft.functions.{TextFunctions => T}
+import graft.text.{Chunker, Sections}
+import org.apache.spark.sql.functions._
+
+/** Pure-function + generator tests ported from the reference's test corpus
+  * (SURVEY §5.2 item 1: chunker, section parser, normalize, Oxford join). */
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- Sections (T2; reference wikipedia_helpers.py:104-152 semantics) ---
+
+  test("sections: intro + headers + stop at excluded + min length") {
+    val text =
+      "Intro text long enough to pass the minimum length filter.\n" +
+        "== History ==\n" +
+        "History body that is also long enough to be kept here.\n" +
+        "== Tiny ==\n" +
+        "short\n" +
+        "== References ==\n" +
+        "Bibliography content that must never appear in the output."
+    val out = Sections.parse(text)
+    assert(out.map(_._1) == Seq("Introduction", "History")) // Tiny < 30 chars, References stops
+    assert(out.forall(_._2.length >= 30))
+  }
+
+  test("sections: no headers → single Introduction; short doc → empty") {
+    assert(Sections.parse("A document body without any headers at all, kept whole.")
+      .map(_._1) == Seq("Introduction"))
+    assert(Sections.parse("too short").isEmpty)
+  }
+
+  // --- Chunker (T3) ---
+
+  test("fixed chunker: coverage, overlap, and count invariants") {
+    val text = ('a' to 'z').mkString * 20 // 520 chars
+    val chunks = Chunker.fixedChunks(text, size = 200, overlap = 50)
+    assert(chunks.length == Chunker.nChunks(text.length, 200, 50))
+    assert(chunks.head.length == 200)
+    // stride coverage: chunk i starts at i*150
+    assert(chunks(1) == text.substring(150, 350))
+    // overlap: tail-50 of chunk i == head-50 of chunk i+1
+    assert(chunks(0).takeRight(50) == chunks(1).take(50))
+    // total coverage: concatenating stride-prefixes reconstructs the text
+    val rebuilt = chunks.init.map(_.take(150)).mkString + chunks.last
+    assert(rebuilt == text)
+  }
+
+  test("recursive chunker: respects separators, size cap, non-empty coverage") {
+    val text = ("Sentence one is here. " * 6 + "\n\n") * 5
+    val chunks = Chunker.recursiveChunks(text, size = 100, overlap = 20)
+    assert(chunks.nonEmpty)
+    assert(chunks.forall(_.length <= 120)) // size + carried overlap bound
+    // every sentence survives somewhere
+    assert(chunks.mkString(" ").contains("Sentence one is here."))
+  }
+
+  test("chunker explode generator: ids and counts line up") {
+    val df = Seq((7L, "x" * 500)).toDF("doc_id", "text")
+    val out = Chunker.explode(df, 200, 50).collect()
+    assert(out.length == 3 && out.forall(_.n_chunks == 3))
+    assert(out.map(_.chunk_id).toSet == Set("7_chunk_1", "7_chunk_2", "7_chunk_3"))
+  }
+
+  // --- Scalar text functions ---
+
+  test("normalizeText: NFKC + escape/whitespace sanitation (T1)") {
+    val df = Seq("ﬁne  \\\"quoted\\\"\n\nand\r\nmore  spaced").toDF("t")
+    val out = df.select(T.normalizeText(col("t"))).as[String].collect()(0)
+    assert(out == "fine \"quoted\" and more spaced") // ﬁ→fi (NFKC), quotes unescaped, ws collapsed
+  }
+
+  test("langId: stopword argmax with und fallback") {
+    val df = Seq(
+      ("the cat sat on the mat and it is that for", "en"),
+      ("el perro y la casa de los gatos en un dia", "es"),
+      ("zzz qqq xxx", "und")).toDF("t", "want")
+    val out = df.select(T.langId(col("t")), col("want")).as[(String, String)].collect()
+    out.foreach { case (got, want) => assert(got == want) }
+  }
+
+  test("oxfordJoin: dedup-preserving natural-language list (N5)") {
+    // mirrors test_data_transformation_helpers.py:10-29
+    val cases = Seq(
+      (Seq("A"), "A"),
+      (Seq("A", "B"), "A and B"),
+      (Seq("A", "B", "C"), "A, B, and C"),
+      (Seq("A", "B", "A", "C"), "A, B, and C"), // dedup keeps first occurrence
+      (Seq.empty[String], ""))
+    val df = cases.toDF("arr", "want")
+    df.select(T.oxfordJoin(col("arr")).as("got"), col("want"))
+      .as[(String, String)].collect()
+      .foreach { case (got, want) => assert(got == want) }
+  }
+
+  test("quality score bounds and monotonicity") {
+    val df = Seq("the of and to in is that it for a", "!!!???;;;:::").toDF("t")
+    val s = df.select(T.qualityScore(col("t"))).as[Double].collect()
+    assert(s(0) > 0.9 && s(1) < 0.6)
+    assert(s.forall(x => x >= 0.0 && x <= 1.0))
+  }
+}
