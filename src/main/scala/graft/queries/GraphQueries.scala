@@ -88,8 +88,7 @@ object GraphQueries {
         .select(col("l_partkey"), col("l_suppkey")).distinct()
         .select((col("l_partkey") * 2).cast("long").as("src"),
                 (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
-      val g = GraphOps.fromEdges(s, edges, "src", "dst")
-      GraphOps.lpaDF(s, g, maxIter = 4).select(
+      GraphOps.lpaEdges(edges, "src", "dst", maxIter = 4).select(
         when(pmod(col("id"), lit(2)) === 0, "part").otherwise("supplier").as("kind"),
         shiftright(col("id"), 1).as("key"),
         col("label"))

@@ -40,6 +40,10 @@ class GraphSpec extends SparkSpec {
     val c2 = Seq(12L, 13L, 14L).map(run1)
     assert(c1.distinct.size == 1 && c2.distinct.size == 1)
     assert(c1.head != c2.head)
+    // the Catalyst-loop LPA (the scale path) computes the identical result
+    val dfRun = GraphOps.lpaEdges(e, "src", "dst", 8)
+      .as[(Long, Long)].collect().toMap
+    assert(dfRun == run1)
   }
 
   test("twoHop: neighbors via shared mids with path counts (G5)") {
