@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.DedupQueries.all ++
       graft.queries.VectorQueries.all ++
       graft.queries.GraphQueries.all ++
-      graft.queries.PipelineQueries.all
+      graft.queries.PipelineQueries.all ++
+      graft.queries.RagQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The release-tracklist plan (SURVEY §3.2): window rank → ordered

@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.{TextFunctions => T}
+import graft.sinks.Sinks
+import graft.text.{Chunker, Sections}
+import org.apache.spark.sql.functions._
+
+/** End-to-end RAG pipeline composition + the remaining sink/source ops:
+  * idempotent upsert (V3), fulltext-filter substitute (K5), HLL sketch
+  * (A6 scale variant), and the full documents→chunks→vector-ids pipeline
+  * (the reference's artists_articles → wikipedia_articles → vector_db DAG,
+  * README.md:280-295 via /root/reference, as ONE composed lazy plan).
+  */
+object RagQueries {
+
+  private def tmpPath(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_$name"
+
+  val all: Seq[Q] = Seq(
+
+    // V3+J6+K6: idempotent upsert — seed a "collection" with half the
+    // corpus, upsert the full corpus via anti-join; every doc must land
+    // exactly once (the content-hash-id upsert of ingest_vector_db.py:
+    // 181-204 / ingest_community_summaries.py:136-159).
+    Q("q54_upsert_dedup",
+      """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT doc_id) AS n_ids
+        |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "source")
+      val path = tmpPath(s"upsert_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(path)
+      val existing = s.read.parquet(path)
+      val newDocs = docs.join(existing.select("doc_id"), Seq("doc_id"), "left_anti")
+      existing.unionByName(newDocs)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), countDistinct("doc_id").as("n_ids"))
+    },
+
+    // K5 substitute: fulltext AND-match as pushed-down rlike filters (no
+    // secondary indexes in Spark — the scan-time predicate is the analog;
+    // word-boundary regex runs identically on RE2).
+    Q("q55_fulltext_filter",
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE regexp_matches(text, '\bspark\b') AND regexp_matches(text, '\bjoin\b')""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .filter(col("text").rlike("\\bspark\\b") && col("text").rlike("\\bjoin\\b"))
+        .select("doc_id", "n_chars")
+    },
+
+    // A6 scale variant: HLL sketch next to the exact count. Sketches are
+    // engine-specific — rows-only check here; the ≤2% error bound is
+    // asserted in RagSpec.
+    Q.noOracle("q56_approx_distinct") { (s, dir) =>
+      Tables(s, dir, "orders").agg(
+        countDistinct("o_custkey").as("exact"),
+        approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx"))
+    },
+
+    // The composed RAG document pipeline in ONE lazy plan:
+    // normalize (T1) → section parse (T2) → chunk (T3) → chunk ids (T5) →
+    // context-header template (T4) → content-addressed vector ids (T6).
+    // Catalyst fuses the scan+normalize+join projections around the two
+    // flatMap generators; no intermediate materialization.
+    // (Chunk ids are doc-scoped — unique here because this corpus yields
+    // one section per doc; multi-section corpora would key by section.)
+    Q("q57_rag_pipeline",
+      """WITH c AS (
+        |  SELECT doc_id, source, lang,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(text, '\\"', '"', 'g'),
+        |         '[\n\r]+', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+        |  FROM documents),
+        |s AS (SELECT * FROM c WHERE length(clean) >= 30),
+        |d AS (SELECT *, GREATEST(1, CAST(CEIL((length(clean) - 50) / 150.0) AS BIGINT)) AS n_chunks
+        |      FROM s),
+        |idx AS (SELECT doc_id, source, lang, clean,
+        |        unnest(generate_series(0, n_chunks - 1)) AS i FROM d),
+        |ch AS (
+        |  SELECT doc_id, CAST(i AS INT) AS chunk_index,
+        |    doc_id || '_chunk_' || (i + 1) AS chunk_id,
+        |    'search_document: Topic: ' || source || '. Context: ' || lang ||
+        |    ' | doc ' || CAST(doc_id AS VARCHAR) || ' (Section: Introduction) | ' ||
+        |    substr(clean, CAST(i * 150 + 1 AS INT), 200) AS header
+        |  FROM idx)
+        |SELECT doc_id, chunk_index, chunk_id, header,
+        |       substr(sha256(header || '-' || chunk_id), 1, 32) AS vec_id
+        |FROM ch""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val clean = docs.select(
+        col("doc_id"), col("source"), col("lang"),
+        T.normalizeText(col("text")).as("text"))
+      val sections = Sections.explode(clean.select("doc_id", "text")).toDF()
+      val chunks = Chunker.explode(
+        sections.select(col("doc_id"), col("content").as("text")), 200, 50).toDF()
+      val meta = clean.select("doc_id", "source", "lang")
+      chunks.join(meta, "doc_id")
+        .select(
+          col("doc_id"), col("chunk_index"), col("chunk_id"),
+          concat(
+            lit("search_document: Topic: "), col("source"),
+            lit(". Context: "), col("lang"),
+            lit(" | doc "), col("doc_id").cast("string"),
+            lit(" (Section: Introduction) | "), col("chunk")).as("header"))
+        .withColumn("vec_id", T.contentDocId(col("header"), col("chunk_id")))
+    },
+  )
+}
