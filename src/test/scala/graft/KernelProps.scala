@@ -1,0 +1,66 @@
+package graft
+
+import graft.text.{Chunker, Sections}
+import graft.functions.TextKernels
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck property tests for the pure kernels (SURVEY §5.2 item 4) —
+  * the invariants unit examples can't sweep. */
+object KernelProps extends Properties("kernels") {
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(0, 800)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      (20, Gen.alphaNumChar), (4, Gen.const(' ')), (1, Gen.const('\n')),
+      (1, Gen.const('.')), (1, Gen.oneOf('é', 'ü', 'ﬁ', '中'))))
+  } yield cs.mkString
+
+  property("fixedChunks covers the text exactly (stride prefixes + last)") =
+    Prop.forAll(textGen) { t =>
+      val chunks = Chunker.fixedChunks(t, 100, 25)
+      val rebuilt =
+        if (chunks.length == 1) chunks.head
+        else chunks.init.map(_.take(75)).mkString + chunks.last
+      rebuilt == t
+    }
+
+  property("fixedChunks count matches the closed form; sizes bounded") =
+    Prop.forAll(textGen) { t =>
+      val chunks = Chunker.fixedChunks(t, 100, 25)
+      chunks.length == Chunker.nChunks(t.length, 100, 25) &&
+        chunks.forall(_.length <= 100)
+    }
+
+  property("consecutive fixed chunks share the overlap") =
+    Prop.forAll(textGen.suchThat(_.length > 100)) { t =>
+      val chunks = Chunker.fixedChunks(t, 100, 25)
+      chunks.sliding(2).forall {
+        case Seq(a, b) => b.startsWith(a.takeRight(math.min(25, a.length)))
+        case _ => true
+      }
+    }
+
+  property("recursiveChunks never exceeds size+overlap and loses no ends") =
+    Prop.forAll(textGen.suchThat(_.trim.nonEmpty)) { t =>
+      val chunks = Chunker.recursiveChunks(t, 100, 25)
+      chunks.nonEmpty && chunks.forall(_.length <= 125)
+    }
+
+  property("sections never emit content below the min length") =
+    Prop.forAll(textGen, Gen.choose(0, 60)) { (t, minLen) =>
+      Sections.parse(t, minLen).forall(_._2.length >= minLen)
+    }
+
+  property("rollingHash is deterministic; equal strings hash equal") =
+    Prop.forAll(textGen) { a =>
+      val u = UTF8String.fromString(a)
+      TextKernels.rollingHash(u) == TextKernels.rollingHash(UTF8String.fromString(a))
+    }
+
+  property("rollingHash is order-sensitive (prefix extension changes hash)") =
+    Prop.forAll(textGen, Gen.alphaNumChar) { (a, c) =>
+      TextKernels.rollingHash(UTF8String.fromString(a)) !=
+        TextKernels.rollingHash(UTF8String.fromString(a + c))
+    }
+}

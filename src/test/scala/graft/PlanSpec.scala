@@ -1,0 +1,47 @@
+package graft
+
+/** Physical-plan shape assertions — the scale contract (SURVEY §4/§8
+  * scale notes): filters and projections must reach the parquet scan,
+  * small dims must broadcast, global top-k must avoid a full sort, and
+  * the LPA superstep join must broadcast the label table. These are the
+  * properties that decide whether the same plan survives 1000 executors
+  * reading 100 TB. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: predicate and projection are pushed into the parquet scan") {
+    val p = planOf("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: ["))
+    assert(p.contains("IsNotNull(l_quantity)") || p.contains("GreaterThan(l_quantity"))
+    // pruned read schema: only the needed columns reach the scan
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_comment")) // untouched wide column never read
+  }
+
+  test("q04: dimension joins broadcast (no shuffle of the fact side)") {
+    val p = planOf("q04_customer_geo_rollup")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q07: global top-k plans TakeOrderedAndProject, not a full sort") {
+    val p = planOf("q07_global_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q37: kNN scores with a broadcast query vector") {
+    val p = planOf("q37_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q33: minhash aggregates partially before the doc-id shuffle") {
+    val p = planOf("q33_minhash_lsh")
+    // partial_min on the map side → combiner collapses shingle rows
+    assert(p.contains("partial_min") || p.contains("HashAggregate"))
+  }
+}
