@@ -100,6 +100,27 @@ object Relational {
   def unionRelaxed(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b, allowMissingColumns = true)
 
+  /** Skew-resistant two-phase aggregation: rows are salted into `buckets`
+    * sub-groups, partially aggregated per (key, salt), then finalized per
+    * key. With few hot keys (the 6-group pricing summary over a 100 TB
+    * lineitem is the canonical case), the first exchange spreads each hot
+    * key over `buckets` reducers instead of one. Results are identical to
+    * the direct groupBy because the decimal sums/counts are associative —
+    * which is also what makes it oracle-checkable against plain GROUP BY.
+    * (AQE's skew handling covers joins; aggregation salting is still
+    * manual.) */
+  def saltedSumCount(
+      df: DataFrame, keys: Seq[String], valueCol: String, buckets: Int = 16): DataFrame =
+    df.withColumn("__salt", pmod(hash(col(valueCol)), lit(buckets)))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(
+        sum(col(valueCol).cast(DecimalType(18, 2))).as("__s"),
+        count(lit(1)).as("__c"))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("__s")).cast(DoubleType).as("sum_value"),
+        sum(col("__c")).as("n_rows"))
+
   /** J5: theta join (`a = x OR x IN a_list`) decomposed into a union of
     * equi-joins so both sides stay hash-joinable (ingest_graph_db.py:236-243
     * SIMILAR_TO edges). A naive OR-predicate join would force a nested-loop

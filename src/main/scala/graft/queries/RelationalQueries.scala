@@ -319,6 +319,18 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_matches"))
     },
 
+    // Skew-resistant salted aggregation: identical results to the direct
+    // GROUP BY (associative decimal sums), different physical shape — the
+    // hot 6-key aggregation spreads over 16 sub-groups before finalizing.
+    Q("q59_salted_agg",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      R.saltedSumCount(Tables(s, dir, "lineitem"),
+        keys = Seq("l_returnflag"), valueCol = "l_extendedprice", buckets = 16)
+    },
+
     // O1: multi-key global sort + limit.
     Q("q21_multi_sort",
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

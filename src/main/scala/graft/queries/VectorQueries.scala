@@ -101,5 +101,36 @@ object VectorQueries {
         query = emb.orderBy("vec_id").limit(1), k = 5, planes = Planes, dims = Dims)
         .select(col("vec_id"), col("bucket"), round(col("cos_raw"), 6).as("cos_sim"))
     },
+
+    // IVF ANN: coarse-quantizer cell assignment (argmax cosine over 16
+    // deterministic centroids) + exact re-rank inside the query's cell.
+    Q("q58_ann_ivf",
+      s"""$normCte,
+         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 16),
+         |asg AS (
+         |  SELECT n.vec_id, cid,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      list_reduce(list_transform(generate_series(1, 64), k -> n.v[k] * cv[k]),
+         |        (x, y) -> x + y) / (n.nrm * cnrm) DESC, cid) AS rn
+         |  FROM n CROSS JOIN cent),
+         |cells AS (SELECT vec_id AS cell_id, cid AS cell FROM asg WHERE rn = 1),
+         |q AS (
+         |  SELECT n.vec_id AS q_id, n.v AS qv, n.nrm AS qn, cells.cell AS q_cell
+         |  FROM n JOIN cells ON n.vec_id = cells.cell_id
+         |  ORDER BY n.vec_id LIMIT 1)
+         |SELECT a.vec_id, cells.cell,
+         |  ROUND(list_reduce(list_transform(generate_series(1, 64), k -> a.v[k] * q.qv[k]),
+         |        (x, y) -> x + y) / (a.nrm * q.qn), 6) AS cos_sim
+         |FROM n a JOIN cells ON a.vec_id = cells.cell_id
+         |CROSS JOIN q
+         |WHERE cells.cell = q.q_cell AND a.vec_id <> q.q_id
+         |ORDER BY list_reduce(list_transform(generate_series(1, 64), k -> a.v[k] * q.qv[k]),
+         |        (x, y) -> x + y) / (a.nrm * q.qn) DESC, a.vec_id
+         |LIMIT 5""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.annIvf(emb, "vec_id", "embedding",
+        query = emb.orderBy("vec_id").limit(1), k = 5, nCells = 16)
+        .select(col("vec_id"), col("cell"), round(col("cos_raw"), 6).as("cos_sim"))
+    },
   )
 }

@@ -103,6 +103,41 @@ object Similarity {
     concat(bits: _*)
   }
 
+  /** IVF-style ANN: a coarse quantizer assigns every vector to its
+    * nearest centroid cell (argmax cosine, ties → smaller centroid id);
+    * search probes only the query's cell and re-ranks by exact cosine.
+    *
+    * Centroids here are the `nCells` lowest-id vectors — a deterministic,
+    * training-free quantizer so the whole operator has an exact SQL
+    * oracle; a production build would drop k-means centroids into the
+    * same `cent` table and nothing else changes. Scale shape: centroids
+    * broadcast, assignment is one scan + hash-agg argmax (no window
+    * sort), probe is an equi-join on the cell id. */
+  def annIvf(
+      emb: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, k: Int, nCells: Int): DataFrame = {
+    val corpus = emb.select(col(idCol), vecD(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cent = broadcast(corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cnrm")))
+    val cells = corpus.crossJoin(cent)
+      .select(col(idCol),
+        cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).as("ccos"),
+        col("cid"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col(idCol).as("cell_id"), (-col("best.ncid")).as("cell"))
+    val q = broadcast(query.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("qv"))
+      .withColumn("q_nrm", norm(col("qv")))
+      .join(cells.select(col("cell_id").as("q_id"), col("cell").as("q_cell")), "q_id"))
+    corpus.join(cells, col(idCol) === col("cell_id"))
+      .join(q, col("cell") === col("q_cell") && col(idCol) =!= col("q_id"))
+      .select(col(idCol), col("cell"),
+        cosine(col("v"), col("qv"), col("nrm"), col("q_nrm")).as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** ANN: top-k by exact cosine *within the query's LSH bucket*. Returns
     * (id, bucket, cos_raw). Recall vs brute force is the usual SRP-LSH
     * trade; the candidate set shrinks ~2^planes-fold. */

@@ -74,6 +74,19 @@ class RelationalSpec extends SparkSpec {
     assert(out.toSeq == Seq(4, 5, 6, 7))
   }
 
+  test("saltedSumCount equals direct groupBy and aggregates in two phases") {
+    val df = Seq(("a", 1.5), ("a", 2.5), ("b", 10.0), ("a", 0.25))
+      .toDF("k", "v")
+    val salted = R.saltedSumCount(df, Seq("k"), "v", buckets = 4)
+    val direct = df.groupBy("k")
+      .agg(sum(col("v").cast("decimal(18,2)")).cast("double").as("sum_value"),
+           count(lit(1)).as("n_rows"))
+    assert(salted.orderBy("k").collect().toSeq == direct.orderBy("k").collect().toSeq)
+    // physical shape: two aggregate pairs (salted partial + final)
+    val aggs = "HashAggregate".r.findAllIn(salted.queryExecution.executedPlan.toString).size
+    assert(aggs >= 4)
+  }
+
   test("checks: nullCounts / duplicateStats / completeness (A3-A5)") {
     val df = Seq(("a", Some(1)), ("a", Some(1)), ("b", None))
       .toDF("k", "v")

@@ -45,6 +45,17 @@ class SimilaritySpec extends SparkSpec {
     assert(out.nonEmpty && out.head == 1L) // 1 shares 0's bucket and ranks first
   }
 
+  test("annIvf assigns cells by nearest centroid and searches only the cell") {
+    // centroids = vecs 0,1 (lowest ids). Cells: 0→{0}; 1→{1,2,3,4}
+    // (2,3,4 are all closer to (0.9,0.1) than to (1,0)).
+    val q = vecs.filter(col("vec_id") === 2)
+    val out = Similarity.annIvf(vecs, "vec_id", "embedding", q, k = 3, nCells = 2)
+      .select("vec_id", "cell").as[(Long, Long)].collect()
+    assert(out.forall(_._2 == 1L)) // only the query's cell is probed
+    // ranked by exact cosine to vec 2: 4 (0.24) > 1 (0.11) > 3 (0)
+    assert(out.map(_._1).toSeq == Seq(4L, 1L, 3L))
+  }
+
   test("hyperplaneSigns is deterministic and balanced-ish") {
     val a = Similarity.hyperplaneSigns(8, 64)
     val b = Similarity.hyperplaneSigns(8, 64)

@@ -40,6 +40,22 @@ class SinksSpec extends SparkSpec {
     assert(ok && w == 3 && r == 3)
   }
 
+  test("bucketed tables co-locate the join: no exchange before the SMJ") {
+    val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 100).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    a.write.mode("overwrite").bucketBy(4, "k").sortBy("k").saveAsTable("graft_bkt_a")
+    b.write.mode("overwrite").bucketBy(4, "k").sortBy("k").saveAsTable("graft_bkt_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange")) // bucket layout reused, zero shuffle
+      assert(joined.count() == 100)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("multimodal: binary plumbing + partition-batched stub decode") {
     val docs = Seq((5L, "hello world")).toDF("doc_id", "text")
     val meta = Multimodal.extractMeta(Multimodal.asBinary(docs)).collect()(0)

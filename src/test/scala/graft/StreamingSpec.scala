@@ -73,4 +73,22 @@ class StreamingSpec extends SparkSpec {
       assert(batchAll.size == 4)
     } finally q.stop()
   }
+
+  test("streaming dedup: duplicate event ids across micro-batches collapse") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val sdf = mem.toDF().toDF("event_id", "ts")
+    val q = sdf.withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0)), (2L, ts(1)), (1L, ts(2)))
+      q.processAllAvailable()
+      mem.addData((2L, ts(3)), (3L, ts(4))) // 2 is a cross-batch duplicate
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
 }
