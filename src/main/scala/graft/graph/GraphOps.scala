@@ -100,6 +100,12 @@ object GraphOps {
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .persist()
+    // persist+count per superstep: columnar InMemoryRelation reads keep
+    // each iteration inside whole-stage codegen (measured ~2× faster than
+    // localCheckpoint's row-based RDD scans). Lineage grows linearly with
+    // maxIter — fine standalone; callers that BRANCH on the result (e.g.
+    // communityLevels) must localCheckpoint it, or the shared subtree
+    // re-prints/re-optimizes exponentially.
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist()
@@ -123,6 +129,57 @@ object GraphOps {
     }
     und.unpersist(blocking = false)
     labels
+  }
+
+  /** Multi-resolution community ladder — the engine's analog of the
+    * reference's 3-resolution Leiden run (resolutions [2.0, 0.5, 0.1],
+    * detect_communities.py:219-226 via /root/reference): level 0 = LPA on
+    * the raw graph (fine), level 1 = LPA with self-votes on the
+    * community-contracted graph (mid; self-votes damp the 2-node
+    * oscillation synchronous LPA has on contracted graphs), level 2 =
+    * connected components of the contracted graph (coarsest). Returns
+    * (id, level, community) for every original vertex — community labels
+    * at each level are expressed in original-vertex label space.
+    *
+    * Scale: contraction shrinks the edge set geometrically; every level
+    * is equi-joins + the lpaEdges Catalyst loop; CC runs on the tiny
+    * contracted graph. */
+  def communityLevels(
+      spark: SparkSession, edges: DataFrame, srcCol: String, dstCol: String,
+      iterPerLevel: Int = 4): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // L0: fine communities on the raw graph; checkpointed because four
+    // downstream branches reference it (see lpaEdges lineage note)
+    val l0 = lpaEdges(e, "src", "dst", iterPerLevel).localCheckpoint()
+    // contract: community graph (distinct inter-community edges);
+    // checkpointed — three levels branch off it (see lpaEdges note)
+    val asg0 = l0.select(col("id"), col("label").as("c0"))
+    val ce = e
+      .join(asg0.select(col("id").as("src"), col("c0").as("sc")), "src")
+      .join(asg0.select(col("id").as("dst"), col("c0").as("dc")), "dst")
+      .filter(col("sc") =!= col("dc"))
+      .select(col("sc").as("src"), col("dc").as("dst"))
+      .distinct()
+      .localCheckpoint()
+    // L1: LPA over the contracted graph with self-loops (self-votes)
+    val withSelf = ce.union(
+      ce.select(col("src").as("v")).union(ce.select(col("dst").as("v")))
+        .distinct().select(col("v").as("src"), col("v").as("dst")))
+    val l1 = lpaEdges(withSelf, "src", "dst", iterPerLevel) // (c0 -> c1)
+    // L2: coarsest = connected components of the contracted graph
+    val g = fromEdges(spark, ce, "src", "dst")
+    val l2 = connectedComponentsDF(spark, g) // (c0 -> component)
+    val lvl0 = asg0.select(col("id"), lit(0).as("level"), col("c0").as("community"))
+    val lvl1 = asg0.join(l1.select(col("id").as("c0"), col("label").as("c1")), "c0")
+      .select(col("id"), lit(1).as("level"), col("c1").as("community"))
+    // isolated communities (no inter-community edge) keep their own label
+    val lvl1All = lvl0.select(col("id"), col("community").as("c0"))
+      .join(lvl1.select(col("id"), col("community").as("c1")), Seq("id"), "left")
+      .select(col("id"), lit(1).as("level"), coalesce(col("c1"), col("c0")).as("community"))
+    val lvl2 = asg0.join(l2.select(col("id").as("c0"), col("component").as("c2")),
+        Seq("c0"), "left")
+      .select(col("id"), lit(2).as("level"), coalesce(col("c2"), col("c0")).as("community"))
+    lvl0.unionByName(lvl1All).unionByName(lvl2)
   }
 
   /** G5 multi-hop as edge-DataFrame self-joins — anchor → 1-hop mids →

@@ -94,6 +94,21 @@ object GraphQueries {
         col("label"))
     },
 
+    // G2 multi-resolution: the 3-level community ladder (fine LPA →
+    // contracted LPA → components), the reference's resolution stack
+    // [2.0, 0.5, 0.1]. Not SQL-expressible — level structure is asserted
+    // in GraphSpec.
+    Q.noOracle("q60_community_levels") { (s, dir) =>
+      val edges = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .select((col("l_partkey") * 2).cast("long").as("src"),
+                (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      GraphOps.communityLevels(s, edges, "src", "dst", iterPerLevel = 3).select(
+        when(pmod(col("id"), lit(2)) === 0, "part").otherwise("supplier").as("kind"),
+        shiftright(col("id"), 1).as("key"),
+        col("level"), col("community"))
+    },
+
     // A7-A11/G4: per-community metadata in ONE pass — member count,
     // distinct-subgroup count, top-2 most frequent attribute values —
     // replacing the reference's per-community Python filter loop

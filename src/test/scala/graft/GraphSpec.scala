@@ -46,6 +46,38 @@ class GraphSpec extends SparkSpec {
     assert(dfRun == run1)
   }
 
+  test("communityLevels: resolution ladder coarsens monotonically") {
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    // two clique-pairs, bridged within pairs; pairs disconnected from each other
+    val e = (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(11L, 12L, 13L)) ++ Seq((3L, 11L)) ++
+      clique(Seq(21L, 22L, 23L))).toDF("src", "dst")
+    val out = GraphOps.communityLevels(spark, e, "src", "dst", iterPerLevel = 6)
+      .as[(Long, Int, Long)].collect()
+    val byLevel = out.groupBy(_._2).view.mapValues(_.map(x => x._1 -> x._3).toMap).toMap
+    assert(byLevel.keySet == Set(0, 1, 2))
+    // every vertex labeled at every level
+    assert(byLevel.values.forall(_.size == 9))
+    val nComm = (l: Int) => byLevel(l).values.toSet.size
+    assert(nComm(0) >= nComm(1) && nComm(1) >= nComm(2))
+    // coarsest level = connected components: bridged cliques merge,
+    // the isolated clique stays apart
+    assert(nComm(2) == 2)
+    assert(byLevel(2)(1L) == byLevel(2)(12L))
+    assert(byLevel(2)(1L) != byLevel(2)(21L))
+  }
+
+  test("metrics listener records action row counts (K8)") {
+    val l = graft.sinks.Metrics.attach(spark)
+    try {
+      Seq(1, 2, 3).toDF("x").collect()
+      // listener events are async — poll briefly
+      val deadline = System.nanoTime() + 5000000000L
+      while (l.snapshot.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(l.snapshot.nonEmpty)
+      assert(l.snapshot.exists(_.wallNs > 0))
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("twoHop: neighbors via shared mids with path counts (G5)") {
     // bipartite: parts {1,2,3} × suppliers {100,101}
     val e = Seq((1L, 100L), (1L, 101L), (2L, 100L), (2L, 101L), (3L, 101L))
