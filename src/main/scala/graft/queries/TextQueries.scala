@@ -85,10 +85,30 @@ object TextQueries {
         .select(col("doc_id"), round(T.qualityScore(col("text")), 6).as("quality"))
     },
 
-    // Language-ID heuristic (stopword argmax). Not SQL-expressible without
-    // replicating the dictionaries — rows-only check; determinism + accuracy
-    // are covered by TextFunctionsSpec.
-    Q.noOracle("q27_lang_id") { (s, dir) =>
+    // Language-ID heuristic (stopword argmax, ties → alphabetically first,
+    // 'und' on zero hits). The oracle SQL is GENERATED from the same
+    // stopword dictionaries the column expression uses, so the two can
+    // never drift.
+    Q("q27_lang_id", {
+      val scoreRows = T.stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+        val inList = words.map(w => s"'$w'").mkString(", ")
+        s"""SELECT doc_id, lang, '$lang' AS cand,
+           |  len(list_filter(t, x -> x IN ($inList))) AS score FROM toks""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |    list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS t
+         |  FROM documents),
+         |sc AS (
+         |$scoreRows),
+         |best AS (
+         |  SELECT doc_id, lang, cand, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+         |  FROM sc)
+         |SELECT doc_id, lang,
+         |  CASE WHEN score = 0 THEN 'und' ELSE cand END AS lang_pred
+         |FROM best WHERE rn = 1""".stripMargin
+    }) { (s, dir) =>
       Tables(s, dir, "documents").select(
         col("doc_id"), col("lang"),
         T.langId(col("text")).as("lang_pred"))
@@ -103,9 +123,21 @@ object TextQueries {
         .select(col("doc_id"), T.contentDocId(col("text"), col("doc_id")).as("content_id"))
     },
 
-    // Rolling-hash fingerprint (custom codegen'd Catalyst expression) — no
-    // DuckDB equivalent; value determinism covered by TextFunctionsSpec.
-    Q.noOracle("q29_rolling_fingerprint") { (s, dir) =>
+    // Rolling-hash fingerprint (custom codegen'd Catalyst expression,
+    // h = 31·h + byte over Java's wrapping 64-bit longs). The oracle
+    // emulates the wrap with HUGEINT mod-2^64 arithmetic and a signed
+    // shift — exact on this ASCII corpus (ascii(char) ≡ UTF-8 byte).
+    Q("q29_rolling_fingerprint",
+      """SELECT doc_id, CAST(
+        |  CASE WHEN r >= 9223372036854775808::HUGEINT
+        |       THEN r - 18446744073709551616::HUGEINT ELSE r END AS BIGINT) AS fp64
+        |FROM (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |      list_transform(generate_series(1, length(text)),
+        |        i -> CAST(ascii(substr(text, i, 1)) AS HUGEINT))),
+        |    (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT) AS r
+        |  FROM documents)""".stripMargin) { (s, dir) =>
       Tables(s, dir, "documents")
         .select(col("doc_id"), TextExpressions.rollingHash(col("text")).as("fp64"))
     },
