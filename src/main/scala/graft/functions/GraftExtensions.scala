@@ -25,8 +25,10 @@ object GraftFunctions {
         new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
         (args: Seq[Expression]) => RollingHash(args.head)))
 
-  def inject(ext: SparkSessionExtensions): Unit =
+  def inject(ext: SparkSessionExtensions): Unit = {
     functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.RegexPrefilterRule)
+  }
 
   /** Runtime registration into an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -103,7 +103,7 @@ object GraphQueries {
         .select(col("l_partkey"), col("l_suppkey")).distinct()
         .select((col("l_partkey") * 2).cast("long").as("src"),
                 (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
-      GraphOps.communityLevels(s, edges, "src", "dst", iterPerLevel = 3).select(
+      GraphOps.communityLevels(s, edges, "src", "dst", iterPerLevel = 2).select(
         when(pmod(col("id"), lit(2)) === 0, "part").otherwise("supplier").as("kind"),
         shiftright(col("id"), 1).as("key"),
         col("level"), col("community"))
