@@ -131,6 +131,43 @@ object GraphOps {
     labels
   }
 
+  /** Connected components as a Catalyst loop: min-label propagation to
+    * fixpoint (labels converge to the component's min vertex id in
+    * O(diameter) supersteps — the right trade for the short-diameter
+    * graphs pipelines build; GraphX's Pregel CC stays alongside as the
+    * RDD-idiomatic form). Convergence-checked per superstep, `maxIter`
+    * bounds pathological chains. */
+  def ccEdges(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .persist()
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    labels.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      iter += 1
+      val prev = labels
+      val nbrMin = und.join(labels.withColumnRenamed("id", "nbr"), col("dst") === col("nbr"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      labels = prev.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist()
+      labels.count()
+      val changed = labels.withColumnRenamed("label", "new_label")
+        .join(prev, "id")
+        .filter(col("new_label") =!= col("label"))
+        .limit(1).count()
+      converged = changed == 0
+      prev.unpersist(blocking = false)
+    }
+    und.unpersist(blocking = false)
+    labels.withColumnRenamed("label", "component")
+  }
+
   /** Multi-resolution community ladder — the engine's analog of the
     * reference's 3-resolution Leiden run (resolutions [2.0, 0.5, 0.1],
     * detect_communities.py:219-226 via /root/reference): level 0 = LPA on

@@ -55,6 +55,56 @@ object PipelineQueries {
       EventStreams.sessionizeBatch(Tables(s, dir, "events"), gapSec = 300L)
     },
 
+    // Native session windows (Spark's session_window) — same 300 s gap
+    // rule as q45's manual gaps-and-islands, expressed as the built-in
+    // streaming-capable operator; start = first event, end = last + gap.
+    Q("q61_session_window",
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 300000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM t),
+        |sess AS (
+        |  SELECT user_id, us,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, MIN(us) AS start_us, MAX(us) + 300000000 AS end_us,
+        |       COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("n_events"))
+    },
+
+    // Sliding windows (1 h window, 30 min slide): every event lands in
+    // exactly two windows; the oracle enumerates both via epoch math.
+    Q("q62_sliding_window",
+      """WITH w AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v,
+        |    unnest([CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT),
+        |            CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT)]) AS window_start
+        |  FROM events)
+        |SELECT window_start, event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(v) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY window_start, event_type""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .select(
+          unix_timestamp(col("w.start")).as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    },
+
     // Multimodal: opaque binary column → partition-batched (stub) decode →
     // typed metadata. The decode contract is deterministic, so the Spark
     // mapPartitions path has an exact SQL oracle.

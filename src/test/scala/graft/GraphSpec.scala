@@ -46,6 +46,18 @@ class GraphSpec extends SparkSpec {
     assert(dfRun == run1)
   }
 
+  test("ccEdges (Catalyst loop) equals GraphX connectedComponents") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (20L, 21L))
+      .toDF("src", "dst")
+    val dfCC = GraphOps.ccEdges(e, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val gxCC = GraphOps.connectedComponentsDF(
+      spark, GraphOps.fromEdges(spark, e, "src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(dfCC == gxCC)
+    assert(dfCC(4L) == 1L && dfCC(12L) == 10L && dfCC(21L) == 20L)
+  }
+
   test("communityLevels: resolution ladder coarsens monotonically") {
     def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
     // two clique-pairs, bridged within pairs; pairs disconnected from each other
