@@ -231,6 +231,58 @@ object PipelineQueries {
           array_join(slice(col("arr"), 1, 5), ", ").as("top5"))
     },
 
+    // The reference's 5 asset-checks as ONE quality-gate job (checks.py:
+    // 14-159): key integrity, full-row dups, completeness ratio, coverage
+    // average — each check one aggregation plan, unioned into a
+    // check/pass table (the Spark analog of Dagster @asset_check).
+    Q("q63_quality_gate",
+      """SELECT 'orders_key_integrity' AS check_name,
+        |       (COUNT(*) - COUNT(o_custkey)) = 0 AS pass FROM orders
+        |UNION ALL
+        |SELECT 'nation_no_dup_rows',
+        |       COUNT(*) = 0 FROM (
+        |         SELECT 1 FROM nation GROUP BY n_nationkey, n_name, n_regionkey
+        |         HAVING COUNT(*) > 1)
+        |UNION ALL
+        |SELECT 'customer_completeness_50pct',
+        |       (CAST(SUM(CASE WHEN c_acctbal > 0 AND c_mktsegment IS NOT NULL
+        |                      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)) >= 0.5
+        |FROM customer
+        |UNION ALL
+        |SELECT 'avg_orders_per_customer_ge_1',
+        |       (CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT o_custkey)) >= 1.0
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val orders = Tables(s, dir, "orders")
+      val nation = Tables(s, dir, "nation")
+      val customer = Tables(s, dir, "customer")
+      val keyIntegrity = orders.agg(
+        lit("orders_key_integrity").as("check_name"),
+        (count(lit(1)) - count(col("o_custkey")) === 0).as("pass"))
+      val noDups = nation.groupBy(nation.columns.map(col): _*)
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+        .agg(lit("nation_no_dup_rows").as("check_name"), (count(lit(1)) === 0).as("pass"))
+      val completeness = customer.agg(
+        lit("customer_completeness_50pct").as("check_name"),
+        (sum(when(col("c_acctbal") > 0 && col("c_mktsegment").isNotNull, 1).otherwise(0))
+          .cast("double") / count(lit(1)) >= 0.5).as("pass"))
+      val coverage = orders.agg(
+        lit("avg_orders_per_customer_ge_1").as("check_name"),
+        (count(lit(1)).cast("double") / countDistinct(col("o_custkey")) >= 1.0).as("pass"))
+      keyIntegrity.unionByName(noDups).unionByName(completeness).unionByName(coverage)
+    },
+
+    // T9: date-string parsing (year extraction with try-cast null safety —
+    // the MB "YYYY[-MM[-DD]]" → year shape, musicbrainz_helpers.py:260-277).
+    Q("q64_year_parse",
+      """SELECT EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) AS ship_year,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(year(expr("try_cast(l_shipdate AS DATE)")).as("ship_year"))
+        .agg(count(lit(1)).as("n"), R.dsum(col("l_extendedprice")).as("revenue"))
+    },
+
     // K1/K6/K7: partitioned parquet sink + read-back validation — the
     // grouped stats are computed FROM THE READ-BACK files, so a lossy or
     // misparitioned write would fail the oracle.

@@ -74,6 +74,29 @@ class RelationalSpec extends SparkSpec {
     assert(out.toSeq == Seq(4, 5, 6, 7))
   }
 
+  test("dedupByPriority is idempotent (SURVEY §5.2 property)") {
+    val df = Seq(
+      ("u1", "alice", "2001"), ("u1", "alice", "1999"),
+      ("u2", "alice", "2005"), ("u3", "bob", "2000"))
+      .toDF("uri", "name", "start")
+    val prio = Seq(col("start").asc, col("uri").asc)
+    val once = R.dedupByPriority(df, Seq("uri", "name"), prio)
+    val twice = R.dedupByPriority(once, Seq("uri", "name"), prio)
+    assert(once.orderBy("uri").collect().toSeq == twice.orderBy("uri").collect().toSeq)
+  }
+
+  test("unionRelaxed reconciles schemas symmetrically (SURVEY §5.2 property)") {
+    val a = Seq((1, "x")).toDF("id", "only_a")
+    val b = Seq((2, 9.5)).toDF("id", "only_b")
+    val ab = R.unionRelaxed(a, b)
+    val ba = R.unionRelaxed(b, a)
+    assert(ab.columns.toSet == Set("id", "only_a", "only_b"))
+    assert(ab.columns.toSet == ba.columns.toSet)
+    assert(ab.count() == 2 && ba.count() == 2)
+    // missing-side columns are null, never dropped
+    assert(ab.filter(col("id") === 2).select("only_a").collect()(0).isNullAt(0))
+  }
+
   test("saltedSumCount equals direct groupBy and aggregates in two phases") {
     val df = Seq(("a", 1.5), ("a", 2.5), ("b", 10.0), ("a", 0.25))
       .toDF("k", "v")
