@@ -74,6 +74,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming parquet sink with checkpoint: files land, read back complete") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = mem.toDF().toDF("event_id", "ts", "value")
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0), 1.0), (2L, ts(1), 2.0))
+      q.processAllAvailable()
+      mem.addData((3L, ts(2), 3.0))
+      q.processAllAvailable()
+      val back = spark.read.parquet(s"$dir/out")
+      assert(back.count() == 3)
+      assert(back.select(sum("value")).as[Double].collect()(0) == 6.0)
+    } finally q.stop()
+  }
+
+  test("foreachBatch micro-batch upsert: idempotent sink across batches (V3)") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/tbl"
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("id", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // anti-join upsert into the parquet "collection" (the streaming
+        // twin of q54; ingest_vector_db.py's batched idempotent upserts)
+        val dedupedBatch = batch.dropDuplicates("id")
+        val existing =
+          try spark.read.parquet(dir)
+          catch { case _: Throwable => spark.emptyDataFrame }
+        val toAdd =
+          if (existing.isEmpty) dedupedBatch
+          else dedupedBatch.join(existing.select("id"), Seq("id"), "left_anti")
+        toAdd.write.mode("append").parquet(dir)
+      }
+      .start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((2L, "b_dup"), (3L, "c")) // 2 must not double-insert
+      q.processAllAvailable()
+      val back = spark.read.parquet(dir)
+      assert(back.count() == 3)
+      assert(back.filter(col("id") === 2).select("v").as[String].collect().toSeq == Seq("b"))
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate event ids across micro-batches collapse") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
