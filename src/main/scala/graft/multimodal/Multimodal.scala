@@ -46,6 +46,49 @@ object Multimodal {
     }
   }
 
+  final case class Frame(doc_id: Long, frame_index: Int, n_bytes: Int, fp: String)
+
+  /** Frame sampling: split the binary payload into `n` contiguous frames
+    * (a video keyframe-sample stand-in; the byte-slicing plumbing and the
+    * 1→N typed-flatMap shape are the real contract) with per-frame
+    * content fingerprints. */
+  def frameSample(docs: Dataset[BinaryDoc], n: Int): Dataset[Frame] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+      val len = d.content.length
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until n).map { i =>
+        val start = (i.toLong * len / n).toInt
+        val end = ((i + 1).toLong * len / n).toInt
+        val slice = java.util.Arrays.copyOfRange(d.content, start, end)
+        val fp = md.digest(slice).map("%02x".format(_)).mkString
+        md.reset()
+        Frame(d.doc_id, i, end - start, fp)
+      }
+    }
+  }
+
+  /** Feature extraction: normalized byte histogram — a genuine (if
+    * simple) content feature vector; the stand-in for a learned image
+    * embedding with the same schema (`Array[Float]`). */
+  def byteHistogram(b: Array[Byte], bins: Int = 16): Array[Float] = {
+    val h = new Array[Float](bins)
+    if (b.isEmpty) h
+    else {
+      b.foreach(x => h((x & 0xFF) % bins) += 1f)
+      var i = 0
+      while (i < bins) { h(i) /= b.length; i += 1 }
+      h
+    }
+  }
+
+  /** STUB resize: pad/truncate to a target byte budget (a real codec
+    * would re-encode; the byte-budget contract is what downstream
+    * batching depends on). */
+  def resizeStub(b: Array[Byte], targetBytes: Int): Array[Byte] =
+    if (b.length >= targetBytes) java.util.Arrays.copyOf(b, targetBytes)
+    else java.util.Arrays.copyOf(b, targetBytes) // zero-padded
+
   /** Text corpus → opaque binary column (the ingestion boundary: real
     * pipelines land media bytes + metadata side columns exactly like
     * this). */

@@ -119,6 +119,22 @@ object PipelineQueries {
       Multimodal.extractMeta(Multimodal.asBinary(Tables(s, dir, "documents"))).toDF()
     },
 
+    // Multimodal frame sampling: 3 contiguous byte-frames per payload
+    // with per-frame md5 fingerprints (1→N typed flatMap over binary).
+    Q("q65_frame_sample",
+      """WITH f AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS n,
+        |         unnest(generate_series(0, 2)) AS i
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS INT) AS frame_index,
+        |  CAST((((i + 1) * n) // 3) - ((i * n) // 3) AS INT) AS n_bytes,
+        |  md5(substr(text, CAST((i * n) // 3 + 1 AS INT),
+        |      CAST((((i + 1) * n) // 3) - ((i * n) // 3) AS INT))) AS fp
+        |FROM f""".stripMargin) { (s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.asBinary(Tables(s, dir, "documents")), n = 3).toDF()
+    },
+
     // K2+S2: sparse-JSONL sink roundtrip — null-stripped NDJSON out,
     // explicit-schema scan back, aggregate compared against the source
     // table (proving the write/read path is lossless).

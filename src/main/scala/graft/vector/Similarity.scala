@@ -23,7 +23,10 @@ object Similarity {
   /** Exact float→double widening; keeps Spark and DuckDB bit-identical. */
   def vecD(c: Column): Column = c.cast("array<double>")
 
-  /** Left-to-right fold dot product — order-deterministic. */
+  /** Left-to-right fold dot product — order-deterministic. (An index-fold
+    * via element_at over sequence(1, size(a)) was measured equal within
+    * noise — the per-row index-array allocation cancels what skipping the
+    * zip_with product array saves — so the simpler form stays.) */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
 

@@ -64,4 +64,21 @@ class SinksSpec extends SparkSpec {
     assert(meta.format == "webp") // 11 % 3 == 2
     assert(meta.width == 64 + 11 && meta.height == 64 + 77)
   }
+
+  test("multimodal: frame sampling covers all bytes, fingerprints distinct content") {
+    val docs = Seq((7L, "abcdefghij")).toDF("doc_id", "text") // 10 bytes → 3|3|4
+    val frames = Multimodal.frameSample(Multimodal.asBinary(docs), 3)
+      .collect().sortBy(_.frame_index)
+    assert(frames.map(_.n_bytes).toSeq == Seq(3, 3, 4))
+    assert(frames.map(_.fp).distinct.length == 3)
+    assert(frames.map(_.n_bytes).sum == 10)
+  }
+
+  test("multimodal: byte-histogram features normalize; resize honors byte budget") {
+    val h = Multimodal.byteHistogram("aaab".getBytes("UTF-8"), bins = 16)
+    assert(math.abs(h.sum - 1.0f) < 1e-6)
+    assert(h(('a' & 0xFF) % 16) == 0.75f)
+    assert(Multimodal.resizeStub("abcdef".getBytes, 4).length == 4)
+    assert(Multimodal.resizeStub("ab".getBytes, 8).length == 8)
+  }
 }
