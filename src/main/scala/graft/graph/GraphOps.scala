@@ -106,6 +106,10 @@ object GraphOps {
     // maxIter — fine standalone; callers that BRANCH on the result (e.g.
     // communityLevels) must localCheckpoint it, or the shared subtree
     // re-prints/re-optimizes exponentially.
+    // per-superstep persist+count barrier: bounded memory (previous
+    // iteration unpersisted as soon as the next lands) and columnar
+    // cached reads; a barrier-free single-job chain measured equal
+    // within noise, so the memory-bounded form wins.
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist()
