@@ -100,6 +100,47 @@ object Relational {
   def unionRelaxed(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b, allowMissingColumns = true)
 
+  /** As-of join (the canonical "operator Spark lacks", composed from
+    * built-ins per the (a)-first preference): for every left row, the
+    * latest right row with `right.time <= left.time` on the same keys.
+    *
+    * Shape: union both sides tagged, ONE shuffle on the keys, and a
+    * running `last(<right payload>, ignoreNulls)` window — right rows
+    * sort before left rows at equal timestamps, so "at-or-before" holds.
+    * This is the scalable form: a naive `l.t >= r.t` range join explodes
+    * quadratically per key; the union-window form is linear in
+    * |L| + |R| and never builds the cross product. Callers must ensure
+    * at most one right row per (keys, time) — dedupe first (topKPerGroup)
+    * — so tie-breaks are well-defined across engines.
+    *
+    * `leftTime`/`rightTime` must be the same comparable type (e.g. micros
+    * longs); the matched right payload comes back as struct column
+    * `asof_match` (null when no prior right row exists). */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], timeCol: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val lTagged = left
+      .withColumn("__is_r", lit(0))
+      .withColumn("__payload",
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          rightPayload.map(c => org.apache.spark.sql.types.StructField(
+            c, right.schema(c).dataType)))))
+    val rTagged = right
+      .select((keys :+ timeCol).map(col) :+
+        struct(rightPayload.map(col): _*).as("__payload"): _*)
+      .withColumn("__is_r", lit(1))
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col("__is_r").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("asof_match",
+        last(when(col("__is_r") === 1, col("__payload")), ignoreNulls = true).over(w))
+      .filter(col("__is_r") === 0)
+      .drop("__is_r", "__payload")
+  }
+
   /** Skew-resistant two-phase aggregation: rows are salted into `buckets`
     * sub-groups, partially aggregated per (key, salt), then finalized per
     * key. With few hot keys (the 6-group pricing summary over a 100 TB

@@ -119,6 +119,35 @@ object PipelineQueries {
       Multimodal.extractMeta(Multimodal.asBinary(Tables(s, dir, "documents"))).toDF()
     },
 
+    // As-of join: every non-click event matched to the user's latest
+    // click at-or-before it (union+window composition — one shuffle,
+    // linear, never a per-key cross product). Oracle = DuckDB's native
+    // ASOF LEFT JOIN.
+    Q("q66_asof_join",
+      """WITH r AS (
+        |  SELECT user_id, epoch_us(ts) AS us, MAX(event_id) AS click_event_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |l AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type <> 'click')
+        |SELECT l.event_id, r.click_event_id, l.us - r.us AS gap_us
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+                unix_micros(col("ts")).as("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "us").agg(max("event_id").as("click_event_id"))
+      val others = ev.filter(col("event_type") =!= "click")
+        .select("user_id", "event_id", "us")
+      R.asofJoin(others, clicks,
+          keys = Seq("user_id"), timeCol = "us",
+          rightPayload = Seq("click_event_id", "us"))
+        .select(
+          col("event_id"),
+          col("asof_match.click_event_id").as("click_event_id"),
+          (col("us") - col("asof_match.us")).as("gap_us"))
+    },
+
     // Multimodal frame sampling: 3 contiguous byte-frames per payload
     // with per-frame md5 fingerprints (1→N typed flatMap over binary).
     Q("q65_frame_sample",

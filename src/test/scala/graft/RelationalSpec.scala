@@ -74,6 +74,20 @@ class RelationalSpec extends SparkSpec {
     assert(out.toSeq == Seq(4, 5, 6, 7))
   }
 
+  test("asofJoin matches latest at-or-before right row per key") {
+    val trades = Seq((1L, 100L, "t1"), (1L, 205L, "t2"), (2L, 50L, "t3"))
+      .toDF("k", "t", "trade")
+    val quotes = Seq((1L, 100L, 9.0), (1L, 200L, 10.0), (1L, 300L, 11.0), (2L, 60L, 5.0))
+      .toDF("k", "t", "px")
+    val out = R.asofJoin(trades, quotes, Seq("k"), "t", Seq("px", "t"))
+      .select(col("trade"), col("asof_match.px"), col("asof_match.t"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getDouble(1), r.getLong(2))))).toMap
+    assert(out("t1").contains((9.0, 100L)))  // equal timestamp matches (at-or-before)
+    assert(out("t2").contains((10.0, 200L))) // latest prior, not the later 300
+    assert(out("t3").isEmpty)                // no quote at-or-before 50
+  }
+
   test("dedupByPriority is idempotent (SURVEY §5.2 property)") {
     val df = Seq(
       ("u1", "alice", "2001"), ("u1", "alice", "1999"),
