@@ -141,6 +141,28 @@ object Relational {
       .drop("__is_r", "__payload")
   }
 
+  /** Range (interval) join: points matched to enclosing [lo, hi]
+    * intervals on shared keys — bucketized so it stays an EQUI-join: the
+    * point joins on its time bucket, the interval is exploded to every
+    * bucket it overlaps, and the exact `between` filter runs after the
+    * hash join. A naive `pt BETWEEN lo AND hi` theta join degenerates to
+    * a per-key cross product; bucketization bounds the join fan-out by
+    * interval-length / bucketWidth, which is the standard scalable form.
+    * Pick `bucketWidth` near the typical interval length. */
+  def bucketRangeJoin(
+      points: DataFrame, intervals: DataFrame,
+      keys: Seq[String], ptCol: String, loCol: String, hiCol: String,
+      bucketWidth: Long): DataFrame = {
+    val pts = points.withColumn("__bkt", col(ptCol).divide(bucketWidth).cast("long"))
+    val ivs = intervals.withColumn("__bkt",
+      explode(sequence(
+        (col(loCol) / bucketWidth).cast("long"),
+        (col(hiCol) / bucketWidth).cast("long"))))
+    pts.join(ivs, keys :+ "__bkt")
+      .filter(col(ptCol).between(col(loCol), col(hiCol)))
+      .drop("__bkt")
+  }
+
   /** Skew-resistant two-phase aggregation: rows are salted into `buckets`
     * sub-groups, partially aggregated per (key, salt), then finalized per
     * key. With few hot keys (the 6-group pricing summary over a 100 TB

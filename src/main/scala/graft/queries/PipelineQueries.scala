@@ -119,6 +119,39 @@ object PipelineQueries {
       Multimodal.extractMeta(Multimodal.asBinary(Tables(s, dir, "documents"))).toDF()
     },
 
+    // Range (interval) join: events matched back into their enclosing
+    // session intervals via the bucketized equi-join (every event lands
+    // in exactly one session, so the match is total and unique).
+    Q("q67_range_join",
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 300000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM t),
+        |sess AS (
+        |  SELECT user_id, us,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |intervals AS (
+        |  SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT f.event_id, i.start_us AS session_start
+        |FROM flagged f JOIN intervals i
+        |  ON f.user_id = i.user_id AND f.us BETWEEN i.start_us AND i.end_us""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      val sessions = EventStreams.sessionizeBatch(Tables(s, dir, "events"), 300L)
+        .select(col("user_id"), col("start_us"), col("end_us"))
+      R.bucketRangeJoin(ev, sessions,
+          keys = Seq("user_id"), ptCol = "us", loCol = "start_us", hiCol = "end_us",
+          bucketWidth = 3600000000L)
+        .select(col("event_id"), col("start_us").as("session_start"))
+    },
+
     // As-of join: every non-click event matched to the user's latest
     // click at-or-before it (union+window composition — one shuffle,
     // linear, never a per-key cross product). Oracle = DuckDB's native

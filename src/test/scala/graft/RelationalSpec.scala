@@ -88,6 +88,16 @@ class RelationalSpec extends SparkSpec {
     assert(out("t3").isEmpty)                // no quote at-or-before 50
   }
 
+  test("bucketRangeJoin: point-in-interval across bucket boundaries") {
+    val pts = Seq((1L, 10L, "p1"), (1L, 150L, "p2"), (1L, 999L, "p3"), (2L, 10L, "p4"))
+      .toDF("k", "t", "pt")
+    val ivs = Seq((1L, 0L, 120L, "iv_a"), (1L, 140L, 400L, "iv_b"), (2L, 500L, 600L, "iv_c"))
+      .toDF("k", "lo", "hi", "iv")
+    val out = R.bucketRangeJoin(pts, ivs, Seq("k"), "t", "lo", "hi", bucketWidth = 100L)
+      .select("pt", "iv").as[(String, String)].collect().toMap
+    assert(out == Map("p1" -> "iv_a", "p2" -> "iv_b")) // p3/p4 in no interval
+  }
+
   test("dedupByPriority is idempotent (SURVEY §5.2 property)") {
     val df = Seq(
       ("u1", "alice", "2001"), ("u1", "alice", "1999"),
