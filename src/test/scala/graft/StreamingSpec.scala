@@ -74,6 +74,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment join") {
+    implicit val sc = spark.sqlContext
+    val dim = broadcast(Seq((0L, "alpha"), (1L, "beta")).toDF("bucket", "segment"))
+    val mem = MemoryStream[(Long, Timestamp, Long)]
+    val q = mem.toDF().toDF("event_id", "ts", "user_id")
+      .withColumn("bucket", col("user_id") % 2)
+      .join(dim, "bucket") // static side broadcasts; no stream-side shuffle
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0), 10L), (2L, ts(1), 11L))
+      q.processAllAvailable()
+      val out = spark.table("enrich_out")
+        .select("event_id", "segment").as[(Long, String)].collect().toMap
+      assert(out == Map(1L -> "alpha", 2L -> "beta"))
+    } finally q.stop()
+  }
+
   test("streaming parquet sink with checkpoint: files land, read back complete") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
