@@ -70,16 +70,17 @@ object Similarity {
     val b = base.select(
       col(idCol).as("id_b"), col(blockCol).as("blk"),
       col("v").as("vb"), col("nrm").as("nb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id_a").orderBy(col("cos_raw").desc, col("id_b").asc)
+    // argmax by (cos desc, id_b asc) as a hash-agg max(struct(cos,-id)) —
+    // no per-partition sort; ties break identically to the window form
+    // (raw cosines are bit-deterministic, so cross-engine order agrees)
     a.join(b, Seq("blk"))
       .filter(col("id_a") =!= col("id_b"))
       .select(
         col("id_a"), col("id_b"),
         cosine(col("va"), col("vb"), col("na"), col("nb")).as("cos_raw"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+      .groupBy("id_a")
+      .agg(max(struct(col("cos_raw"), (-col("id_b")).as("nid"))).as("best"))
+      .select(col("id_a"), (-col("best.nid")).as("id_b"), col("best.cos_raw").as("cos_raw"))
   }
 
   /** Deterministic ±1 hyperplane matrix for sign-random-projection LSH:
