@@ -107,11 +107,13 @@ object RelationalQueries {
         |    row_number() OVER (PARTITION BY o_custkey
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) WHERE rn = 1""".stripMargin) { (s, dir) =>
-      R.topKPerGroup(
+      // k=1 → hash-agg argmax fast path (no window sort); the negated
+      // orderkey encodes the ascending tiebreak
+      R.argmaxPerGroup(
         Tables(s, dir, "orders"),
-        partCols = Seq("o_custkey"),
-        order = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
-        k = 1)
+        groupCols = Seq("o_custkey"),
+        sortKey = Seq(col("o_totalprice"), -col("o_orderkey")),
+        payload = Seq("o_orderkey", "o_totalprice"))
         .select("o_custkey", "o_orderkey", "o_totalprice")
     },
 

@@ -74,6 +74,22 @@ class RelationalSpec extends SparkSpec {
     assert(out.toSeq == Seq(4, 5, 6, 7))
   }
 
+  test("argmaxPerGroup equals topKPerGroup k=1 under the same total order") {
+    val df = Seq(
+      (1, 10.0, 100L), (1, 10.0, 50L), (1, 7.0, 10L),
+      (2, 3.0, 7L))
+      .toDF("g", "score", "id")
+    val viaWindow = R.topKPerGroup(df, Seq("g"),
+      Seq(col("score").desc, col("id").asc), 1)
+      .select("g", "id", "score").orderBy("g")
+    val viaArgmax = R.argmaxPerGroup(df, Seq("g"),
+      sortKey = Seq(col("score"), -col("id")), payload = Seq("id", "score"))
+      .select("g", "id", "score").orderBy("g")
+    assert(viaWindow.collect().toSeq == viaArgmax.collect().toSeq)
+    // tie on score resolved to smaller id
+    assert(viaArgmax.filter(col("g") === 1).select("id").as[Long].collect()(0) == 50L)
+  }
+
   test("asofJoin matches latest at-or-before right row per key") {
     val trades = Seq((1L, 100L, "t1"), (1L, 205L, "t2"), (2L, 50L, "t3"))
       .toDF("k", "t", "trade")
