@@ -142,6 +142,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup detection: minhash bands accumulate across batches") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh").toString
+    val bandsPath = s"$dir/bands"
+    val pairsPath = s"$dir/pairs"
+    val base = "spark catalyst optimizes logical plans into physical plans " +
+      "with cost based rules and pushes filters into columnar scans today"
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val newBands = graft.dedup.Dedup.minhashBands(batch, "doc_id", "text")
+        val existing =
+          try spark.read.parquet(bandsPath)
+          catch { case _: Throwable => null }
+        if (existing != null) {
+          // cross-batch candidates: new docs colliding with any prior band
+          val hits = newBands.join(
+            existing.withColumnRenamed("doc_id", "prior_id"), Seq("band", "band_key"))
+            .select(col("prior_id"), col("doc_id").as("new_id")).distinct()
+          hits.write.mode("append").parquet(pairsPath)
+        }
+        newBands.write.mode("append").parquet(bandsPath)
+      }
+      .start()
+    try {
+      mem.addData((1L, base), (2L, "a completely different text about pasta " +
+        "with tomato sauce basil and parmesan served in a warm bowl tonight"))
+      q.processAllAvailable()
+      // exact dup of 1 in a later batch — all bands collide deterministically
+      // (probabilistic near-dup recall is DedupSpec's subject)
+      mem.addData((3L, base))
+      q.processAllAvailable()
+      val pairs = spark.read.parquet(pairsPath)
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 3L))) // cross-batch duplicate caught
+      assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate event ids across micro-batches collapse") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
