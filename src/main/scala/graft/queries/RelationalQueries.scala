@@ -333,6 +333,34 @@ object RelationalQueries {
         keys = Seq("l_returnflag"), valueCol = "l_extendedprice", buckets = 16)
     },
 
+    // Window frames beyond the reference (SURVEY §2.5 "absent" row):
+    // running decimal-exact sum (rows frame), lag, and a 30-day RANGE
+    // frame over integer day numbers (value-based, tie-safe).
+    Q("q68_window_frames",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+        |  lag(o_orderkey) OVER (PARTITION BY o_custkey
+        |       ORDER BY o_orderdate, o_orderkey) AS prev_order,
+        |  CAST(COUNT(*) OVER (PARTITION BY o_custkey
+        |       ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |       RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS orders_30d
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val byCust = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val byDay = Window.partitionBy("o_custkey")
+        .orderBy(unix_date(col("o_orderdate").cast("date")))
+        .rangeBetween(-30, Window.currentRow)
+      Tables(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .over(byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_total"),
+        lag(col("o_orderkey"), 1).over(byCust).as("prev_order"),
+        count(lit(1)).over(byDay).as("orders_30d"))
+    },
+
     // O1: multi-key global sort + limit.
     Q("q21_multi_sort",
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
