@@ -20,7 +20,7 @@ object Checks {
   /** A4: full-row duplicate detection (checks.py:33-41): group by all
     * columns, keep groups with count > 1, total duplicated rows. */
   def duplicateStats(df: DataFrame): DataFrame =
-    df.groupBy(df.columns.map(col): _*)
+    df.groupBy(df.columns.toIndexedSeq.map(col): _*)
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
       .agg(coalesce(sum(col("cnt")), lit(0L)).as("dup_rows"),

@@ -336,7 +336,7 @@ object PipelineQueries {
       val keyIntegrity = orders.agg(
         lit("orders_key_integrity").as("check_name"),
         (count(lit(1)) - count(col("o_custkey")) === 0).as("pass"))
-      val noDups = nation.groupBy(nation.columns.map(col): _*)
+      val noDups = nation.groupBy(nation.columns.toIndexedSeq.map(col): _*)
         .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
         .agg(lit("nation_no_dup_rows").as("check_name"), (count(lit(1)) === 0).as("pass"))
       val completeness = customer.agg(

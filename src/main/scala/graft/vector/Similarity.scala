@@ -101,10 +101,10 @@ object Similarity {
     * shuffle), then search only within the query's bucket. */
   def lshBucket(vec: Column, signs: Array[Array[Int]]): Column = {
     val bits = signs.map { plane =>
-      val sv = array(plane.map(lit(_)): _*)
+      val sv = array(plane.toIndexedSeq.map(lit(_)): _*)
       when(dot(vec, sv) >= 0, lit("1")).otherwise(lit("0"))
     }
-    concat(bits: _*)
+    concat(bits.toIndexedSeq: _*)
   }
 
   /** IVF-style ANN: a coarse quantizer assigns every vector to its
