@@ -361,6 +361,34 @@ object RelationalQueries {
         count(lit(1)).over(byDay).as("orders_30d"))
     },
 
+    // Distribution statistics beyond the reference's count/avg checks:
+    // exact interpolated percentiles (both engines use the standard
+    // (n-1)·p linear interpolation) + sample stddev.
+    Q("q69_percentiles",
+      """SELECT source,
+        |  ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
+        |  ROUND(AVG(n_chars), 6) AS mean,
+        |  ROUND(stddev_samp(n_chars), 6) AS sd
+        |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          round(percentile(col("n_chars"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("n_chars"), lit(0.9)), 6).as("p90"),
+          round(avg(col("n_chars")), 6).as("mean"),
+          round(stddev_samp(col("n_chars")), 6).as("sd"))
+    },
+
+    // Cube subtotals (all grouping combinations) — the rollup sibling.
+    Q("q70_cube",
+      """SELECT n_regionkey, n_nationkey, COUNT(*) AS n
+        |FROM nation GROUP BY CUBE (n_regionkey, n_nationkey)""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "nation")
+        .cube(col("n_regionkey"), col("n_nationkey"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // O1: multi-key global sort + limit.
     Q("q21_multi_sort",
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
