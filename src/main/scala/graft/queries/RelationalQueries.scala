@@ -389,6 +389,42 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"))
     },
 
+    // Unpivot/melt (wide → long reshaping) + per-measure aggregate.
+    Q("q71_unpivot",
+      """SELECT measure, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT l_orderkey, measure, value
+        |  FROM lineitem UNPIVOT (value FOR measure IN (l_quantity, l_discount, l_tax)))
+        |GROUP BY measure""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .unpivot(
+          ids = Array(col("l_orderkey")),
+          values = Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          variableColumnName = "measure", valueColumnName = "value")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"), R.dsum(col("value")).as("total"))
+    },
+
+    // Pivot (long → wide): order counts per ship-year by status column.
+    Q("q72_pivot",
+      """SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        // a status absent for some year pivots to null; the oracle's
+        // conditional sums yield 0 — normalize
+        .select(col("order_year"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+    },
+
     // O1: multi-key global sort + limit.
     Q("q21_multi_sort",
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
