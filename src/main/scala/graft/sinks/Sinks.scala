@@ -1,6 +1,7 @@
 package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** Sink layer (SURVEY §2.12): sparse JSONL (K2), partitioned parquet with
@@ -27,6 +28,20 @@ object Sinks {
     * the scalable analog of per-partition asset files). */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** K1 at scale — the small-files control: `partitionBy` alone writes
+    * one file per (task × partition value); repartitioning on the
+    * partition column first co-locates each value into one task, so each
+    * directory gets ONE file (plus `maxRecordsPerFile` as the size cap).
+    * At 100 TB the difference is thousands vs millions of output files. */
+  def writePartitionedCompact(
+      df: DataFrame, path: String, partitionCol: String,
+      maxRecordsPerFile: Long = 5000000L): Unit =
+    df.repartition(col(partitionCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCol)
+      .parquet(path)
 
   /** K7: post-write count validation — write, read back, compare. Returns
     * (written, readBack, ok); throws nothing (callers decide, mirroring

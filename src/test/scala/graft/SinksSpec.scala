@@ -40,6 +40,19 @@ class SinksSpec extends SparkSpec {
     assert(ok && w == 3 && r == 3)
   }
 
+  test("compact partitioned write: one file per partition value") {
+    val df = (1 to 400).map(i => (i.toLong, s"p${i % 4}")).toDF("k", "p")
+      .repartition(8) // simulate many upstream tasks
+    val path = tmp("compact")
+    Sinks.writePartitionedCompact(df, path, "p")
+    val files = new java.io.File(path).listFiles().filter(_.isDirectory).map { d =>
+      d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+    }.toMap
+    assert(files.size == 4)
+    assert(files.values.forall(_ == 1)) // not 8 task-files per partition
+    assert(spark.read.parquet(path).count() == 400)
+  }
+
   test("bucketed tables co-locate the join: no exchange before the SMJ") {
     val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 100).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
