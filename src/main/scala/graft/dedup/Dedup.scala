@@ -46,6 +46,16 @@ object Dedup {
   def h2odd(s: Column): Column =
     conv(substring(md5(s), 13, 12), 16, 10).cast("long") * 2 + 1
 
+  /** Reproducible train/val/test split by key hash — the deterministic
+    * alternative to seeded `sample()`: membership depends only on the
+    * key, so splits are stable across runs, partitionings, and engines
+    * (no RNG state). Thresholds are over the first md5 byte (0-255);
+    * defaults 205/230 ≈ 80/10/10. */
+  def hashSplit3(keyCol: Column, b1: Int = 205, b2: Int = 230): Column = {
+    val byte = conv(substring(md5(keyCol.cast("string")), 1, 2), 16, 10).cast("int")
+    when(byte < b1, "train").when(byte < b2, "val").otherwise("test")
+  }
+
   /** Exact dedup: content-hash groupBy keeping the smallest id per group
     * (the distributed version of unique-by-key; one shuffle on the 64-hex
     * fingerprint, partial-aggregated map-side). */

@@ -69,6 +69,25 @@ object DedupQueries {
       Dedup.simhash32(Tables(s, dir, "documents"), "doc_id", "text")
     },
 
+    // Reproducible hash-based dataset split (train/val/test ≈ 80/10/10):
+    // split membership is a pure function of doc_id, so it is stable
+    // across runs/partitionings — the production-grade replacement for
+    // seeded sampling in training-data pipelines.
+    Q("q73_hash_split",
+      """WITH s AS (
+        |  SELECT lang,
+        |    (CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) * 16
+        |     + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS INT)) AS b
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN b < 205 THEN 'train' WHEN b < 230 THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS n
+        |FROM s GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(col("lang"), Dedup.hashSplit3(col("doc_id")).as("split"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // Blocked 2-gram Jaccard: pairwise similarity inside
     // (source, length-bucket) blocks — the blocking keeps the pair join
     // an equi-join instead of a corpus cross product.

@@ -55,6 +55,19 @@ class DedupSpec extends SparkSpec {
     assert(hamming(hs(1L), hs(4L)) > 6)
   }
 
+  test("hashSplit3: deterministic, total, and roughly 80/10/10") {
+    val ids = (1L to 2000L).toDF("id")
+    val split = ids.select(Dedup.hashSplit3(col("id")).as("s"))
+    val counts = split.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 1500 && counts("train") < 1700) // ~80% of 2000
+    assert(counts("val") > 130 && counts("val") < 260)
+    // stability: same ids → identical assignment
+    val again = ids.select(Dedup.hashSplit3(col("id")).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(again == counts)
+  }
+
   test("ngram jaccard: identity 1.0, near-dup high, blocked pairs only") {
     val blocked = docs.withColumn("blk", lit(1))
     val out = Dedup.ngramJaccardPairs(blocked, "doc_id", "text", Seq(col("blk")))
