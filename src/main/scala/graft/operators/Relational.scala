@@ -170,11 +170,12 @@ object Relational {
       points: DataFrame, intervals: DataFrame,
       keys: Seq[String], ptCol: String, loCol: String, hiCol: String,
       bucketWidth: Long): DataFrame = {
-    val pts = points.withColumn("__bkt", col(ptCol).divide(bucketWidth).cast("long"))
+    // floor, not cast-truncation: truncation rounds toward zero, which
+    // misbuckets negative time domains
+    def bkt(c: Column): Column = floor(c / bucketWidth).cast("long")
+    val pts = points.withColumn("__bkt", bkt(col(ptCol)))
     val ivs = intervals.withColumn("__bkt",
-      explode(sequence(
-        (col(loCol) / bucketWidth).cast("long"),
-        (col(hiCol) / bucketWidth).cast("long"))))
+      explode(sequence(bkt(col(loCol)), bkt(col(hiCol)))))
     pts.join(ivs, keys :+ "__bkt")
       .filter(col(ptCol).between(col(loCol), col(hiCol)))
       .drop("__bkt")

@@ -112,6 +112,12 @@ class RelationalSpec extends SparkSpec {
     val out = R.bucketRangeJoin(pts, ivs, Seq("k"), "t", "lo", "hi", bucketWidth = 100L)
       .select("pt", "iv").as[(String, String)].collect().toMap
     assert(out == Map("p1" -> "iv_a", "p2" -> "iv_b")) // p3/p4 in no interval
+    // negative time domain: floor-bucketing (not truncation) keeps matches
+    val negPts = Seq((1L, -150L, "n1")).toDF("k", "t", "pt")
+    val negIvs = Seq((1L, -200L, -100L, "niv")).toDF("k", "lo", "hi", "iv")
+    val negOut = R.bucketRangeJoin(negPts, negIvs, Seq("k"), "t", "lo", "hi", 100L)
+      .select("pt", "iv").as[(String, String)].collect().toMap
+    assert(negOut == Map("n1" -> "niv"))
   }
 
   test("dedupByPriority is idempotent (SURVEY §5.2 property)") {
