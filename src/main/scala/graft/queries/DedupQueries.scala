@@ -88,6 +88,43 @@ object DedupQueries {
         .agg(count(lit(1)).as("n"))
     },
 
+    // SimHash near-dup pairing: signatures → numeric form → blocked
+    // self-join with hamming distance = bit_count(xor) ≤ 10. Completes
+    // the SimHash pipeline q34 starts (signature → candidate pairs).
+    Q("q74_simhash_neardup",
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, md5(tok) AS m FROM toks),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    SUM(CASE WHEN ((strpos('0123456789abcdef', substr(m, j // 4 + 1, 1)) - 1)
+        |                   >> (3 - j % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+        |  FROM h CROSS JOIN range(32) r(j) GROUP BY doc_id, j),
+        |sig AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN sgn >= 0 THEN (CAST(1 AS BIGINT) << (31 - CAST(j AS INT))) ELSE 0 END) AS num
+        |  FROM bits GROUP BY doc_id),
+        |s AS (SELECT d.doc_id, d.source, sig.num FROM documents d JOIN sig USING (doc_id))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.num, b.num)) AS INT) AS hamming
+        |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.num, b.num)) <= 10""".stripMargin) { (s, dir) =>
+      val sig = Dedup.simhash32(Tables(s, dir, "documents"), "doc_id", "text")
+        .withColumn("num", conv(col("simhash"), 2, 10).cast("long"))
+      val withBlock = sig.join(
+        Tables(s, dir, "documents").select("doc_id", "source"), "doc_id")
+      val a = withBlock.select(
+        col("doc_id").as("id_a"), col("source").as("blk"), col("num").as("na"))
+      val b = withBlock.select(
+        col("doc_id").as("id_b"), col("source").as("blk"), col("num").as("nb"))
+      a.join(b, Seq("blk"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("hamming", bit_count(col("na").bitwiseXOR(col("nb"))).cast("int"))
+        .filter(col("hamming") <= 10)
+        .select("id_a", "id_b", "hamming")
+    },
+
     // Blocked 2-gram Jaccard: pairwise similarity inside
     // (source, length-bucket) blocks — the blocking keeps the pair join
     // an equi-join instead of a corpus cross product.
