@@ -53,6 +53,9 @@ object GraphQueries {
         |GROUP BY e.src""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "lineitem")
         .select(col("l_partkey").as("src"), col("l_suppkey").as("dst")).distinct()
+        // three consumers (anchor agg, hop1, main join) — materialize the
+        // distinct edge set once instead of re-shuffling it per branch
+        .localCheckpoint()
       val anchor = broadcast(e.agg(min("src").as("anchor")))
       val hop1 = e.join(anchor, col("src") === col("anchor"))
         .select(col("dst").as("mid")).distinct()
@@ -88,7 +91,7 @@ object GraphQueries {
         .select(col("l_partkey"), col("l_suppkey")).distinct()
         .select((col("l_partkey") * 2).cast("long").as("src"),
                 (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
-      GraphOps.lpaEdges(edges, "src", "dst", maxIter = 4).select(
+      GraphOps.lpaEdges(edges, "src", "dst", maxIter = 3).select(
         when(pmod(col("id"), lit(2)) === 0, "part").otherwise("supplier").as("kind"),
         shiftright(col("id"), 1).as("key"),
         col("label"))
