@@ -40,6 +40,16 @@ class SinksSpec extends SparkSpec {
     assert(ok && w == 3 && r == 3)
   }
 
+  test("multi-path scan merges partition directories (all-partitions case)") {
+    val df = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "C")).toDF("k", "p")
+    val path = tmp("multi")
+    Sinks.writePartitioned(df, path, "p")
+    // the reference's AllPartitionMapping merge: one scan over N partition dirs
+    val merged = Tables.multi(spark, Seq(s"$path/p=A", s"$path/p=B"))
+    assert(merged.count() == 3) // C excluded
+    assert(merged.columns.toSeq == Seq("k")) // partition col lives in the path
+  }
+
   test("compact partitioned write: one file per partition value") {
     val df = (1 to 400).map(i => (i.toLong, s"p${i % 4}")).toDF("k", "p")
       .repartition(8) // simulate many upstream tasks
