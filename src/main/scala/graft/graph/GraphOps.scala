@@ -207,10 +207,13 @@ object GraphOps {
       ce.select(col("src").as("v")).union(ce.select(col("dst").as("v")))
         .distinct().select(col("v").as("src"), col("v").as("dst")))
     val l1 = lpaEdges(withSelf, "src", "dst", iterPerLevel) // (c0 -> c1)
-    // L2: coarsest = connected components of the contracted graph —
-    // the Catalyst ccEdges loop (no RDD/GraphX spin-up on the hot path;
-    // equivalence with GraphX CC is proven in GraphSpec)
-    val l2 = ccEdges(ce, "src", "dst") // (c0 -> component)
+    // L2: coarsest = connected components of the contracted graph.
+    // GraphX CC here: on the small contracted graph its in-process Pregel
+    // convergence beats the Catalyst ccEdges loop, whose per-superstep
+    // convergence checks cost ~3 scheduler round-trips × graph diameter
+    // (measured ~2× slower end-to-end); ccEdges remains the scale path
+    // when the contracted graph is itself huge.
+    val l2 = connectedComponentsDF(spark, fromEdges(spark, ce, "src", "dst"))
     val lvl0 = asg0.select(col("id"), lit(0).as("level"), col("c0").as("community"))
     val lvl1 = asg0.join(l1.select(col("id").as("c0"), col("label").as("c1")), "c0")
       .select(col("id"), lit(1).as("level"), col("c1").as("community"))
