@@ -74,11 +74,12 @@ object Dedup {
     * afterwards is a self-equi-join on (band, band_key) — hash-joinable,
     * never quadratic.
     */
-  def minhashBands(
+  /** Raw MinHash signature: (id, mh0..mh{k-1}). The signature-agreement
+    * fraction between two docs is an unbiased estimator of their shingle
+    * Jaccard similarity (the property DedupSpec verifies). */
+  def minhashSignature(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
+      shingleN: Int = 3, numHashes: Int = 16): DataFrame = {
     val toks = wordTokens(col(textCol))
     val sh = df
       .filter(size(toks) >= shingleN)
@@ -86,7 +87,15 @@ object Dedup {
       .select(col(idCol), h1(col("s")).as("h1"), h2odd(col("s")).as("h2"))
     val mins = (0 until numHashes).map(i =>
       min((col("h1") + col("h2") * i) % HashSpace).as(s"mh$i"))
-    val sig = sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  def minhashBands(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSignature(df, idCol, textCol, shingleN, numHashes)
     val bandKeys = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       md5(concat_ws(",", slice: _*))

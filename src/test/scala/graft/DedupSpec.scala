@@ -46,6 +46,23 @@ class DedupSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("minhash signature agreement estimates shingle jaccard") {
+    val sigs = Dedup.minhashSignature(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getLong)).toMap
+    def agreement(a: Long, b: Long): Double =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 16.0
+    // true 3-gram jaccard of base vs nearDup (one word changed)
+    def shingles(t: String) =
+      t.toLowerCase.split("[^a-z0-9]+").sliding(3).map(_.mkString(" ")).toSet
+    val j = {
+      val (sa, sb) = (shingles(base), shingles(nearDup))
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    assert(agreement(1L, 2L) == 1.0) // identical docs → identical signatures
+    assert(math.abs(agreement(1L, 3L) - j) <= 0.35) // 16-hash estimator tolerance
+    assert(agreement(1L, 4L) <= 0.25) // unrelated docs ≈ 0
+  }
+
   test("simhash: identical texts equal, near-dups within small hamming distance") {
     val hs = Dedup.simhash32(docs, "doc_id", "text")
       .as[(Long, String)].collect().toMap
