@@ -24,12 +24,26 @@ object Bench {
     val queries = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.exists(n.startsWith))
     }
+    // Between queries: drop every cached DataFrame and persistent RDD
+    // (query results persisted by materializeAndRelease, localCheckpoint
+    // RDDs, iterative-loop leftovers). Without this the suite accumulates
+    // dozens of resident caches and the late graph queries measure 3×
+    // slower than in isolation (5s vs 15s for q42 at sf0.1) — the leak,
+    // not the plan. Runs OUTSIDE the timed window; every query is timed
+    // cold-cache but pays only its own work.
+    def clearCaches(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     val warmDir = "/root/testdata/sf0.001"
     val warm = if (new java.io.File(warmDir).isDirectory) warmDir else sfDir
     queries.foreach { case (_, fn) =>
       try fn(spark, warm).count() catch { case _: Throwable => () }
+      clearCaches()
     }
     val results = queries.map { case (name, fn) =>
+      clearCaches()
       System.gc() // pay prior queries' garbage outside the timed window
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -151,22 +151,27 @@ object GraphOps {
     labels.count()
     var converged = false
     var iter = 0
+    var persisted = labels // cached frame backing `labels`, freed next step
     while (!converged && iter < maxIter) {
       iter += 1
-      val prev = labels
+      val prevPersisted = persisted
       val nbrMin = und.join(labels.withColumnRenamed("id", "nbr"), col("dst") === col("nbr"))
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nbr_label"))
-      labels = prev.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // convergence flag computed in the SAME pass as the update (a
+      // neighbor label strictly below ours means the fixpoint moved) —
+      // the probe below reads the cached frame, so checking convergence
+      // costs no extra join per superstep.
+      val step = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (col("nbr_label").isNotNull && col("nbr_label") < col("label")).as("moved"))
         .persist()
-      labels.count()
-      val changed = labels.withColumnRenamed("label", "new_label")
-        .join(prev, "id")
-        .filter(col("new_label") =!= col("label"))
-        .limit(1).count()
-      converged = changed == 0
-      prev.unpersist(blocking = false)
+      step.count()
+      converged = step.filter(col("moved")).limit(1).count() == 0
+      labels = step.select("id", "label")
+      persisted = step
+      prevPersisted.unpersist(blocking = false)
     }
     und.unpersist(blocking = false)
     labels.withColumnRenamed("label", "component")
@@ -225,6 +230,94 @@ object GraphOps {
         Seq("c0"), "left")
       .select(col("id"), lit(2).as("level"), coalesce(col("c2"), col("c0")).as("community"))
     lvl0.unionByName(lvl1All).unionByName(lvl2)
+  }
+
+  /** PageRank as a Catalyst loop in FIXED-POINT arithmetic: rank mass is
+    * a long count of units out of `scale` total. Every step is integer
+    * ops (share = pr div deg; sums of longs), so results are exactly
+    * reproducible regardless of partial-aggregation order — float
+    * summation order-dependence is what usually makes distributed
+    * PageRank non-deterministic run-to-run. The iteration is
+    * new = base + (damping% · Σ incoming shares) div 100 with
+    * base = (100-damping)% of the uniform share, the standard damped
+    * power iteration (Brin/Page) over the undirected expansion.
+    *
+    * Scale: per iteration one broadcast-able N-row join (pr ⋈ deg), one
+    * shuffle of the edge list on src, one hash agg on dst — identical
+    * shuffle structure to real PageRank; no driver collect (the single
+    * `deg.count()` scalar is one agg job). GraphX's `staticPageRank`
+    * stays available for double-precision needs; this form is the
+    * oracle-able / deterministic one. */
+  def pageRankFixedPoint(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, dampingPct: Long = 85L,
+      scale: Long = 1000000000000L): DataFrame = {
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .persist()
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .persist()
+    val n = deg.count() // one scalar agg job; also materializes deg
+    val unit = scale / n
+    val base = ((100L - dampingPct) * unit) / 100L
+    var pr = deg.select(col("id"), lit(unit).as("pr")).persist()
+    pr.count()
+    for (_ <- 1 to iters) {
+      val prev = pr
+      // share = pr div deg: N-row join (broadcast at any realistic N/edges
+      // ratio), then one shuffle of the edge list grouped on dst.
+      val share = pr.join(deg, "id")
+        .select(col("id").as("src"), expr("pr div deg").as("share"))
+      val incoming = und.join(share, "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("share")).as("s"))
+      // left join keeps isolated-in-degree vertices (none in an undirected
+      // expansion, but the guard costs nothing and keeps the op total)
+      pr = deg.select(col("id"))
+        .join(incoming, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"($dampingPct * coalesce(s, 0L)) div 100")).as("pr"))
+        .persist()
+      pr.count()
+      prev.unpersist(blocking = false)
+    }
+    und.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    pr
+  }
+
+  /** BFS levels from an anchor: minimum hop distance ≤ maxHops, as a
+    * frontier-expansion Catalyst loop — per hop one equi-join of the edge
+    * list against the (small) frontier plus an anti-join against the
+    * visited set. The frontier-join shape is the scalable BFS: work per
+    * hop is proportional to the frontier's edge neighborhood, not the
+    * whole graph. */
+  def bfsLevels(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      anchor: DataFrame, maxHops: Int): DataFrame = {
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .persist()
+    var visited = anchor.select(col(anchor.columns.head).as("id"))
+      .distinct()
+      .withColumn("level", lit(0))
+      .persist()
+    visited.count()
+    var frontier = visited.select("id")
+    for (h <- 1 to maxHops) {
+      val next = und
+        .join(frontier.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")
+        .withColumn("level", lit(h))
+      val prev = visited
+      visited = visited.unionByName(next).persist()
+      visited.count()
+      frontier = visited.filter(col("level") === h).select("id")
+      prev.unpersist(blocking = false)
+    }
+    und.unpersist(blocking = false)
+    visited
   }
 
   /** G5 multi-hop as edge-DataFrame self-joins — anchor → 1-hop mids →
