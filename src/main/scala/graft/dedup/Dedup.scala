@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operator library — the training-data-pipeline extensions
@@ -54,6 +55,40 @@ object Dedup {
   def hashSplit3(keyCol: Column, b1: Int = 205, b2: Int = 230): Column = {
     val byte = conv(substring(md5(keyCol.cast("string")), 1, 2), 16, 10).cast("int")
     when(byte < b1, "train").when(byte < b2, "val").otherwise("test")
+  }
+
+  /** Training-mixture sampling: keep a row iff the first md5 byte of its
+    * key falls under the per-stratum threshold (0-256 ≈ keep rate ·256).
+    * Like [[hashSplit3]], membership depends only on the key — the
+    * deterministic, engine-portable form of per-source rate sampling a
+    * training mixture needs (seeded `sample()` is partitioning-dependent).
+    * `rate256` maps stratum value → threshold; strata absent from the map
+    * use `defaultRate256`. */
+  def mixtureKeep(
+      keyCol: Column, stratumCol: Column,
+      rate256: Map[String, Int], defaultRate256: Int): Column = {
+    val byte = conv(substring(md5(keyCol.cast("string")), 1, 2), 16, 10).cast("int")
+    val thresh = rate256.foldLeft(lit(defaultRate256)) {
+      case (acc, (stratum, r)) => when(stratumCol === stratum, lit(r)).otherwise(acc)
+    }
+    byte < thresh
+  }
+
+  /** Deterministic global shuffle for training-example ordering, in the
+    * scalable bucketed form: rows land in `buckets` hash buckets (first
+    * md5 nibbles) and get a dense position within their bucket, ordered
+    * by full hash then key. Consumers read buckets in order for a stable
+    * pseudo-random permutation; no single-partition global window —
+    * per-bucket windows run on `buckets`-way shuffled partitions. */
+  def shuffleBuckets(df: DataFrame, keyCol: String, buckets: Int = 16): DataFrame = {
+    require(buckets == 16 || buckets == 256, "buckets must be 16 or 256 (hex prefix)")
+    val hexDigits = if (buckets == 16) 1 else 2
+    val hashed = df
+      .withColumn("__h", md5(col(keyCol).cast("string")))
+      .withColumn("bucket",
+        conv(substring(col("__h"), 1, hexDigits), 16, 10).cast("int"))
+    val w = Window.partitionBy("bucket").orderBy(col("__h"), col(keyCol))
+    hashed.withColumn("pos", row_number().over(w)).drop("__h")
   }
 
   /** Exact dedup: content-hash groupBy keeping the smallest id per group

@@ -101,4 +101,14 @@ object TextFunctions {
     * "article-id" (chroma_helpers.py:111-124). */
   def contentDocId(article: Column, id: Column): Column =
     substring(sha2(concat_ws("-", article, id), 256), 1, 32)
+
+  /** PII scrubbing for training corpora (C4-style): emails then phone-ish
+    * digit runs → placeholder tokens. RE2-safe patterns (no lookaround) so
+    * the identical regexes run under DuckDB/Go/Rust regex engines; order
+    * matters — emails first, so their digits can't half-match as phones. */
+  def redactPii(c: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9][0-9()./ -]{6,}[0-9]"
+    regexp_replace(regexp_replace(c, email, "<EMAIL>"), phone, "<PHONE>")
+  }
 }

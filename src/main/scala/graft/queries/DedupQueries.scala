@@ -125,6 +125,43 @@ object DedupQueries {
         .select("id_a", "id_b", "hamming")
     },
 
+    // Training-mixture sampling: per-language keep rates as a pure
+    // function of doc_id (first md5 byte < rate·256) — deterministic
+    // across runs/partitionings, unlike seeded sample(). Rates: en 90%,
+    // de 50%, es 37.5%, fr 25%, default (zh) 12.5%.
+    Q("q78_mixture_sample",
+      """WITH s AS (
+        |  SELECT lang, source,
+        |    (CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) * 16
+        |     + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS INT)) AS b
+        |  FROM documents)
+        |SELECT lang, source, COUNT(*) AS n_kept
+        |FROM s
+        |WHERE b < CASE lang WHEN 'en' THEN 230 WHEN 'de' THEN 128
+        |                    WHEN 'es' THEN 96 WHEN 'fr' THEN 64 ELSE 32 END
+        |GROUP BY lang, source""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .filter(Dedup.mixtureKeep(col("doc_id"), col("lang"),
+          Map("en" -> 230, "de" -> 128, "es" -> 96, "fr" -> 64),
+          defaultRate256 = 32))
+        .groupBy("lang", "source").agg(count(lit(1)).as("n_kept"))
+    },
+
+    // Deterministic global shuffle (training-example ordering): 16 hash
+    // buckets + dense within-bucket position — per-bucket windows on
+    // 16-way shuffled partitions, never a single-partition global sort.
+    Q("q79_shuffle_buckets",
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+        |b AS (SELECT doc_id, hh,
+        |        CAST(strpos('0123456789abcdef', substr(hh, 1, 1)) - 1 AS INT) AS bucket
+        |      FROM h)
+        |SELECT doc_id, bucket,
+        |  CAST(row_number() OVER (PARTITION BY bucket ORDER BY hh, doc_id) AS INT) AS pos
+        |FROM b""".stripMargin) { (s, dir) =>
+      Dedup.shuffleBuckets(Tables(s, dir, "documents"), "doc_id", buckets = 16)
+        .select("doc_id", "bucket", "pos")
+    },
+
     // Blocked 2-gram Jaccard: pairwise similarity inside
     // (source, length-bucket) blocks — the blocking keeps the pair join
     // an equi-join instead of a corpus cross product.

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.{TextExpressions, TextFunctions => T}
-import graft.text.{Chunker, Sections}
+import graft.text.{Chunker, Sections, TextStats}
 import org.apache.spark.sql.functions._
 
 /** Text/RAG-layer queries (SURVEY §2.9, §2.13 generators; plus the
@@ -167,6 +167,70 @@ object TextQueries {
     Q.noOracle("q31_chunk_recursive") { (s, dir) =>
       Chunker.explode(Tables(s, dir, "documents"), size = 200, overlap = 50, recursive = true)
         .toDF()
+    },
+
+    // Top-5 TF-IDF terms per document (corpus term weighting). The df
+    // dimension and N scalar broadcast; the doc-side plan is one explode +
+    // two hash aggs + one bounded window. Both sides round(·,6) and order
+    // by the ROUNDED score so tie-breaks can't drift on a ulp.
+    Q("q75_tfidf_topk",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    ROUND(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM scored)
+        |SELECT doc_id, term, tfidf FROM r WHERE rn <= 5""".stripMargin) { (s, dir) =>
+      TextStats.tfidfTopK(Tables(s, dir, "documents"), "doc_id", "text", k = 5)
+    },
+
+    // Gopher/C4-style repetition signals: distinct-token ratio, top-word
+    // fraction, top-bigram fraction — exact integer quotients in double.
+    Q("q76_repetition",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM (
+        |         SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok),
+        |ts AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+        |              MAX(c) AS top_tok FROM tc GROUP BY doc_id),
+        |bg AS (SELECT doc_id, b, COUNT(*) AS c FROM (
+        |         SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |                       i -> t[i] || ' ' || t[i+1])) AS b
+        |         FROM toks WHERE len(t) >= 2) GROUP BY doc_id, b),
+        |bs AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bg FROM bg GROUP BY doc_id)
+        |SELECT ts.doc_id,
+        |  ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+        |  ROUND(CAST(top_tok AS DOUBLE) / n_tokens, 6) AS top_word_frac,
+        |  ROUND(CAST(COALESCE(top_bg, 0) AS DOUBLE)
+        |        / GREATEST(COALESCE(n_bigrams, 0), 1), 6) AS top_bigram_frac
+        |FROM ts LEFT JOIN bs USING (doc_id)""".stripMargin) { (s, dir) =>
+      TextStats.repetitionSignals(Tables(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // C4-style PII scrubbing. The corpus is synthetic word soup, so the
+    // query plants a deterministic email + phone per row (derived from
+    // doc_id) and proves both get redacted; RE2-safe patterns keep the
+    // identical regexes runnable under DuckDB's RE2.
+    Q("q77_pii_redact",
+      """SELECT doc_id, regexp_replace(regexp_replace(
+        |    'Contact u' || CAST(doc_id AS VARCHAR) || '@mail.com or call +1 (555) 010-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ', thanks; ' || text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()./ -]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val planted = concat(
+        lit("Contact u"), col("doc_id").cast("string"),
+        lit("@mail.com or call +1 (555) 010-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(", thanks; "), col("text"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), T.redactPii(planted).as("redacted"))
     },
   )
 }

@@ -1,0 +1,70 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics operators for training-data curation: TF-IDF term
+  * weighting and Gopher/C4-style repetition signals. Both are pure
+  * explode→hash-agg compositions — two shuffles (term counts, then a
+  * per-doc reduce), map-side combined, no driver collect — so they hold
+  * at corpus scale. The reference's RAG layer stops at embedding-based
+  * retrieval (ingest_vector_db.py via /root/reference); these are the
+  * classic lexical complements a 100 TB curation pipeline needs.
+  */
+object TextStats {
+
+  private def tokens(textCol: String) =
+    expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")
+
+  /** Top-k TF-IDF terms per document: tf(d,t) · ln(N / df(t)), ties broken
+    * by term. The N-row dims (df table, the N scalar) broadcast; the big
+    * side is one explode + two hash aggs + one window over doc_id.
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(textCol)).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("term"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          .as("tfidf"))
+    val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Word-level repetition signals per document (the Gopher quality
+    * filters' lexical core): distinct-token ratio, most-frequent-token
+    * fraction, most-frequent-bigram fraction. All ratios are exact
+    * integer quotients evaluated in double — deterministic under any
+    * aggregation order. */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), tokens(textCol).as("t"))
+    val tokCounts = toks.select(col(idCol), explode(col("t")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("c"))
+    val tokStats = tokCounts.groupBy(idCol).agg(
+      sum("c").as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      max("c").as("top_tok"))
+    // size >= 2 guard: sequence(1, 0) would DESCEND ([1,0]) and the
+    // element_at(t, 0) would throw under ANSI mode (Spark 4 default).
+    val bigrams = toks.filter(size(col("t")) >= 2)
+      .select(col(idCol), explode(
+        expr("transform(sequence(1, size(t) - 1), " +
+          "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+    val bgStats = bigrams.groupBy(idCol).agg(
+      sum("c").as("n_bigrams"), max("c").as("top_bg"))
+    tokStats.join(bgStats, Seq(idCol), "left").select(
+      col(idCol),
+      round(col("n_distinct").cast("double") / col("n_tokens"), 6)
+        .as("distinct_ratio"),
+      round(col("top_tok").cast("double") / col("n_tokens"), 6)
+        .as("top_word_frac"),
+      round(coalesce(col("top_bg"), lit(0L)).cast("double") /
+        greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)), 6)
+        .as("top_bigram_frac"))
+  }
+}

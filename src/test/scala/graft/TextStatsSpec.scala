@@ -1,0 +1,84 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import graft.text.TextStats
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics + curation operators: TF-IDF, repetition signals,
+  * PII redaction, mixture sampling, bucketed shuffle. */
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the dog sat on the log"),
+    (3L, "quantum flux polariton condensate"),
+    (4L, "spam spam spam spam spam")
+  ).toDF("doc_id", "text")
+
+  test("tfidfTopK: corpus-unique terms outrank corpus-common ones") {
+    val top = TextStats.tfidfTopK(docs, "doc_id", "text", k = 2)
+      .as[(Long, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(-_._3).map(_._2).toSeq).toMap
+    // 'the'/'sat'/'on' appear in docs 1+2 → low idf; 'cat'/'mat' unique to 1
+    assert(top(1L).toSet == Set("cat", "mat"))
+    assert(top(3L).forall(Set("quantum", "flux", "polariton", "condensate")))
+    assert(top(4L) == Seq("spam"))
+    // every tfidf >= 0 and k bounds group size
+    val all = TextStats.tfidfTopK(docs, "doc_id", "text", k = 2)
+    assert(all.groupBy("doc_id").count().agg(max("count")).as[Long].head() <= 2)
+  }
+
+  test("repetitionSignals: repeated-token doc maxes top_word_frac") {
+    val sig = TextStats.repetitionSignals(docs, "doc_id", "text")
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(sig(4L) == ((0.2, 1.0, 1.0))) // 5x 'spam': 1 distinct of 5
+    assert(sig(3L)._1 == 1.0) // all-distinct doc
+    assert(sig(1L)._2 == math.rint(2.0 / 6 * 1e6) / 1e6) // 'the' twice of 6
+    // single-token doc: bigram frac defined (0), no ANSI element_at error
+    val one = TextStats.repetitionSignals(
+      Seq((9L, "lonely")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Double, Double, Double)].head()
+    assert(one == ((9L, 1.0, 1.0, 0.0)))
+  }
+
+  test("redactPii: emails and phone runs replaced, plain text untouched") {
+    val in = Seq(
+      "mail me at john.doe+x@corp.example.org today",
+      "call +1 (555) 010-4242, thanks",
+      "no pii here, just words and 42").toDF("t")
+    val out = in.select(TextFunctions.redactPii(col("t")).as("r")).as[String].collect()
+    assert(out(0) == "mail me at <EMAIL> today")
+    assert(out(1) == "call <PHONE>, thanks")
+    assert(out(2) == "no pii here, just words and 42")
+  }
+
+  test("mixtureKeep: per-stratum rates honored and deterministic") {
+    val rows = (1L to 4000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("id", "lang")
+    val kept = rows.filter(Dedup.mixtureKeep(col("id"), col("lang"),
+        Map("en" -> 205), defaultRate256 = 26))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept("en") > 1450 && kept("en") < 1750)  // ~80% of 2000
+    assert(kept("zh") > 120 && kept("zh") < 290)    // ~10% of 2000
+    val again = rows.filter(Dedup.mixtureKeep(col("id"), col("lang"),
+        Map("en" -> 205), defaultRate256 = 26))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(again == kept)
+  }
+
+  test("shuffleBuckets: total permutation, dense per-bucket positions") {
+    val rows = (1L to 300L).toDF("id")
+    val out = Dedup.shuffleBuckets(rows, "id", buckets = 16)
+      .select("id", "bucket", "pos").as[(Long, Int, Int)].collect()
+    assert(out.length == 300)
+    assert(out.map(_._1).toSet == (1L to 300L).toSet) // nothing lost
+    assert(out.map(_._2).toSet.subsetOf((0 until 16).toSet))
+    // positions within each bucket are exactly 1..size (dense ranking)
+    out.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length))
+    }
+  }
+}
