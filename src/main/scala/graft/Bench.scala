@@ -31,10 +31,12 @@ object Bench {
     // slower than in isolation (5s vs 15s for q42 at sf0.1) — the leak,
     // not the plan. Runs OUTSIDE the timed window; every query is timed
     // cold-cache but pays only its own work.
+    // blocking=true: async block removal would overlap the next timed
+    // window and add noise; the wait is paid outside the timer anyway.
     def clearCaches(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
     }
     val warmDir = "/root/testdata/sf0.001"
     val warm = if (new java.io.File(warmDir).isDirectory) warmDir else sfDir
@@ -49,12 +51,13 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Per-query values rounded to ms so the one JSON line stays ~2.5 KB:
-    // the driver keeps only a bounded tail of the run log and parses the
-    // JSON out of it — full-precision values for 79 queries overflow that
-    // window and the line arrives truncated (BENCH_r02.json "parsed":null).
+    // The driver keeps only the LAST 2000 chars of the run log and parses
+    // the JSON line out of that tail (BENCH_r02/r03 "parsed":null — the
+    // full-name ~2.5 KB line overflowed it). Short keys ("q42" for
+    // "q42_lpa_communities") + ms precision keep the line ~1.2 KB, inside
+    // the window even with sbt's trailing [success] line after it.
     def ms(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+    val qs = results.map { case (k, v) => "\"" + k.split("_")(0) + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -102,13 +102,22 @@ object TextFunctions {
   def contentDocId(article: Column, id: Column): Column =
     substring(sha2(concat_ws("-", article, id), 256), 1, 32)
 
-  /** PII scrubbing for training corpora (C4-style): emails then phone-ish
-    * digit runs → placeholder tokens. RE2-safe patterns (no lookaround) so
-    * the identical regexes run under DuckDB/Go/Rust regex engines; order
-    * matters — emails first, so their digits can't half-match as phones. */
+  /** PII scrubbing for training corpora (C4-style): emails then
+    * phone-shaped numbers → placeholder tokens. RE2-safe patterns (no
+    * lookaround) so the identical regexes run under DuckDB/Go/Rust regex
+    * engines; order matters — emails first, so their digits can't
+    * half-match as phones.
+    *
+    * The phone pattern requires NANP-like structure — optional `+`CC
+    * prefix (digits first, so a match can't start on a bare separator),
+    * then 3-3-4 digit groups with at most one ` `/`.`/`-` separator
+    * between groups (10-13 digits total) — instead of "any 8+ char
+    * digit/punct run", so dates (2026/08/12, 2026-08-12), decimals
+    * (1234.5678), prices, IPs, and short IDs pass through unredacted
+    * (negative cases in TextStatsSpec). */
   def redactPii(c: Column): Column = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val phone = "\\+?[0-9][0-9()./ -]{6,}[0-9]"
+    val phone = "\\+?([0-9]{1,3}[ .-]?)?\\(?[0-9]{3}\\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}"
     regexp_replace(regexp_replace(c, email, "<EMAIL>"), phone, "<PHONE>")
   }
 }

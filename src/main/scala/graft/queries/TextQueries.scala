@@ -222,7 +222,7 @@ object TextQueries {
         |    'Contact u' || CAST(doc_id AS VARCHAR) || '@mail.com or call +1 (555) 010-'
         |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ', thanks; ' || text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\+?[0-9][0-9()./ -]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+        |    '\+?([0-9]{1,3}[ .-]?)?\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}', '<PHONE>', 'g') AS redacted
         |FROM documents""".stripMargin) { (s, dir) =>
       val planted = concat(
         lit("Contact u"), col("doc_id").cast("string"),

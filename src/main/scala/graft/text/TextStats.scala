@@ -18,7 +18,10 @@ object TextStats {
     expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")
 
   /** Top-k TF-IDF terms per document: tf(d,t) · ln(N / df(t)), ties broken
-    * by term. The N-row dims (df table, the N scalar) broadcast; the big
+    * by term. Only the 1-row N scalar is hint-broadcast; the df table is
+    * vocabulary-sized and grows with the corpus (Heaps' law), so its join
+    * strategy is left to AQE — broadcast when the measured build side is
+    * small, shuffle hash join on `term` for large vocabularies. The big
     * side is one explode + two hash aggs + one window over doc_id.
     */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
@@ -26,7 +29,7 @@ object TextStats {
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(broadcast(dfreq), "term")
+    val scored = tf.join(dfreq, "term")
       .crossJoin(broadcast(n))
       .select(col(idCol), col("term"),
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
