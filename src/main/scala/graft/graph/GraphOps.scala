@@ -258,6 +258,11 @@ object GraphOps {
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       .persist()
     val n = deg.count() // one scalar agg job; also materializes deg
+    if (n == 0) { // empty edge set: no vertices, no rank mass to divide
+      und.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
+      return deg.select(col("id"), lit(0L).as("pr"))
+    }
     val unit = scale / n
     val base = ((100L - dampingPct) * unit) / 100L
     var pr = deg.select(col("id"), lit(unit).as("pr")).persist()

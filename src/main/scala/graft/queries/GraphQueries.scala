@@ -85,8 +85,10 @@ object GraphQueries {
 
     // G2: deterministic synchronous label propagation (the Leiden
     // approximation, SURVEY §7.4) on the part–supplier bipartite graph.
-    // Not SQL-expressible — determinism + correctness live in GraphSpec.
-    Q.noOracle("q42_lpa_communities") { (s, dir) =>
+    // The (count desc, label asc) tie-break makes every superstep a pure
+    // function of the previous labels, so the DuckDB oracle replays the
+    // unrolled supersteps exactly (determinism also covered in GraphSpec).
+    Q("q42_lpa_communities", lpaOracle(iters = 3)) { (s, dir) =>
       val edges = Tables(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey")).distinct()
         .select((col("l_partkey") * 2).cast("long").as("src"),
@@ -99,9 +101,10 @@ object GraphQueries {
 
     // G2 multi-resolution: the 3-level community ladder (fine LPA →
     // contracted LPA → components), the reference's resolution stack
-    // [2.0, 0.5, 0.1]. Not SQL-expressible — level structure is asserted
-    // in GraphSpec.
-    Q.noOracle("q60_community_levels") { (s, dir) =>
+    // [2.0, 0.5, 0.1]. Oracle = unrolled LPA at both levels + a recursive
+    // min-reachability CTE for the component level (level structure is
+    // also asserted in GraphSpec).
+    Q("q60_community_levels", communityLevelsOracle(iters = 2)) { (s, dir) =>
       val edges = Tables(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey")).distinct()
         .select((col("l_partkey") * 2).cast("long").as("src"),
@@ -149,5 +152,145 @@ object GraphQueries {
           ", ").as("top_segments"))
       stats.join(top, "community")
     },
+
+    // G2/G5 companion: damped PageRank in fixed-point (integer) arithmetic
+    // over the part–supplier bipartite graph — deterministic regardless of
+    // partial-aggregation order, so the DuckDB oracle replays the exact
+    // power iteration (unrolled; integer ops are bit-identical engines
+    // apart). 3 iterations keeps the unrolled oracle compact; the Spark
+    // loop itself takes any iteration count.
+    Q("q80_pagerank", pagerankOracle(iters = 3)) { (s, dir) =>
+      GraphOps.pageRankFixedPoint(bipartite(s, dir), "src", "dst", iters = 3)
+        .select(
+          when(pmod(col("id"), lit(2)) === 0, "part").otherwise("supplier").as("kind"),
+          shiftright(col("id"), 1).as("key"),
+          col("pr"))
+    },
+
+    // G5: BFS minimum-hop levels from the min-key part vertex, frontier
+    // expansion bounded at 3 hops. Per-hop work is proportional to the
+    // frontier's edge neighborhood (the scalable BFS shape); the oracle
+    // unrolls the same frontier/anti-join recurrence.
+    Q("q81_bfs_levels", bfsOracle(maxHops = 3)) { (s, dir) =>
+      val e = bipartite(s, dir)
+      val anchor = e.agg(min(col("src")).as("id"))
+      GraphOps.bfsLevels(e, "src", "dst", anchor, maxHops = 3)
+        .select(
+          when(pmod(col("id"), lit(2)) === 0, "part").otherwise("supplier").as("kind"),
+          shiftright(col("id"), 1).as("key"),
+          col("level"))
+    },
   )
+
+  /** The part–supplier bipartite edge set shared by the graph queries
+    * (part → 2k, supplier → 2k+1). */
+  private def bipartite(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .select((col("l_partkey") * 2).cast("long").as("src"),
+              (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+
+  /** Shared oracle prelude: the bipartite edge set, its undirected
+    * expansion, and per-vertex degrees — the exact frames
+    * pageRankFixedPoint / bfsLevels build internally. */
+  private def graphPrelude: String =
+    """WITH e AS (SELECT DISTINCT CAST(l_partkey*2 AS BIGINT) AS src,
+      |                           CAST(l_suppkey*2+1 AS BIGINT) AS dst FROM lineitem),
+      |und AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)""".stripMargin
+
+  private def kindKey: String =
+    "CASE WHEN id % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind, id // 2 AS key"
+
+  /** Unrolled fixed-point PageRank: share = pr // deg, incoming = Σ shares
+    * on dst, new = base + (85·incoming) // 100. All-BIGINT ops (`//` floor
+    * division ≡ Spark `div` on the nonnegative mass values), so each CTE
+    * is bit-identical to one Spark iteration. */
+  private def pagerankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""s$i AS (SELECT u.dst AS id, CAST(SUM(pr${i - 1}.pr // d.deg) AS BIGINT) AS s
+         |  FROM und u JOIN pr${i - 1} ON u.src = pr${i - 1}.id JOIN deg d ON u.src = d.id
+         |  GROUP BY u.dst),
+         |pr$i AS (SELECT d.id, (SELECT base FROM p) + (85 * COALESCE(s$i.s, 0)) // 100 AS pr
+         |  FROM deg d LEFT JOIN s$i ON d.id = s$i.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$graphPrelude,
+       |deg AS (SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY src),
+       |p AS (SELECT 1000000000000 // COUNT(*) AS unit,
+       |             (15 * (1000000000000 // COUNT(*))) // 100 AS base FROM deg),
+       |pr0 AS (SELECT id, (SELECT unit FROM p) AS pr FROM deg),
+       |$steps
+       |SELECT $kindKey, pr FROM pr$iters""".stripMargin
+  }
+
+  /** Unrolled deterministic LPA supersteps over `und` (an undirected,
+    * possibly-multi edge CTE named `undName`): count neighbor labels,
+    * argmax with the (count desc, label asc) tie-break — one CTE pair per
+    * superstep, prefixed `p`. Mirrors GraphOps.lpaEdges exactly,
+    * including multi-edge message counts (self-loops vote twice, once per
+    * direction of the undirected expansion). */
+  private def lpaSteps(undName: String, p: String, iters: Int): String = {
+    val init = s"${p}0 AS (SELECT DISTINCT src AS id, src AS label FROM $undName)"
+    val steps = (1 to iters).map { i =>
+      s"""${p}m$i AS (SELECT u.src AS id, l.label, COUNT(*) AS cnt
+         |  FROM $undName u JOIN ${p}${i - 1} l ON u.dst = l.id GROUP BY u.src, l.label),
+         |${p}$i AS (SELECT id, label FROM (
+         |  SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, label) AS rn
+         |  FROM ${p}m$i) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"$init,\n$steps"
+  }
+
+  private def lpaOracle(iters: Int): String =
+    s"""$graphPrelude,
+       |${lpaSteps("und", "l", iters)}
+       |SELECT $kindKey, label FROM l$iters""".stripMargin
+
+  /** Unrolled community ladder: LPA on the raw graph (level 0), LPA with
+    * self-votes on the community-contracted graph (level 1), recursive
+    * min-reachability components of the contracted graph (level 2) —
+    * mirroring GraphOps.communityLevels frame by frame. */
+  private def communityLevelsOracle(iters: Int): String =
+    s"""WITH RECURSIVE
+       |e AS (SELECT DISTINCT CAST(l_partkey*2 AS BIGINT) AS src,
+       |                      CAST(l_suppkey*2+1 AS BIGINT) AS dst FROM lineitem),
+       |und AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+       |${lpaSteps("und", "l", iters)},
+       |asg0 AS (SELECT id, label AS c0 FROM l$iters),
+       |ce AS (SELECT DISTINCT a1.c0 AS src, a2.c0 AS dst
+       |       FROM e JOIN asg0 a1 ON e.src = a1.id JOIN asg0 a2 ON e.dst = a2.id
+       |       WHERE a1.c0 <> a2.c0),
+       |cv AS (SELECT src AS v FROM ce UNION SELECT dst AS v FROM ce),
+       |ws AS (SELECT src, dst FROM ce UNION ALL SELECT v AS src, v AS dst FROM cv),
+       |und1 AS (SELECT src, dst FROM ws UNION ALL SELECT dst AS src, src AS dst FROM ws),
+       |${lpaSteps("und1", "k", iters)},
+       |ccund AS (SELECT src, dst FROM ce UNION ALL SELECT dst AS src, src AS dst FROM ce),
+       |ccv AS (SELECT DISTINCT src AS id FROM ccund),
+       |reach AS (SELECT id, id AS comp FROM ccv
+       |          UNION
+       |          SELECT u.src AS id, r.comp FROM ccund u JOIN reach r ON u.dst = r.id),
+       |ccres AS (SELECT id AS c0, MIN(comp) AS c2 FROM reach GROUP BY id),
+       |k1m AS (SELECT id AS c0, label AS c1 FROM k$iters),
+       |lvl0 AS (SELECT id, 0 AS level, c0 AS community FROM asg0),
+       |lvl1 AS (SELECT a.id, 1 AS level, COALESCE(k1m.c1, a.c0) AS community
+       |         FROM asg0 a LEFT JOIN k1m ON a.c0 = k1m.c0),
+       |lvl2 AS (SELECT a.id, 2 AS level, COALESCE(ccres.c2, a.c0) AS community
+       |         FROM asg0 a LEFT JOIN ccres ON a.c0 = ccres.c0),
+       |v AS (SELECT * FROM lvl0 UNION ALL SELECT * FROM lvl1 UNION ALL SELECT * FROM lvl2)
+       |SELECT $kindKey, level, community FROM v""".stripMargin
+
+  /** Unrolled BFS frontier expansion: per hop, distinct neighbors of the
+    * previous frontier minus everything already levelled. */
+  private def bfsOracle(maxHops: Int): String = {
+    val hops = (1 to maxHops).map { h =>
+      val seen = (0 until h).map(i => s"SELECT id FROM l$i").mkString(" UNION ALL ")
+      s"""f$h AS (SELECT DISTINCT u.dst AS id FROM und u JOIN l${h - 1} ON u.src = l${h - 1}.id),
+         |l$h AS (SELECT id, $h AS level FROM f$h WHERE id NOT IN ($seen))""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to maxHops).map(i => s"SELECT * FROM l$i").mkString(" UNION ALL ")
+    s"""$graphPrelude,
+       |a AS (SELECT MIN(src) AS id FROM e),
+       |l0 AS (SELECT id, 0 AS level FROM a),
+       |$hops
+       |SELECT $kindKey, level FROM ($union)""".stripMargin
+  }
 }

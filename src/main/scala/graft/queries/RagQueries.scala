@@ -47,13 +47,20 @@ object RagQueries {
         .select("doc_id", "n_chars")
     },
 
-    // A6 scale variant: HLL sketch next to the exact count. Sketches are
-    // engine-specific — rows-only check here; the ≤2% error bound is
-    // asserted in RagSpec.
-    Q.noOracle("q56_approx_distinct") { (s, dir) =>
+    // A6 scale variant: HLL sketch validated against the exact count in
+    // the same plan. The sketch value itself is engine-specific, so the
+    // oracle-checked surface is (exact, within_tol): DuckDB asserts the
+    // exact count and TRUE; Spark's side is TRUE iff its HLL++ estimate
+    // (rsd 2%) lands within the 5% tolerance — deterministic for a fixed
+    // dataset. The raw ≤2% error bound is additionally asserted in RagSpec.
+    Q("q56_approx_distinct",
+      """SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact,
+        |       TRUE AS within_tol FROM orders""".stripMargin) { (s, dir) =>
       Tables(s, dir, "orders").agg(
         countDistinct("o_custkey").as("exact"),
         approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx"))
+        .select(col("exact"),
+          (abs(col("approx") - col("exact")) <= col("exact") * 0.05).as("within_tol"))
     },
 
     // The composed RAG document pipeline in ONE lazy plan:

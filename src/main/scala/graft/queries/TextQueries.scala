@@ -162,9 +162,61 @@ object TextQueries {
     },
 
     // T3 recursive separator-cascade chunker (the reference's actual
-    // splitter shape) — boundaries aren't closed-form; rows-only +
-    // ChunkerSpec coverage invariants.
-    Q.noOracle("q31_chunk_recursive") { (s, dir) =>
+    // splitter shape). Boundaries aren't closed-form, but the greedy pack
+    // is a per-document left fold, so the oracle replays it as a recursive
+    // CTE: state = (next piece index, accumulator, chunk counter), one
+    // emitted chunk per overflow plus the final flush. The corpus has no
+    // \n / '. ' / '? ' / '! ' separators and no >size words, so the
+    // separator cascade reduces to the space split the CTE models (the
+    // full cascade is covered by ChunkerSpec).
+    Q("q31_chunk_recursive",
+      """WITH RECURSIVE
+        |base AS (SELECT doc_id, text FROM documents),
+        |plist AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(text) <= 200 THEN [text]
+        |         ELSE list_filter(
+        |           list_transform(string_split(text, ' '),
+        |             (p, j) -> CASE WHEN j < len(string_split(text, ' '))
+        |                            THEN p || ' ' ELSE p END),
+        |           p -> p <> '')
+        |    END AS pl
+        |  FROM base),
+        |pieces AS (
+        |  SELECT doc_id, u.i AS i, u.p AS piece FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(pl)),
+        |        j -> struct_pack(i := j, p := pl[j]))) AS u
+        |    FROM plist)),
+        |steps AS (
+        |  SELECT doc_id, 0 AS i, '' AS cur, 0 AS cno, CAST(NULL AS VARCHAR) AS emitted
+        |  FROM base
+        |  UNION ALL
+        |  SELECT s.doc_id, s.i + 1,
+        |    CASE WHEN s.cur <> '' AND len(s.cur) + len(p.piece) > 200
+        |         THEN (CASE WHEN len(s.cur) > 50
+        |                    THEN substr(s.cur, len(s.cur) - 49) ELSE '' END) || p.piece
+        |         ELSE s.cur || p.piece END,
+        |    s.cno + CASE WHEN s.cur <> '' AND len(s.cur) + len(p.piece) > 200
+        |                 THEN 1 ELSE 0 END,
+        |    CASE WHEN s.cur <> '' AND len(s.cur) + len(p.piece) > 200
+        |         THEN trim(s.cur) ELSE NULL END
+        |  FROM steps s JOIN pieces p ON p.doc_id = s.doc_id AND p.i = s.i + 1),
+        |npieces AS (SELECT doc_id, MAX(i) AS n FROM pieces GROUP BY doc_id),
+        |finals AS (SELECT s.doc_id, s.cno, 1 AS flag, trim(s.cur) AS chunk
+        |           FROM steps s JOIN npieces np ON s.doc_id = np.doc_id AND s.i = np.n
+        |           WHERE trim(s.cur) <> ''),
+        |emitted AS (SELECT doc_id, cno, 0 AS flag, emitted AS chunk FROM steps
+        |            WHERE emitted IS NOT NULL AND emitted <> ''),
+        |allc AS (SELECT * FROM emitted UNION ALL SELECT * FROM finals),
+        |o AS (SELECT doc_id, chunk,
+        |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cno, flag) AS rn,
+        |        COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+        |      FROM allc)
+        |SELECT doc_id, CAST(rn - 1 AS INT) AS chunk_index,
+        |       CAST(doc_id AS VARCHAR) || '_chunk_' || CAST(rn AS VARCHAR) AS chunk_id,
+        |       chunk, CAST(cnt AS INT) AS n_chunks
+        |FROM o""".stripMargin) { (s, dir) =>
       Chunker.explode(Tables(s, dir, "documents"), size = 200, overlap = 50, recursive = true)
         .toDF()
     },

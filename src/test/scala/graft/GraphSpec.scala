@@ -98,4 +98,50 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out == Map(2L -> 2L, 3L -> 1L)) // 2 via both suppliers, 3 via 101 only
   }
+
+  test("pageRankFixedPoint: mass conserved, ordering matches GraphX staticPageRank") {
+    // star K1,4 (center 0) plus a 2-path appendage: asymmetric degrees
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val scale = 1000000000000L
+    val pr = GraphOps.pageRankFixedPoint(e, "src", "dst", iters = 10, scale = scale)
+      .as[(Long, Long)].collect().toMap
+    assert(pr.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    // integer division floors per vertex/iteration, so total mass can only
+    // leak DOWN, and by < n units per division site per iteration
+    assert(pr.values.sum <= scale && pr.values.sum > scale - 1000L)
+    assert(pr(0L) > pr(4L) && pr(4L) > pr(1L)) // rank follows degree
+    assert(Seq(1L, 2L, 3L).map(pr).distinct.size == 1) // symmetric leaves agree
+    // cross-check the ordering against GraphX's double-precision
+    // staticPageRank on the same undirected expansion
+    val und = e.union(e.select(col("dst"), col("src")))
+    val gx = GraphOps.fromEdges(spark, und, "src", "dst")
+      .staticPageRank(10, resetProb = 0.15)
+      .vertices.collect().toMap
+    val fixedOrder = pr.toSeq.sortBy { case (id, p) => (-p, id) }.map(_._1)
+    val gxOrder = gx.toSeq.sortBy { case (id, p) => (-p, id) }.map(_._1)
+    assert(fixedOrder == gxOrder)
+  }
+
+  test("pageRankFixedPoint: empty edge set yields empty result, no division by zero") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphOps.pageRankFixedPoint(empty, "src", "dst", iters = 3).count() == 0L)
+  }
+
+  test("bfsLevels: minimum hop distances, bounded at maxHops, match GraphX ShortestPaths") {
+    // path 1-2-3-4-5 with a shortcut 1-3: level(3)=1, level(5)=3
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L), (7L, 8L))
+      .toDF("src", "dst")
+    val anchor = Seq(1L).toDF("id")
+    val lv = GraphOps.bfsLevels(e, "src", "dst", anchor, maxHops = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(lv == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2)) // 5 beyond maxHops; 7,8 unreachable
+    // GraphX cross-check: Pregel-based ShortestPaths on the same expansion
+    val und = e.union(e.select(col("dst"), col("src")))
+    val sp = org.apache.spark.graphx.lib.ShortestPaths
+      .run(GraphOps.fromEdges(spark, und, "src", "dst"), Seq(1L))
+      .vertices.collect().toMap
+      .flatMap { case (id, m) => m.get(1L).map(id -> _) }
+    assert(sp.filter(_._2 <= 2) == lv.map { case (k, v) => k -> v })
+  }
 }
