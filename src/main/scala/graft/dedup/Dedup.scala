@@ -191,4 +191,32 @@ object Dedup {
         col(s"a_$idCol").as("id_a"), col(s"b_$idCol").as("id_b"),
         round(inter.cast("double") / union.cast("double"), 6).as("jaccard"))
   }
+
+  /** Test-set decontamination (the C4/Dolma preprocessing step): flag
+    * every document sharing at least one word n-gram with the test
+    * subset. One explode per side into (id, n-gram) rows, distinct
+    * test-side n-grams, one n-gram equi-join (the test side is the small
+    * one — AQE broadcasts it when its measured size allows), one per-doc
+    * count. Work is |corpus n-grams| + |matches| — never a doc×doc
+    * cross join — and the n-gram explode aggregates map-side before the
+    * only wide shuffle. Documents shorter than `n` tokens contribute no
+    * n-grams (n_shared = 0). */
+  def decontaminateNgrams(
+      docs: DataFrame, idCol: String, textCol: String,
+      isTest: Column, n: Int = 8): DataFrame = {
+    val toks = docs
+      .select(col(idCol), wordTokens(col(textCol)).as("t"), isTest.as("is_test"))
+      .filter(size(col("t")) >= n)
+    val grams = toks.select(
+      col(idCol), explode(wordShingles(col("t"), n)).as("ng"), col("is_test"))
+    val testGrams = grams.filter(col("is_test")).select("ng").distinct()
+    val shared = grams.join(testGrams, "ng")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("ng")).as("n_shared"))
+    docs.select(col(idCol))
+      .join(shared, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
 }

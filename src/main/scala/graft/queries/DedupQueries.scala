@@ -185,5 +185,32 @@ object DedupQueries {
         blockCols = Seq(col("source"), (col("n_chars") / 100).cast("int").as("lb")),
         shingleN = 2)
     },
+
+    // Test-set decontamination: every doc with doc_id % 10 = 0 is "held
+    // out"; any doc (including near-dups planted in the corpus) sharing
+    // an 8-gram with the held-out set is flagged. The real pipeline step
+    // before training-set publication (C4/Dolma both ship it).
+    Q("q82_decontaminate",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+        |         doc_id % 10 = 0 AS is_test
+        |  FROM documents),
+        |ft AS (SELECT * FROM toks WHERE len(t) >= 8),
+        |grams AS (
+        |  SELECT doc_id, is_test,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(0, greatest(len(t) - 8, 0)),
+        |      i -> array_to_string(t[i+1:i+8], ' ')))) AS ng
+        |  FROM ft),
+        |tg AS (SELECT DISTINCT ng FROM grams WHERE is_test),
+        |sh AS (SELECT g.doc_id, COUNT(DISTINCT g.ng) AS n_shared
+        |       FROM grams g JOIN tg USING (ng) GROUP BY g.doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
+        |       COALESCE(sh.n_shared, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.decontaminateNgrams(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        isTest = pmod(col("doc_id"), lit(10)) === 0, n = 8)
+    },
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.{TextExpressions, TextFunctions => T}
-import graft.text.{Chunker, Sections, TextStats}
+import graft.text.{Chunker, Packing, Sections, TextStats}
 import org.apache.spark.sql.functions._
 
 /** Text/RAG-layer queries (SURVEY §2.9, §2.13 generators; plus the
@@ -283,6 +283,35 @@ object TextQueries {
         lit(", thanks; "), col("text"))
       Tables(s, dir, "documents")
         .select(col("doc_id"), T.redactPii(planted).as("redacted"))
+    },
+
+    // Greedy sequence packing (pretraining batch prep): per source, docs
+    // in id order are packed into 128-token training sequences. The
+    // greedy fold is a pure function of the (source, doc_id) order, so
+    // the oracle replays it as a per-group recursive CTE.
+    Q("q83_pack_sequences",
+      """WITH RECURSIVE
+        |d AS (SELECT source, doc_id,
+        |        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_tokens,
+        |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |      FROM documents),
+        |steps AS (
+        |  SELECT source, 0 AS rn, CAST(NULL AS BIGINT) AS doc_id,
+        |         0 AS n_tokens, 0 AS fill, 0 AS bin
+        |  FROM (SELECT DISTINCT source FROM documents)
+        |  UNION ALL
+        |  SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+        |    CASE WHEN s.fill > 0 AND s.fill + d.n_tokens > 128
+        |         THEN d.n_tokens ELSE s.fill + d.n_tokens END,
+        |    CASE WHEN s.fill > 0 AND s.fill + d.n_tokens > 128
+        |         THEN s.bin + 1 ELSE s.bin END
+        |  FROM steps s JOIN d ON d.source = s.source AND d.rn = s.rn + 1)
+        |SELECT source, doc_id, n_tokens, CAST(bin AS INT) AS bin
+        |FROM steps WHERE rn >= 1""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(graft.dedup.Dedup.wordTokens(col("text"))).as("n_tokens"))
+      Packing.packGreedy(d, "source", "doc_id", "n_tokens", budget = 128).toDF()
     },
   )
 }

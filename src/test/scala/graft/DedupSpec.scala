@@ -94,4 +94,21 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 3L)) > 0.8)
     assert(out((1L, 4L)) < 0.05)
   }
+
+  test("decontaminateNgrams: overlap with the test subset is flagged, short docs pass") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta trailing words here"), // test
+      (2L, "prefix alpha beta gamma delta epsilon zeta eta theta suffix"), // shares 8-gram
+      (3L, "totally different words with no shared window at all ok then"), // clean
+      (4L, "too short to shingle")) // < 8 tokens → no n-grams
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminateNgrams(docs, "doc_id", "text",
+        isTest = col("doc_id") === 1L, n = 8)
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, n, c) => id -> ((n, c)) }.toMap
+    assert(out(1L)._2) // test doc trivially overlaps itself
+    assert(out(2L) == ((1L, true))) // one shared 8-gram window
+    assert(out(3L) == ((0L, false)))
+    assert(out(4L) == ((0L, false)))
+  }
 }

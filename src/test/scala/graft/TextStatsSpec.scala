@@ -92,4 +92,23 @@ class TextStatsSpec extends SparkSpec {
       assert(rs.map(_._3).sorted.toSeq == (1 to rs.length))
     }
   }
+
+  test("packGreedy: budget respected, oversized docs isolated, groups independent") {
+    val docs = Seq(
+      ("a", 1L, 50), ("a", 2L, 60), ("a", 3L, 40), // 50+60 > 100 → [1][2,3]
+      ("a", 4L, 150),                              // oversized → own bin
+      ("a", 5L, 10),                               // overflow after 150 → new bin
+      ("b", 6L, 100), ("b", 7L, 1))                // fresh state per group
+      .toDF("source", "doc_id", "n_tokens")
+    val out = graft.text.Packing.packGreedy(docs, "source", "doc_id", "n_tokens", budget = 100)
+      .collect().map(p => p.doc_id -> p.bin).toMap
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3, 6L -> 0, 7L -> 1))
+    // per-bin fills never exceed the budget unless the bin is a single
+    // oversized doc
+    val byBin = graft.text.Packing.packGreedy(docs, "source", "doc_id", "n_tokens", budget = 100)
+      .collect().groupBy(p => (p.source, p.bin))
+    byBin.values.foreach { ps =>
+      assert(ps.map(_.n_tokens).sum <= 100 || ps.length == 1)
+    }
+  }
 }
