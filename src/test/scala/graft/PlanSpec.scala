@@ -44,4 +44,20 @@ class PlanSpec extends SparkSpec {
     // partial_min on the map side → combiner collapses shingle rows
     assert(p.contains("partial_min") || p.contains("HashAggregate"))
   }
+
+  test("q82: decontamination joins on n-grams, never a doc-pair product") {
+    val p = planOf("q82_decontaminate")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the per-doc shared count aggregates partially before the shuffle
+    assert(p.contains("partial_count") || p.contains("HashAggregate"))
+  }
+
+  test("q83: packing plans exactly one group repartition, no global sort") {
+    val p = planOf("q83_pack_sequences")
+    // one hashpartitioning exchange on the group column; the order is
+    // sortWithinPartitions (local), never a range-partitioned global sort
+    assert(p.contains("hashpartitioning(source"))
+    assert(!p.contains("rangepartitioning"))
+  }
 }
