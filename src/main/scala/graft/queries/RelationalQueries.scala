@@ -434,5 +434,29 @@ object RelationalQueries {
         .limit(200)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
     },
+
+    // Mergeable quantile sketch (GK summaries) validated against the
+    // exact interpolated percentile in the same plan — the q56 pattern:
+    // the sketch value is engine-specific, so the oracle-checked surface
+    // is the exact values plus within-tolerance booleans. accuracy=10000
+    // bounds rank error at N/10000, far inside the 1% value tolerance on
+    // this distribution; sketches are what survive at 100 TB where a
+    // single-pass exact percentile would need a global sort.
+    Q("q84_approx_quantiles",
+      """SELECT ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6) AS p50_exact,
+        |       ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99), 6) AS p99_exact,
+        |       TRUE AS p50_ok, TRUE AS p99_ok
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(col("l_extendedprice").cast("double").as("v"))
+        .agg(
+          round(percentile(col("v"), lit(0.5)), 6).as("p50_exact"),
+          round(percentile(col("v"), lit(0.99)), 6).as("p99_exact"),
+          percentile_approx(col("v"), lit(0.5), lit(10000)).as("a50"),
+          percentile_approx(col("v"), lit(0.99), lit(10000)).as("a99"))
+        .select(col("p50_exact"), col("p99_exact"),
+          (abs(col("a50") - col("p50_exact")) <= col("p50_exact") * 0.01).as("p50_ok"),
+          (abs(col("a99") - col("p99_exact")) <= col("p99_exact") * 0.01).as("p99_ok"))
+    },
   )
 }
