@@ -234,10 +234,10 @@ object GraphOps {
     val l1 = lpaEdges(withSelf, "src", "dst", iterPerLevel) // (c0 -> c1)
     // L2: coarsest = connected components of the contracted graph.
     // GraphX CC here: on the small contracted graph its in-process Pregel
-    // convergence beats the Catalyst ccEdges loop, whose per-superstep
-    // convergence checks cost ~3 scheduler round-trips × graph diameter
-    // (measured ~2× slower end-to-end); ccEdges remains the scale path
-    // when the contracted graph is itself huge.
+    // convergence beats the Catalyst ccEdges loop even in block-lazy form
+    // (re-measured round 4: 7.2s vs 11.1s end-to-end at sf0.1 — the
+    // convergence-probe jobs per block dominate on a tiny graph); ccEdges
+    // remains the scale path when the contracted graph is itself huge.
     val l2 = connectedComponentsDF(spark, fromEdges(spark, ce, "src", "dst"))
     val lvl0 = asg0.select(col("id"), lit(0).as("level"), col("c0").as("community"))
     val lvl1 = asg0.join(l1.select(col("id").as("c0"), col("label").as("c1")), "c0")
