@@ -25,6 +25,19 @@ final case class PackedDoc(source: String, doc_id: Long, n_tokens: Int, bin: Int
   */
 object Packing {
 
+  /** Pure fold state: current bin fill and index. */
+  final case class PackState(fill: Int, bin: Int)
+
+  /** One greedy step: overflow (with a non-empty bin) opens a new bin. */
+  def step(st: PackState, tok: Int, budget: Int): PackState =
+    if (st.fill > 0 && st.fill + tok > budget) PackState(tok, st.bin + 1)
+    else PackState(st.fill + tok, st.bin)
+
+  /** Pure kernel: the bin index assigned to each document of one group,
+    * in order (property-tested in KernelProps). */
+  def packPositions(tokens: Seq[Int], budget: Int): Seq[Int] =
+    tokens.scanLeft(PackState(0, 0))(step(_, _, budget)).tail.map(_.bin)
+
   def packGreedy(
       docs: DataFrame, groupCol: String, idCol: String, tokCol: String,
       budget: Int): Dataset[PackedDoc] = {
@@ -38,13 +51,11 @@ object Packing {
       .as[(String, Long, Int)]
       .mapPartitions { it =>
         var curGroup: String = null
-        var fill = 0
-        var bin = 0
+        var st = PackState(0, 0)
         it.map { case (g, id, tok) =>
-          if (g != curGroup) { curGroup = g; fill = 0; bin = 0 }
-          if (fill > 0 && fill + tok > budget) { bin += 1; fill = tok }
-          else fill += tok
-          PackedDoc(g, id, tok, bin)
+          if (g != curGroup) { curGroup = g; st = PackState(0, 0) }
+          st = step(st, tok, budget)
+          PackedDoc(g, id, tok, st.bin)
         }
       }
   }

@@ -63,4 +63,38 @@ object KernelProps extends Properties("kernels") {
       TextKernels.rollingHash(UTF8String.fromString(a)) !=
         TextKernels.rollingHash(UTF8String.fromString(a + c))
     }
+
+  private val packGen = for {
+    budget <- Gen.choose(1, 200)
+    toks <- Gen.listOf(Gen.choose(1, 300))
+  } yield (toks, budget)
+
+  property("packPositions: bins start at 0, grow by at most 1, cover every doc") =
+    Prop.forAll(packGen) { case (toks, budget) =>
+      val bins = graft.text.Packing.packPositions(toks, budget)
+      bins.length == toks.length &&
+        (bins.isEmpty || bins.head == 0) &&
+        bins.sliding(2).forall {
+          case Seq(a, b) => b == a || b == a + 1
+          case _ => true
+        }
+    }
+
+  property("packPositions: bin fills stay within budget unless a single oversized doc") =
+    Prop.forAll(packGen) { case (toks, budget) =>
+      val bins = graft.text.Packing.packPositions(toks, budget)
+      toks.zip(bins).groupBy(_._2).values.forall { docs =>
+        docs.map(_._1).sum <= budget || docs.length == 1
+      }
+    }
+
+  property("packPositions: a new bin opens only on genuine overflow (greedy tightness)") =
+    Prop.forAll(packGen) { case (toks, budget) =>
+      val bins = graft.text.Packing.packPositions(toks, budget)
+      val fills = toks.zip(bins).groupBy(_._2).view.mapValues(_.map(_._1).sum).toMap
+      toks.zip(bins).zipWithIndex.drop(1).forall { case ((tok, bin), i) =>
+        val prevBin = bins(i - 1)
+        bin == prevBin || fills(prevBin) + tok > budget
+      }
+    }
 }
