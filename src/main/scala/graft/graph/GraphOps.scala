@@ -333,9 +333,9 @@ object GraphOps {
   def bfsLevels(
       edges: DataFrame, srcCol: String, dstCol: String,
       anchor: DataFrame, maxHops: Int): DataFrame = {
-    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .persist()
+    // directed edge cache + lazy undirected expansion (see lpaEdges)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist()
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     // Only the per-hop FRONTIER is persisted (the working set); the
     // visited set is the lazy union of the cached layers, so each hop is
     // one job (frontier join → dedup → anti-join vs cached layers) and
@@ -364,7 +364,7 @@ object GraphOps {
     val out = layers.reduce(_ unionByName _).persist()
     out.count()
     layers.foreach(_.unpersist(blocking = false))
-    und.unpersist(blocking = false)
+    e0.unpersist(blocking = false)
     out
   }
 
