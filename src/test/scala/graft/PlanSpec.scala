@@ -53,6 +53,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("HashAggregate"))
   }
 
+  test("suite-wide: no query plans a CartesianProduct; BNLJ only for 1-row broadcasts") {
+    // BroadcastNestedLoopJoin is legitimate exactly where a 1-row scalar
+    // frame (count, query vector, anchor) crossJoins the big side; a
+    // CartesianProduct (non-broadcast product) is never acceptable.
+    val bnljAllowed = Set(
+      "q37_knn_brute",    // broadcast query vector
+      "q40_two_hop",      // broadcast 1-row anchor
+      "q58_ann_ivf",      // broadcast query vector
+      "q75_tfidf_topk")   // broadcast 1-row N(docs) scalar
+    SparkEntry.registry.foreach { q =>
+      val p = q.fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"${q.name} plans a CartesianProduct")
+      if (!bnljAllowed(q.name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"${q.name} plans an unexpected BroadcastNestedLoopJoin")
+    }
+  }
+
   test("q83: packing plans exactly one group repartition, no global sort") {
     val p = planOf("q83_pack_sequences")
     // one hashpartitioning exchange on the group column; the order is
