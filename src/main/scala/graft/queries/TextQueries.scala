@@ -313,5 +313,49 @@ object TextQueries {
           size(graft.dedup.Dedup.wordTokens(col("text"))).as("n_tokens"))
       Packing.packGreedy(d, "source", "doc_id", "n_tokens", budget = 128).toDF()
     },
+
+    // The packed sequences materialized: per (source, bin), the docs
+    // concatenated in id order with a separator token — the actual
+    // training-sequence artifact (q83 assigns bins; this emits the text).
+    // One ordered collect per bin after the packing pass; the separator
+    // stands in for the tokenizer's document-boundary special token.
+    Q("q85_packed_text",
+      """WITH RECURSIVE
+        |d AS (SELECT source, doc_id,
+        |        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_tokens,
+        |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |      FROM documents),
+        |steps AS (
+        |  SELECT source, 0 AS rn, CAST(NULL AS BIGINT) AS doc_id,
+        |         0 AS n_tokens, 0 AS fill, 0 AS bin
+        |  FROM (SELECT DISTINCT source FROM documents)
+        |  UNION ALL
+        |  SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+        |    CASE WHEN s.fill > 0 AND s.fill + d.n_tokens > 128
+        |         THEN d.n_tokens ELSE s.fill + d.n_tokens END,
+        |    CASE WHEN s.fill > 0 AND s.fill + d.n_tokens > 128
+        |         THEN s.bin + 1 ELSE s.bin END
+        |  FROM steps s JOIN d ON d.source = s.source AND d.rn = s.rn + 1),
+        |packed AS (SELECT source, doc_id, n_tokens, bin FROM steps WHERE rn >= 1)
+        |SELECT p.source, CAST(p.bin AS INT) AS bin,
+        |       CAST(COUNT(*) AS INT) AS n_docs,
+        |       CAST(SUM(p.n_tokens) AS BIGINT) AS total_tokens,
+        |       string_agg(doc.text, ' <doc> ' ORDER BY p.doc_id) AS packed_text
+        |FROM packed p JOIN documents doc USING (doc_id)
+        |GROUP BY p.source, p.bin""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val d = docs.select(col("source"), col("doc_id"),
+        size(graft.dedup.Dedup.wordTokens(col("text"))).as("n_tokens"))
+      Packing.packGreedy(d, "source", "doc_id", "n_tokens", budget = 128).toDF()
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .groupBy(col("source"), col("bin"))
+        .agg(
+          count(lit(1)).cast("int").as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+              x => x.getField("text")),
+            " <doc> ").as("packed_text"))
+    },
   )
 }
