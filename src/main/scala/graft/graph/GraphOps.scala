@@ -90,8 +90,8 @@ object GraphOps {
   }
 
   /** The same deterministic synchronous LPA expressed as a Catalyst loop —
-    * per superstep: neighbor-label join → (id,label) count → window argmax
-    * with the (count desc, label asc) tie-break. Tungsten hash joins +
+    * per superstep: neighbor-label join → (id,label) count → hash-agg
+    * argmax with the (count desc, label asc) tie-break. Tungsten hash joins +
     * codegen beat RDD Pregel's per-message Map allocations by ~10× here,
     * and every step is a plain shuffle-on-key that scales out; this is the
     * 100 TB path (the Pregel form above is kept as the GraphX-idiomatic
@@ -154,8 +154,8 @@ object GraphOps {
     * fixpoint (labels converge to the component's min vertex id in
     * O(diameter) supersteps — the right trade for the short-diameter
     * graphs pipelines build; GraphX's Pregel CC stays alongside as the
-    * RDD-idiomatic form). Convergence-checked per superstep, `maxIter`
-    * bounds pathological chains. */
+    * RDD-idiomatic form). Convergence-checked at block boundaries (see
+    * SuperstepBlock), `maxIter` bounds pathological chains. */
   def ccEdges(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 20): DataFrame = {
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
