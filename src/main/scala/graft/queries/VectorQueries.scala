@@ -31,8 +31,10 @@ object VectorQueries {
 
   /** The deterministic ±1 hyperplane matrix, inlined in both engines
     * (derived from md5 parity — Similarity.hyperplaneSigns). */
-  private lazy val signsSqlValues: String =
-    Similarity.hyperplaneSigns(Planes, Dims).zipWithIndex
+  private lazy val signsSqlValues: String = signsSqlValuesFor(Planes)
+
+  private def signsSqlValuesFor(planes: Int): String =
+    Similarity.hyperplaneSigns(planes, Dims).zipWithIndex
       .map { case (row, p) => s"($p, [${row.mkString(", ")}])" }
       .mkString(", ")
 
@@ -131,6 +133,50 @@ object VectorQueries {
       Similarity.annIvf(emb, "vec_id", "embedding",
         query = emb.orderBy("vec_id").limit(1), k = 5, nCells = 16)
         .select(col("vec_id"), col("cell"), round(col("cos_raw"), 6).as("cos_sim"))
+    },
+
+    // ANN self-evaluation: recall@10 of the LSH index against the exact
+    // brute-force top-10 for the anchor query — the quality metric an
+    // index deployment is judged by, computed inside the engine. 4
+    // planes (16 buckets) so the candidate set is meaningfully sized at
+    // every SF; both sides order by raw cosine (bit-identical fold), so
+    // the hit count is exact, not approximate.
+    Q("q86_ann_recall",
+      s"""$normCte,
+         |signs(p, sv) AS (VALUES ${signsSqlValuesFor(4)}),
+         |bkt AS (
+         |  SELECT n.vec_id,
+         |    string_agg(CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+         |          k -> v[k] * sv[k]), (x, y) -> x + y) >= 0
+         |      THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+         |  FROM n CROSS JOIN signs GROUP BY n.vec_id),
+         |nb AS (SELECT n.vec_id, n.v, n.nrm, bkt.bucket FROM n JOIN bkt USING (vec_id)),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS q_bucket
+         |      FROM nb ORDER BY vec_id LIMIT 1),
+         |brute AS (
+         |  SELECT a.vec_id FROM nb a CROSS JOIN q WHERE a.vec_id <> q.q_id
+         |  ORDER BY list_reduce(list_transform(generate_series(1, 64), k -> a.v[k] * q.qv[k]),
+         |        (x, y) -> x + y) / (a.nrm * q.qn) DESC, a.vec_id
+         |  LIMIT 10),
+         |cand AS (
+         |  SELECT a.vec_id FROM nb a JOIN q ON a.bucket = q.q_bucket AND a.vec_id <> q.q_id
+         |  ORDER BY list_reduce(list_transform(generate_series(1, 64), k -> a.v[k] * q.qv[k]),
+         |        (x, y) -> x + y) / (a.nrm * q.qn) DESC, a.vec_id
+         |  LIMIT 10)
+         |SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |       ROUND(COUNT(*) / 10.0, 6) AS recall
+         |FROM cand JOIN brute USING (vec_id)""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val query = emb.orderBy("vec_id").limit(1)
+      val brute = Similarity.knnBrute(emb, "vec_id", "embedding", query, k = 10)
+        .select(col("vec_id"))
+      val cand = Similarity.annLsh(emb, "vec_id", "embedding", query,
+          k = 10, planes = 4, dims = Dims)
+        .select(col("vec_id"))
+      cand.join(brute, "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(10).as("k"), col("n_hits"),
+          round(col("n_hits").cast("double") / 10.0, 6).as("recall"))
     },
   )
 }
