@@ -61,7 +61,8 @@ class PlanSpec extends SparkSpec {
       "q37_knn_brute",    // broadcast query vector
       "q40_two_hop",      // broadcast 1-row anchor
       "q58_ann_ivf",      // broadcast query vector
-      "q75_tfidf_topk")   // broadcast 1-row N(docs) scalar
+      "q75_tfidf_topk",   // broadcast 1-row N(docs) scalar
+      "q86_ann_recall")   // broadcast query vector (brute + LSH sides)
     SparkEntry.registry.foreach { q =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"${q.name} plans a CartesianProduct")
