@@ -108,16 +108,23 @@ object TextFunctions {
     * engines; order matters — emails first, so their digits can't
     * half-match as phones.
     *
-    * The phone pattern requires NANP-like structure — optional `+`CC
-    * prefix (digits first, so a match can't start on a bare separator),
-    * then 3-3-4 digit groups with at most one ` `/`.`/`-` separator
-    * between groups (10-13 digits total) — instead of "any 8+ char
-    * digit/punct run", so dates (2026/08/12, 2026-08-12), decimals
-    * (1234.5678), prices, IPs, and short IDs pass through unredacted
-    * (negative cases in TextStatsSpec). */
+    * The phone pattern requires phone-shaped structure instead of "any
+    * 8+ char digit/punct run" — three alternatives, leftmost-first in
+    * both engines:
+    *  1. international: `+`CC then 2-4 SPACE-separated 2-4-digit groups
+    *     (space-only separators keep Wikidata `+1988-00-00` time strings
+    *     unredacted — the reference's T9 date shape);
+    *  2. any unbroken run of 10+ digits (contiguous phones, and the
+    *     C4-style over-caution that also swallows card-like numbers
+    *     whole rather than leaking their tail digits);
+    *  3. NANP: optional `+`CC, 3-3-4 groups, single ` `/`.`/`-`
+    *     separators.
+    * Dates (2026/08/12, 2026-08-12), decimals (1234.5678), prices, IPs,
+    * and short IDs pass through (negative cases in TextStatsSpec). */
   def redactPii(c: Column): Column = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val phone = "\\+?([0-9]{1,3}[ .-]?)?\\(?[0-9]{3}\\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}"
+    val phone = "\\+[0-9]{1,3}( [0-9]{2,4}){2,4}|[0-9]{10,}|" +
+      "\\+?([0-9]{1,3}[ .-]?)?\\(?[0-9]{3}\\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}"
     regexp_replace(regexp_replace(c, email, "<EMAIL>"), phone, "<PHONE>")
   }
 }

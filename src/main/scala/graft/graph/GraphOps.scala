@@ -157,41 +157,46 @@ object GraphOps {
     * RDD-idiomatic form). Convergence-checked at block boundaries (see
     * SuperstepBlock), `maxIter` bounds pathological chains. */
   def ccEdges(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 20): DataFrame = {
-    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val und0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    // Self-loops make the superstep a pure aggregation over the static
+    // edge table — new label = min over (self ∪ neighbors) — so the
+    // previous state is referenced exactly ONCE per superstep and a
+    // lazily-chained block stays a LINEAR plan (the SuperstepBlock
+    // invariant; the earlier labels ⋈ nbrMin form referenced the state
+    // twice and doubled the subtree per chained step).
+    val und = und0
+      .union(und0.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst")))
       .persist()
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     var cached: Option[DataFrame] = None
+    // Convergence via the block-boundary label sum: min propagation only
+    // ever DECREASES labels, so an unchanged exact sum between snapshots
+    // ⇔ no label moved anywhere in the block ⇔ fixed point (extra
+    // supersteps inside a converged block are idempotent). Decimal sum:
+    // exact at any vertex count, no wraparound false-convergence.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val steps = math.min(SuperstepBlock, maxIter - iter)
-      // chain `steps` min-propagation supersteps lazily (linear plan, one
-      // job per block); only the block's LAST step carries the `moved`
-      // flag — min propagation is monotone, so "last step moved nothing"
-      // ⇔ fixed point, even if convergence happened mid-block (the
-      // extra supersteps are idempotent).
-      for (k <- 1 to steps) {
-        val nbrMin = und.join(labels.withColumnRenamed("id", "nbr"), col("dst") === col("nbr"))
+      for (_ <- 1 to steps) {
+        labels = und.join(labels.withColumnRenamed("id", "nbr"), col("dst") === col("nbr"))
           .groupBy(col("src").as("id"))
-          .agg(min(col("label")).as("nbr_label"))
-        val joined = labels.join(nbrMin, Seq("id"), "left")
-        labels =
-          if (k == steps)
-            joined.select(col("id"),
-              least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-              (col("nbr_label").isNotNull && col("nbr_label") < col("label")).as("moved"))
-          else
-            joined.select(col("id"),
-              least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          .agg(min(col("label")).as("label"))
       }
       val snap = labels.persist()
       snap.count()
-      converged = snap.filter(col("moved")).limit(1).count() == 0
+      val s = labelSum(snap)
+      converged = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
       cached.foreach(_.unpersist(blocking = false))
       cached = Some(snap)
-      labels = snap.select("id", "label")
+      labels = snap
       iter += steps
     }
     und.unpersist(blocking = false)
@@ -363,7 +368,9 @@ object GraphOps {
     }
     val out = layers.reduce(_ unionByName _).persist()
     out.count()
-    layers.foreach(_.unpersist(blocking = false))
+    // single-layer search: reduce returns the anchor frontier itself —
+    // unpersisting it would uncache the value being returned
+    layers.filterNot(_ eq out).foreach(_.unpersist(blocking = false))
     e0.unpersist(blocking = false)
     out
   }

@@ -89,11 +89,7 @@ object GraphQueries {
     // function of the previous labels, so the DuckDB oracle replays the
     // unrolled supersteps exactly (determinism also covered in GraphSpec).
     Q("q42_lpa_communities", lpaOracle(iters = 3)) { (s, dir) =>
-      val edges = Tables(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
-        .select((col("l_partkey") * 2).cast("long").as("src"),
-                (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
-      GraphOps.lpaEdges(edges, "src", "dst", maxIter = 3).select(
+      GraphOps.lpaEdges(bipartite(s, dir), "src", "dst", maxIter = 3).select(
         when(pmod(col("id"), lit(2)) === 0, "part").otherwise("supplier").as("kind"),
         shiftright(col("id"), 1).as("key"),
         col("label"))
@@ -105,11 +101,7 @@ object GraphQueries {
     // min-reachability CTE for the component level (level structure is
     // also asserted in GraphSpec).
     Q("q60_community_levels", communityLevelsOracle(iters = 2)) { (s, dir) =>
-      val edges = Tables(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
-        .select((col("l_partkey") * 2).cast("long").as("src"),
-                (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
-      GraphOps.communityLevels(s, edges, "src", "dst", iterPerLevel = 2).select(
+      GraphOps.communityLevels(s, bipartite(s, dir), "src", "dst", iterPerLevel = 2).select(
         when(pmod(col("id"), lit(2)) === 0, "part").otherwise("supplier").as("kind"),
         shiftright(col("id"), 1).as("key"),
         col("level"), col("community"))

@@ -274,7 +274,7 @@ object TextQueries {
         |    'Contact u' || CAST(doc_id AS VARCHAR) || '@mail.com or call +1 (555) 010-'
         |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ', thanks; ' || text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\+?([0-9]{1,3}[ .-]?)?\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |    '\+[0-9]{1,3}( [0-9]{2,4}){2,4}|[0-9]{10,}|\+?([0-9]{1,3}[ .-]?)?\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}', '<PHONE>', 'g') AS redacted
         |FROM documents""".stripMargin) { (s, dir) =>
       val planted = concat(
         lit("Contact u"), col("doc_id").cast("string"),
@@ -290,22 +290,7 @@ object TextQueries {
     // greedy fold is a pure function of the (source, doc_id) order, so
     // the oracle replays it as a per-group recursive CTE.
     Q("q83_pack_sequences",
-      """WITH RECURSIVE
-        |d AS (SELECT source, doc_id,
-        |        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_tokens,
-        |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-        |      FROM documents),
-        |steps AS (
-        |  SELECT source, 0 AS rn, CAST(NULL AS BIGINT) AS doc_id,
-        |         0 AS n_tokens, 0 AS fill, 0 AS bin
-        |  FROM (SELECT DISTINCT source FROM documents)
-        |  UNION ALL
-        |  SELECT d.source, d.rn, d.doc_id, d.n_tokens,
-        |    CASE WHEN s.fill > 0 AND s.fill + d.n_tokens > 128
-        |         THEN d.n_tokens ELSE s.fill + d.n_tokens END,
-        |    CASE WHEN s.fill > 0 AND s.fill + d.n_tokens > 128
-        |         THEN s.bin + 1 ELSE s.bin END
-        |  FROM steps s JOIN d ON d.source = s.source AND d.rn = s.rn + 1)
+      s"""$packingCte
         |SELECT source, doc_id, n_tokens, CAST(bin AS INT) AS bin
         |FROM steps WHERE rn >= 1""".stripMargin) { (s, dir) =>
       val d = Tables(s, dir, "documents")
@@ -320,22 +305,7 @@ object TextQueries {
     // One ordered collect per bin after the packing pass; the separator
     // stands in for the tokenizer's document-boundary special token.
     Q("q85_packed_text",
-      """WITH RECURSIVE
-        |d AS (SELECT source, doc_id,
-        |        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_tokens,
-        |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-        |      FROM documents),
-        |steps AS (
-        |  SELECT source, 0 AS rn, CAST(NULL AS BIGINT) AS doc_id,
-        |         0 AS n_tokens, 0 AS fill, 0 AS bin
-        |  FROM (SELECT DISTINCT source FROM documents)
-        |  UNION ALL
-        |  SELECT d.source, d.rn, d.doc_id, d.n_tokens,
-        |    CASE WHEN s.fill > 0 AND s.fill + d.n_tokens > 128
-        |         THEN d.n_tokens ELSE s.fill + d.n_tokens END,
-        |    CASE WHEN s.fill > 0 AND s.fill + d.n_tokens > 128
-        |         THEN s.bin + 1 ELSE s.bin END
-        |  FROM steps s JOIN d ON d.source = s.source AND d.rn = s.rn + 1),
+      s"""$packingCte,
         |packed AS (SELECT source, doc_id, n_tokens, bin FROM steps WHERE rn >= 1)
         |SELECT p.source, CAST(p.bin AS INT) AS bin,
         |       CAST(COUNT(*) AS INT) AS n_docs,
@@ -358,4 +328,26 @@ object TextQueries {
             " <doc> ").as("packed_text"))
     },
   )
+
+  /** Shared oracle prelude for q83/q85: the greedy per-source packing
+    * fold as a recursive CTE (state = item index, bin fill, bin index;
+    * 128-token budget — mirrors Packing.step exactly). Escaped $ since
+    * the callers interpolate this into their oracle strings. */
+  private def packingCte: String =
+    """WITH RECURSIVE
+      |d AS (SELECT source, doc_id,
+      |        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_tokens,
+      |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |      FROM documents),
+      |steps AS (
+      |  SELECT source, 0 AS rn, CAST(NULL AS BIGINT) AS doc_id,
+      |         0 AS n_tokens, 0 AS fill, 0 AS bin
+      |  FROM (SELECT DISTINCT source FROM documents)
+      |  UNION ALL
+      |  SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+      |    CASE WHEN s.fill > 0 AND s.fill + d.n_tokens > 128
+      |         THEN d.n_tokens ELSE s.fill + d.n_tokens END,
+      |    CASE WHEN s.fill > 0 AND s.fill + d.n_tokens > 128
+      |         THEN s.bin + 1 ELSE s.bin END
+      |  FROM steps s JOIN d ON d.source = s.source AND d.rn = s.rn + 1)""".stripMargin
 }

@@ -63,12 +63,22 @@ class PlanSpec extends SparkSpec {
       "q58_ann_ivf",      // broadcast query vector
       "q75_tfidf_topk",   // broadcast 1-row N(docs) scalar
       "q86_ann_recall")   // broadcast query vector (brute + LSH sides)
+    // Known blind spot: the iterative queries (q42/q60/q80/q81) run
+    // their superstep jobs eagerly inside fn, so only their FINAL frame
+    // is inspected here; the supersteps' own plan shapes are covered by
+    // GraphSpec's equivalence tests and the GraphOps design notes.
     SparkEntry.registry.foreach { q =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"${q.name} plans a CartesianProduct")
       if (!bnljAllowed(q.name))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"${q.name} plans an unexpected BroadcastNestedLoopJoin")
+      // the iterative queries return persisted frames; drop them so the
+      // sweep doesn't accumulate dozens of resident caches (the exact
+      // suite leak Bench.clearCaches exists to prevent)
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
   }
 

@@ -100,4 +100,23 @@ class TextSpec extends SparkSpec {
     assert(s(0) > 0.9 && s(1) < 0.6)
     assert(s.forall(x => x >= 0.0 && x <= 1.0))
   }
+
+  test("q31 oracle corpus assumptions hold: space-only separators, no oversized words") {
+    // The q31 recursive-CTE oracle models ONLY the space-split branch of
+    // Chunker.recursiveChunks; this pins the corpus properties that make
+    // that reduction exact. If the test-data generator ever emits \n,
+    // sentence separators, or >200-char words, this fails loudly instead
+    // of q31 producing a confusing hash mismatch.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf/documents.parquet"
+      if (new java.io.File(dir).exists()) {
+        val bad = spark.read.parquet(dir)
+          .filter(col("text").contains("\n") || col("text").contains(". ") ||
+            col("text").contains("? ") || col("text").contains("! ") ||
+            exists(split(col("text"), " "), w => length(w) > 200))
+          .count()
+        assert(bad == 0L, s"$sf violates q31 oracle corpus assumptions")
+      }
+    }
+  }
 }

@@ -49,17 +49,22 @@ class TextStatsSpec extends SparkSpec {
       "mail me at john.doe+x@corp.example.org today",
       "call +1 (555) 010-4242, thanks",
       "or 555-010-4242 or 555.010.4242 or 5550104242",
+      "ring +44 20 7946 0958 or +15550100042 direct",
+      "card 4111111111111111 and id 12345678901234567 swallowed whole",
       "no pii here, just words and 42").toDF("t")
     val out = in.select(TextFunctions.redactPii(col("t")).as("r")).as[String].collect()
     assert(out(0) == "mail me at <EMAIL> today")
     assert(out(1) == "call <PHONE>, thanks")
     assert(out(2) == "or <PHONE> or <PHONE> or <PHONE>")
-    assert(out(3) == "no pii here, just words and 42")
+    assert(out(3) == "ring <PHONE> or <PHONE> direct")
+    assert(out(4) == "card <PHONE> and id <PHONE> swallowed whole") // no tail-digit leak
+    assert(out(5) == "no pii here, just words and 42")
   }
 
   test("redactPii: dates, decimals, prices, IPs, short IDs survive") {
     val in = Seq(
       "released 2026/08/12, updated 2026-08-12 at 12.30",
+      "born +1988-00-00T00:00:00Z per wikidata", // T9 date-string shape
       "pi is 3.14159 and the total was 1234.56 EUR",
       "host 192.168.001.007 order #12345678 v1.2.3").toDF("t")
     val out = in.select(TextFunctions.redactPii(col("t")).as("r")).as[String].collect()
