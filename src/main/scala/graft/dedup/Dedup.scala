@@ -74,6 +74,31 @@ object Dedup {
     byte < thresh
   }
 
+  /** Temperature-based mixture rebalancing (the multilingual T-sampling
+    * step, temperature fixed at 2): per-stratum keep THRESHOLDS derived
+    * from the corpus itself so the kept distribution follows
+    * p^(1/2) — downsample-only with maximum retention (the stratum with
+    * the largest n/sqrt(p) keeps everything; dominant strata are cut).
+    * All float math is sqrt/division/multiplication — IEEE-exact and
+    * identical across engines, so the thresholds (and therefore every
+    * keep decision) are oracle-checkable bit-for-bit.
+    *
+    * Returns (stratum, n_orig, thresh) with thresh ∈ [0,256] for the
+    * [[mixtureKeep]]-style first-md5-byte test. Scale: two tiny aggs
+    * (per-stratum counts and two 1-row scalars) — the corpus is touched
+    * once; apply the thresholds with one broadcast-able join. */
+  def temperatureThresholds(df: DataFrame, stratumCol: String): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val q = counts.crossJoin(broadcast(total))
+      .select(col(stratumCol), col("n"),
+        sqrt(col("n").cast("double") / col("total")).as("qs"))
+    val cmin = q.agg(min(col("n").cast("double") / col("qs")).as("cmin"))
+    q.crossJoin(broadcast(cmin))
+      .select(col(stratumCol), col("n").as("n_orig"),
+        floor(col("cmin") * col("qs") / col("n") * 256).cast("int").as("thresh"))
+  }
+
   /** Deterministic global shuffle for training-example ordering, in the
     * scalable bucketed form: rows land in `buckets` hash buckets (first
     * md5 nibbles) and get a dense position within their bucket, ordered

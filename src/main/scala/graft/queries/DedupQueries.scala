@@ -186,6 +186,38 @@ object DedupQueries {
         shingleN = 2)
     },
 
+    // Temperature-based mixture rebalancing (T=2): keep thresholds are
+    // DERIVED from the corpus (kept distribution ∝ sqrt(p), rarest
+    // stratum keeps everything) instead of hand-set like q78; the keep
+    // decision is the same first-md5-byte test. sqrt/division are
+    // IEEE-exact in both engines, so thresholds and counts hash-match.
+    Q("q87_temperature_mixture",
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT SUM(n) AS total FROM c),
+        |q AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE) / total) AS qs FROM c, t),
+        |m AS (SELECT MIN(CAST(n AS DOUBLE) / qs) AS cmin FROM q),
+        |r AS (SELECT lang, n AS n_orig,
+        |        CAST(floor(cmin * qs / n * 256) AS INT) AS thresh FROM q, m),
+        |s AS (SELECT lang,
+        |  (CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) * 16
+        |   + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS INT)) AS b
+        |  FROM documents),
+        |k AS (SELECT s.lang, COUNT(*) AS n_kept
+        |      FROM s JOIN r ON s.lang = r.lang WHERE s.b < r.thresh GROUP BY s.lang)
+        |SELECT r.lang, r.n_orig, r.thresh, COALESCE(k.n_kept, 0) AS n_kept
+        |FROM r LEFT JOIN k ON r.lang = k.lang""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val rates = Dedup.temperatureThresholds(docs, "lang")
+      val byte = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+      val kept = docs.select(col("lang"), byte.as("b"))
+        .join(rates, "lang")
+        .filter(col("b") < col("thresh"))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      rates.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_orig"), col("thresh"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    },
+
     // Test-set decontamination: every doc with doc_id % 10 = 0 is "held
     // out"; any doc (including near-dups planted in the corpus) sharing
     // an 8-gram with the held-out set is flagged. The real pipeline step

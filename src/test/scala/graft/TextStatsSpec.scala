@@ -98,6 +98,20 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("temperatureThresholds: sqrt rebalancing, rarest stratum keeps everything") {
+    // 400 'a' / 100 'b' / 25 'c': shares 16:4:1 → sqrt weights 4:2:1 →
+    // kept proportions rebalance toward the tail
+    val rows = ((1 to 400).map(i => (i.toLong, "a")) ++
+      (401 to 500).map(i => (i.toLong, "b")) ++
+      (501 to 525).map(i => (i.toLong, "c"))).toDF("id", "lang")
+    val th = Dedup.temperatureThresholds(rows, "lang")
+      .as[(String, Long, Int)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(th("c") == ((25L, 256))) // rarest: keep everything
+    assert(th("a")._2 < th("b")._2 && th("b")._2 < th("c")._2) // monotone in share
+    // kept counts ∝ sqrt(n): a→4x c's kept mass, b→2x (up to byte-floor error)
+    assert(math.abs(th("a")._2 / 256.0 * 400 - 2 * (th("b")._2 / 256.0 * 100)) < 8)
+  }
+
   test("packGreedy: budget respected, oversized docs isolated, groups independent") {
     val docs = Seq(
       ("a", 1L, 50), ("a", 2L, 60), ("a", 3L, 40), // 50+60 > 100 → [1][2,3]
