@@ -84,19 +84,23 @@ object Dedup {
     * keep decision) are oracle-checkable bit-for-bit.
     *
     * Returns (stratum, n_orig, thresh) with thresh ∈ [0,256] for the
-    * [[mixtureKeep]]-style first-md5-byte test. Scale: two tiny aggs
-    * (per-stratum counts and two 1-row scalars) — the corpus is touched
-    * once; apply the thresholds with one broadcast-able join. */
+    * [[mixtureKeep]]-style first-md5-byte test. Scale: the corpus is
+    * scanned ONCE (the per-stratum count agg); every derived scalar is a
+    * window over the counts frame, whose cardinality is the number of
+    * strata — tiny by construction — so the empty-frame windows never
+    * see corpus-sized data. The argmin stratum is matched by exact float
+    * equality on the identically-computed ratio, so its threshold is
+    * EXACTLY 256 (keeps everything) rather than 255 via floor rounding. */
   def temperatureThresholds(df: DataFrame, stratumCol: String): DataFrame = {
-    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
-    val total = counts.agg(sum(col("n")).as("total"))
-    val q = counts.crossJoin(broadcast(total))
-      .select(col(stratumCol), col("n"),
-        sqrt(col("n").cast("double") / col("total")).as("qs"))
-    val cmin = q.agg(min(col("n").cast("double") / col("qs")).as("cmin"))
-    q.crossJoin(broadcast(cmin))
+    val w = Window.partitionBy(lit(1))
+    df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .withColumn("qs", sqrt(col("n").cast("double") / sum(col("n")).over(w)))
+      .withColumn("ratio", col("n").cast("double") / col("qs"))
+      .withColumn("cmin", min(col("ratio")).over(w))
       .select(col(stratumCol), col("n").as("n_orig"),
-        floor(col("cmin") * col("qs") / col("n") * 256).cast("int").as("thresh"))
+        when(col("ratio") === col("cmin"), lit(256))
+          .otherwise(floor(col("cmin") * col("qs") / col("n") * 256).cast("int"))
+          .as("thresh"))
   }
 
   /** Deterministic global shuffle for training-example ordering, in the

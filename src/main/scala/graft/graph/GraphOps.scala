@@ -192,7 +192,11 @@ object GraphOps {
       val snap = labels.persist()
       snap.count()
       val s = labelSum(snap)
-      converged = prevSum != null && s.compareTo(prevSum) == 0
+      // null sum = zero vertices: nothing can ever move — converged.
+      // Cost note: a populated graph pays one extra (tiny, converged)
+      // block to observe the unchanged sum — the price of keeping the
+      // superstep itself a single-reference linear plan.
+      converged = s == null || (prevSum != null && s.compareTo(prevSum) == 0)
       prevSum = s
       cached.foreach(_.unpersist(blocking = false))
       cached = Some(snap)

@@ -193,11 +193,12 @@ object DedupQueries {
     // IEEE-exact in both engines, so thresholds and counts hash-match.
     Q("q87_temperature_mixture",
       """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
-        |t AS (SELECT SUM(n) AS total FROM c),
-        |q AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE) / total) AS qs FROM c, t),
-        |m AS (SELECT MIN(CAST(n AS DOUBLE) / qs) AS cmin FROM q),
+        |q AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE) / SUM(n) OVER ()) AS qs FROM c),
+        |q2 AS (SELECT lang, n, qs, CAST(n AS DOUBLE) / qs AS ratio FROM q),
+        |q3 AS (SELECT lang, n, qs, ratio, MIN(ratio) OVER () AS cmin FROM q2),
         |r AS (SELECT lang, n AS n_orig,
-        |        CAST(floor(cmin * qs / n * 256) AS INT) AS thresh FROM q, m),
+        |        CASE WHEN ratio = cmin THEN 256
+        |             ELSE CAST(floor(cmin * qs / n * 256) AS INT) END AS thresh FROM q3),
         |s AS (SELECT lang,
         |  (CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) * 16
         |   + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS INT)) AS b

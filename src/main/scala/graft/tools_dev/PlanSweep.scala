@@ -21,6 +21,11 @@ object PlanSweep {
           .collect { case (n, true) => n }
         if (flags.nonEmpty) println(s"FLAG ${q.name}: ${flags.mkString(",")}")
       } catch { case e: Throwable => println(s"ERR ${q.name}: ${e.getClass.getSimpleName}") }
+      // iterative queries return persisted frames — drop them so the
+      // sweep doesn't accumulate resident caches (see Bench.clearCaches)
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     spark.stop()
     println("sweep done")
