@@ -12,8 +12,9 @@ import scala.jdk.CollectionConverters._
   * /root/reference emits row_count/size per asset): a
   * QueryExecutionListener capturing per-action row counts and wall time
   * automatically — no per-call bookkeeping at the call sites. */
+final case class ActionMetric(funcName: String, outputRows: Long, wallNs: Long)
+
 final class MetricsListener extends QueryExecutionListener {
-  final case class ActionMetric(funcName: String, outputRows: Long, wallNs: Long)
   private val log = new ConcurrentLinkedQueue[ActionMetric]()
 
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
