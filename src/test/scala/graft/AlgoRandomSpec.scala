@@ -70,4 +70,58 @@ class AlgoRandomSpec extends SparkSpec {
       assert(normalize(got) == normalize(want), s"cc mismatch for seed $seed")
     }
   }
+
+  test("pageRankFixedPoint equals a scalar reference implementation on random graphs") {
+    for (seed <- Seq(7, 41, 91)) {
+      val rnd = new Random(seed)
+      val n = 20
+      val edges = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val iters = 4
+      val scale = 1000000L
+      val got = GraphOps.pageRankFixedPoint(
+          edges.toDF("src", "dst"), "src", "dst", iters, scale = scale)
+        .as[(Long, Long)].collect().toMap
+      // scalar reference: same integer recurrence, single-threaded
+      val und = edges ++ edges.map(_.swap)
+      val deg = und.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+      val unit = scale / deg.size
+      val base = (15L * unit) / 100L
+      var pr = deg.keys.map(_ -> unit).toMap
+      for (_ <- 1 to iters) {
+        val share = pr.map { case (v, p) => v -> p / deg(v) }
+        val in = und.groupBy(_._2).map { case (v, es) =>
+          v -> es.map(e => share(e._1)).sum
+        }
+        pr = deg.keys.map(v => v -> (base + (85L * in.getOrElse(v, 0L)) / 100L)).toMap
+      }
+      assert(got == pr, s"pagerank mismatch for seed $seed")
+    }
+  }
+
+  test("bfsLevels equals scalar BFS on random graphs") {
+    for (seed <- Seq(11, 59, 131)) {
+      val rnd = new Random(seed)
+      val n = 25
+      val edges = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val anchorId = edges.map(_._1).min
+      val maxHops = 3
+      val got = GraphOps.bfsLevels(
+          edges.toDF("src", "dst"), "src", "dst",
+          Seq(anchorId).toDF("id"), maxHops)
+        .as[(Long, Int)].collect().toMap
+      // scalar BFS over the undirected adjacency
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .map { case (v, es) => v -> es.map(_._2).toSet }
+      var level = Map(anchorId -> 0)
+      var frontier = Set(anchorId)
+      for (h <- 1 to maxHops) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- level.keySet
+        level = level ++ next.map(_ -> h)
+        frontier = next
+      }
+      assert(got == level, s"bfs mismatch for seed $seed")
+    }
+  }
 }
