@@ -124,4 +124,78 @@ class AlgoRandomSpec extends SparkSpec {
       assert(got == level, s"bfs mismatch for seed $seed")
     }
   }
+
+  test("lpaEdges equals a scalar superstep replay on random graphs") {
+    for (seed <- Seq(13, 47, 97)) {
+      val rnd = new Random(seed)
+      val n = 18
+      val edges = Seq.fill(26)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val iters = 3
+      val got = GraphOps.lpaEdges(edges.toDF("src", "dst"), "src", "dst", iters)
+        .as[(Long, Long)].collect().toMap
+      // scalar replay: per superstep count neighbor labels over the
+      // undirected multi-edge expansion, argmax by (count desc, label asc)
+      val und = edges ++ edges.map(_.swap)
+      var labels = und.map(_._1).distinct.map(v => v -> v).toMap
+      for (_ <- 1 to iters) {
+        labels = und.groupBy(_._1).map { case (v, es) =>
+          val counts = es.map(e => labels(e._2)).groupBy(identity)
+            .map { case (l, ls) => l -> ls.size }
+          v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      assert(got == labels, s"lpa mismatch for seed $seed")
+    }
+  }
+
+  test("temperatureThresholds equals scalar sqrt-rebalancing math on random mixtures") {
+    for (seed <- Seq(19, 61, 113)) {
+      val rnd = new Random(seed)
+      val strata = Seq("a", "b", "c", "d").take(2 + rnd.nextInt(3))
+      val rows = strata.zipWithIndex.flatMap { case (s, i) =>
+        (1 to (10 + rnd.nextInt(200))).map(j => ((i * 1000 + j).toLong, s))
+      }
+      val got = graft.dedup.Dedup.temperatureThresholds(rows.toDF("id", "lang"), "lang")
+        .as[(String, Long, Int)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+      val counts = rows.groupBy(_._2).map { case (s, r) => s -> r.size.toLong }
+      val total = counts.values.sum.toDouble
+      val qs = counts.map { case (s, c) => s -> math.sqrt(c / total) }
+      val ratio = counts.map { case (s, c) => s -> c.toDouble / qs(s) }
+      val cmin = ratio.values.min
+      val want = counts.map { case (s, c) =>
+        s -> ((c, if (ratio(s) == cmin) 256
+                  else math.floor(cmin * qs(s) / c * 256).toInt))
+      }
+      assert(got == want, s"threshold mismatch for seed $seed")
+    }
+  }
+
+  test("decontaminateNgrams equals scalar shingle intersection on random corpora") {
+    val vocab = Vector("ape", "bat", "cat", "dog", "elk", "fox", "gnu", "hen")
+    for (seed <- Seq(29, 71, 127)) {
+      val rnd = new Random(seed)
+      val docs = (1L to 12L).map { id =>
+        val words = Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        (id, words.mkString(" "))
+      }
+      val nGram = 4
+      val got = graft.dedup.Dedup.decontaminateNgrams(
+          docs.toDF("doc_id", "text"), "doc_id", "text",
+          isTest = col("doc_id") % 3 === 0, n = nGram)
+        .as[(Long, Long, Boolean)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      def shingles(t: String): Set[String] = {
+        val toks = t.split(" ").toSeq
+        if (toks.size < nGram) Set.empty
+        else (0 to (toks.size - nGram)).map(i => toks.slice(i, i + nGram).mkString(" ")).toSet
+      }
+      val testGrams = docs.filter(_._1 % 3 == 0).flatMap(d => shingles(d._2)).toSet
+      val want = docs.map { case (id, t) =>
+        val shared = (shingles(t) & testGrams).size.toLong
+        id -> ((shared, shared > 0))
+      }.toMap
+      assert(got == want, s"decontamination mismatch for seed $seed")
+    }
+  }
 }
