@@ -113,8 +113,13 @@ object GraphOps {
     // superstep chain + the initial label derivation reference the
     // expansion once per superstep, and measured end-to-end the cache
     // beats re-reading the distinct's shuffle files per reference
-    // (7.0s vs 5.5s for q42 at sf0.1).
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist()
+    // (7.0s vs 5.5s for q42 at sf0.1). Callers that already persisted
+    // `edges` (e.g. communityLevels, which reuses the same frame for the
+    // contraction join) are honored — no double materialization.
+    val pre = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val callerCached =
+      edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val e0 = if (callerCached) pre else pre.persist()
     val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     // callers that BRANCH on the result (e.g. communityLevels) must
     // localCheckpoint it, or the shared subtree re-prints/re-optimizes
@@ -146,7 +151,7 @@ object GraphOps {
       labels = snap
       done += steps
     }
-    e0.unpersist(blocking = false)
+    if (!callerCached) e0.unpersist(blocking = false)
     labels
   }
 
@@ -223,7 +228,11 @@ object GraphOps {
   def communityLevels(
       spark: SparkSession, edges: DataFrame, srcCol: String, dstCol: String,
       iterPerLevel: Int = 4): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // persist the edge set ONCE — the L0 LPA supersteps AND the
+    // contraction join below all scan the same cache (previously the
+    // upstream distinct re-ran for the contraction; ~1s at sf0.1, a full
+    // re-shuffle at corpus scale)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist()
     // L0: fine communities on the raw graph; checkpointed because four
     // downstream branches reference it (see lpaEdges lineage note)
     val l0 = lpaEdges(e, "src", "dst", iterPerLevel).localCheckpoint()
@@ -236,7 +245,8 @@ object GraphOps {
       .filter(col("sc") =!= col("dc"))
       .select(col("sc").as("src"), col("dc").as("dst"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint() // eager: e's last consumer — safe to release below
+    e.unpersist(blocking = false)
     // L1: LPA over the contracted graph with self-loops (self-votes)
     val withSelf = ce.union(
       ce.select(col("src").as("v")).union(ce.select(col("dst").as("v")))
@@ -342,8 +352,20 @@ object GraphOps {
   def bfsLevels(
       edges: DataFrame, srcCol: String, dstCol: String,
       anchor: DataFrame, maxHops: Int): DataFrame = {
-    // directed edge cache + lazy undirected expansion (see lpaEdges)
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist()
+    // directed edge cache + lazy undirected expansion (see lpaEdges).
+    // Callers that already persisted `edges` (e.g. to derive the anchor
+    // from the same frame) are honored: the projection scans their cache
+    // and nothing is double-materialized. (Negative result, measured
+    // round 5: chaining all hops in ONE lazy plan is ~2× SLOWER than the
+    // per-hop barriers below — 5.0s vs 2.8s warm at sf0.1 — because the
+    // later seen-sets re-reference earlier layer subtrees and
+    // ReuseExchange does not collapse the duplicated cache-scan+join
+    // work, only the exchanges. Frontier BFS keeps each hop's work
+    // linear precisely because the layers are materialized.)
+    val pre = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val callerCached =
+      edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val e0 = if (callerCached) pre else pre.persist()
     val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     // Only the per-hop FRONTIER is persisted (the working set); the
     // visited set is the lazy union of the cached layers, so each hop is
@@ -375,7 +397,7 @@ object GraphOps {
     // single-layer search: reduce returns the anchor frontier itself —
     // unpersisting it would uncache the value being returned
     layers.filterNot(_ eq out).foreach(_.unpersist(blocking = false))
-    e0.unpersist(blocking = false)
+    if (!callerCached) e0.unpersist(blocking = false)
     out
   }
 

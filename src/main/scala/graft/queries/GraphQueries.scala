@@ -164,10 +164,15 @@ object GraphQueries {
     // frontier's edge neighborhood (the scalable BFS shape); the oracle
     // unrolls the same frontier/anti-join recurrence.
     Q("q81_bfs_levels", bfsOracle(maxHops = 3)) { (s, dir) =>
-      val e = bipartite(s, dir)
+      // persist the edge set ONCE: the anchor agg and every BFS hop scan
+      // the same cache instead of re-running the lineitem distinct twice
+      // (measured ~1.5s at sf0.1; at corpus scale it's a second full
+      // scan+shuffle avoided). bfsLevels honors the caller's cache.
+      val e = bipartite(s, dir).persist()
       val anchor = e.agg(min(col("src")).as("id"))
-      GraphOps.bfsLevels(e, "src", "dst", anchor, maxHops = 3)
-        .select(
+      val lv = GraphOps.bfsLevels(e, "src", "dst", anchor, maxHops = 3)
+      e.unpersist(blocking = false)
+      lv.select(
           when(pmod(col("id"), lit(2)) === 0, "part").otherwise("supplier").as("kind"),
           shiftright(col("id"), 1).as("key"),
           col("level"))
