@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes RAW to sbt's stdout/stderr (no "[info] "/"[error] "
+// logger prefixes): the round driver tails the run log and parses Bench's
+// one JSON line — with the logger prefix that line never parses
+// (BENCH_r01..r04 all have "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -18,7 +18,10 @@ object Bench {
       // GraphX Pregel messages serialize per superstep — Kryo, not Java ser
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver keeps only the last 2000 chars of the
+    // run log — benign WARNs (e.g. unpersisting localCheckpointed RDDs in
+    // clearCaches) would crowd the JSON line out of that window.
+    spark.sparkContext.setLogLevel("ERROR")
     // dev-only filter: SPARK_GRAFT_ONLY=q33,q42 to profile a subset
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.filter { case (n, _) =>
