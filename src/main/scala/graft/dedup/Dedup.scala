@@ -120,6 +120,62 @@ object Dedup {
     hashed.withColumn("pos", row_number().over(w)).drop("__h")
   }
 
+  /** Per-domain document caps (the C4/RefinedWeb domain-balancing step):
+    * keep at most `maxPerDomain` rows per domain, chosen deterministically
+    * by md5-of-key order (a reproducible uniform sample of each domain,
+    * not "whatever the scan produced first" — Spark has no file order).
+    * One shuffle on the domain column; the per-domain row_number window
+    * runs domain-parallel. Heavy-tailed domain sizes skew that shuffle at
+    * corpus scale; the standard mitigation (pre-trim within
+    * (domain, md5-prefix salt) to maxPerDomain each, then re-rank the
+    * salts·maxPerDomain survivors — identical result, since the global
+    * per-domain top-N by hash is contained in the union of per-salt
+    * top-Ns) composes from this same kernel when a domain outgrows one
+    * reducer. */
+  def domainCap(
+      df: DataFrame, keyCol: String, domainCol: String,
+      maxPerDomain: Int): DataFrame = {
+    val h = md5(col(keyCol).cast("string"))
+    val w = Window.partitionBy(col(domainCol)).orderBy(h, col(keyCol))
+    df.withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= maxPerDomain)
+  }
+
+  /** Token-budget corpus selection: keep the best-scoring rows whose
+    * running cost (e.g. token count, ordered by score desc then key) stays
+    * within `budget` — "the highest-quality N-billion-token subset", the
+    * selection step a budgeted pretraining mix needs.
+    *
+    * The running sum is a DISTRIBUTED prefix sum, never a one-partition
+    * global window: rows land in `buckets` score-range buckets (bucket is
+    * a pure function of the score, so equal scores never straddle a
+    * boundary and (bucket asc, score desc, key asc) is the global order);
+    * per-bucket totals (≤ `buckets` rows) get running offsets via a window
+    * over that tiny frame; each row's global cumulative cost is then its
+    * bucket offset + an intra-bucket cumulative window that runs
+    * bucket-parallel. Scores must lie in [0,1] (callers normalize). */
+  def budgetSelect(
+      df: DataFrame, keyCol: String, scoreCol: String, costCol: String,
+      budget: Long, buckets: Int = 64): DataFrame = {
+    val bucket = least(floor((lit(1.0) - col(scoreCol)) * buckets), lit(buckets - 1))
+      .cast("int").as("bucket")
+    val b = df.select(col(keyCol), col(scoreCol), col(costCol), bucket)
+    val totals = b.groupBy("bucket").agg(sum(col(costCol)).as("btot"))
+    // partitionBy(lit(1)): single explicit partition over the ≤`buckets`-row
+    // totals frame (the temperatureThresholds idiom — intentional, tiny)
+    val wOff = Window.partitionBy(lit(1)).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = totals
+      .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+      .select("bucket", "off")
+    val wCum = Window.partitionBy("bucket")
+      .orderBy(col(scoreCol).desc, col(keyCol).asc)
+    b.join(broadcast(offs), "bucket")
+      .withColumn("cum", col("off") + sum(col(costCol)).over(wCum))
+      .filter(col("cum") <= budget)
+      .select(col(keyCol), col(scoreCol), col(costCol), col("cum"))
+  }
+
   /** Exact dedup: content-hash groupBy keeping the smallest id per group
     * (the distributed version of unique-by-key; one shuffle on the 64-hex
     * fingerprint, partial-aggregated map-side). */

@@ -136,6 +136,15 @@ object GraphOps {
         // max(struct(cnt,-label))) measure ~2× faster than the
         // single-shuffle mode(deterministic) form, whose
         // ObjectHashAggregate map buffers fall out of codegen.
+        // (Negative result, measured round 5: the struct-max plans a
+        // SortAggregate, and re-encoding the argmax as max over ONE
+        // decimal(38,0) — cnt·10¹⁹ + (10¹⁹−1−label) — does keep the
+        // superstep in pure HashAggregate and won ~15% in an isolated
+        // probe, but made the full q42/q60 queries 2× SLOWER end-to-end
+        // (9.3s vs 4.9s at sf0.1): the 16-byte decimal state doubles
+        // the shuffle/cache row width and the decimal mul/mod/cast in
+        // every superstep outweighs the saved per-partition sort of the
+        // already-aggregated message table. Keep the struct form.)
         val msgs = und.join(labels.withColumnRenamed("id", "nbr"), col("dst") === col("nbr"))
           .groupBy(col("src").as("id"), col("label"))
           .agg(count(lit(1)).as("cnt"))

@@ -219,6 +219,54 @@ object DedupQueries {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"))
     },
 
+    // Per-domain document caps (C4/RefinedWeb domain balancing): at most
+    // 10 docs per source, chosen by deterministic md5-of-key order — a
+    // reproducible uniform sample of each domain.
+    Q("q89_domain_cap",
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, rk FROM r WHERE rk <= 10""".stripMargin) { (s, dir) =>
+      Dedup.domainCap(Tables(s, dir, "documents"), "doc_id", "source",
+          maxPerDomain = 10)
+        .select("doc_id", "source", "rk")
+    },
+
+    // Token-budget corpus selection: highest-quality docs whose running
+    // token cost stays within a 10k-token budget. The Spark side computes
+    // the running sum as a bucketed DISTRIBUTED prefix sum (bucket totals
+    // → tiny running-offset window → bucket-parallel local cumsum); the
+    // oracle's single global window proves the decomposition exact.
+    Q("q90_budget_select",
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    ROUND(
+        |      CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        |           x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+        |        / GREATEST(len(regexp_extract_all(lower(text), '[a-z]+')), 1) * 0.5
+        |      + (1 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
+        |            / GREATEST(length(text), 1)) * 0.5, 6) AS quality,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, quality, n_tokens,
+        |        CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS BIGINT)
+        |          AS cum_tokens
+        |      FROM s)
+        |SELECT doc_id, quality, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 10000""".stripMargin) { (s, dir) =>
+      val scored = Tables(s, dir, "documents").select(
+        col("doc_id"),
+        round(graft.functions.TextFunctions.qualityScore(col("text")), 6)
+          .as("quality"),
+        size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .cast("long").as("n_tokens"))
+      Dedup.budgetSelect(scored, "doc_id", "quality", "n_tokens",
+          budget = 10000L)
+        .withColumnRenamed("cum", "cum_tokens")
+    },
+
     // Test-set decontamination: every doc with doc_id % 10 = 0 is "held
     // out"; any doc (including near-dups planted in the corpus) sharing
     // an 8-gram with the held-out set is flagged. The real pipeline step

@@ -242,6 +242,26 @@ object TextQueries {
       TextStats.tfidfTopK(Tables(s, dir, "documents"), "doc_id", "text", k = 5)
     },
 
+    // Vocabulary build (tokenizer prep): top-30 terms by corpus frequency
+    // with doc frequency, deterministic (cf desc, term) rank, and
+    // cumulative corpus-coverage fraction. The only non-distributed frames
+    // are the 30-row top slice and the 1-row token total.
+    Q("q88_vocabulary",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df
+        |       FROM toks GROUP BY term),
+        |tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS total FROM tf),
+        |top AS (SELECT term, cf, df FROM tf ORDER BY cf DESC, term LIMIT 30)
+        |SELECT term, cf, df,
+        |  CAST(row_number() OVER (ORDER BY cf DESC, term) AS INT) AS rank,
+        |  ROUND(CAST(SUM(cf) OVER (ORDER BY cf DESC, term) AS DOUBLE)
+        |        / (SELECT total FROM tot), 6) AS coverage
+        |FROM top""".stripMargin) { (s, dir) =>
+      TextStats.vocabulary(Tables(s, dir, "documents"), "doc_id", "text", topV = 30)
+    },
+
     // Gopher/C4-style repetition signals: distinct-token ratio, top-word
     // fraction, top-bigram fraction — exact integer quotients in double.
     Q("q76_repetition",

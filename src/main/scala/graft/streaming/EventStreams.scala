@@ -101,4 +101,30 @@ object EventStreams {
     * from the batch side. */
   def openSessions(sessionized: DataFrame): DataFrame =
     sessionized.groupBy("user_id").agg(max("session_id").as("session_id"))
+
+  /** Stream-stream interval join (the Flink-style event correlation shape):
+    * pair each left event with right events from the same user arriving
+    * within [0, maxDelaySec] after it. The same plan runs batch-on-batch
+    * (StreamingSpec proves stream ≡ batch).
+    *
+    * Scale/state: streaming callers watermark BOTH inputs; the two-sided
+    * time bound in the join condition is what lets the state store expire
+    * buffered rows (an unbounded-condition stream-stream join would
+    * accumulate state forever). The join itself is a plain equi-join on
+    * user_id with a range residual — one shuffle per side, no cross
+    * product. */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, maxDelaySec: Long): DataFrame = {
+    val l = left.select(
+      col("user_id"), col("event_id").as("l_id"), col("ts").as("l_ts"))
+    val r = right.select(
+      col("user_id").as("r_user"), col("event_id").as("r_id"),
+      col("ts").as("r_ts"))
+    l.join(r,
+        col("user_id") === col("r_user") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelaySec SECONDS"))
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        unix_micros(col("l_ts")).as("l_us"), unix_micros(col("r_ts")).as("r_us"))
+  }
 }

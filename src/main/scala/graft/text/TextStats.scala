@@ -38,6 +38,34 @@ object TextStats {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
 
+  /** Top-V vocabulary build (tokenizer prep): the V most frequent terms
+    * with corpus frequency, document frequency, rank, and cumulative
+    * corpus-coverage fraction. Rank order is (cf desc, term asc) — a
+    * total order, so the cut is deterministic.
+    *
+    * Scale shape: one explode + one hash agg to the term table
+    * (vocabulary-sized, sublinear in the corpus by Heaps' law), top-V via
+    * orderBy+limit (TakeOrderedAndProject — per-partition partial top-V,
+    * no global sort), coverage via a window over the V-row result and the
+    * corpus token total as a 1-row broadcast (the only non-distributed
+    * frames are V rows and 1 row). */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String, topV: Int): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(textCol)).as("term"))
+    val tf = toks.groupBy("term")
+      .agg(count(lit(1)).as("cf"), countDistinct(col(idCol)).as("df"))
+    val total = tf.agg(sum("cf").as("total"))
+    val top = tf.orderBy(col("cf").desc, col("term").asc).limit(topV)
+    // partitionBy(lit(1)): single explicit partition over the V-row frame
+    // (the temperatureThresholds idiom — intentional, V is tiny)
+    val byRank = Window.partitionBy(lit(1)).orderBy(col("cf").desc, col("term").asc)
+    val w = byRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(byRank).cast("int"))
+      .withColumn("coverage",
+        round(sum("cf").over(w).cast("double") / col("total"), 6))
+      .select("term", "cf", "df", "rank", "coverage")
+  }
+
   /** Word-level repetition signals per document (the Gopher quality
     * filters' lexical core): distinct-token ratio, most-frequent-token
     * fraction, most-frequent-bigram fraction. All ratios are exact

@@ -111,4 +111,39 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((0L, false)))
     assert(out(4L) == ((0L, false)))
   }
+
+  test("domainCap: per-domain cap respected, deterministic, rank dense") {
+    val rows = (1L to 30L).map(i => (i, if (i <= 20) "big" else "small"))
+    val df = rows.toDF("doc_id", "source")
+    val out = Dedup.domainCap(df, "doc_id", "source", maxPerDomain = 7)
+      .as[(Long, String, Int)].collect()
+    val byDom = out.groupBy(_._2)
+    assert(byDom("big").length == 7) // capped
+    assert(byDom("small").length == 7) // 10 docs → capped too
+    assert(out.forall(r => r._3 >= 1 && r._3 <= 7))
+    assert(byDom.values.forall(_.map(_._3).sorted.toSeq == (1 to 7))) // dense ranks
+    val again = Dedup.domainCap(df, "doc_id", "source", maxPerDomain = 7)
+      .as[(Long, String, Int)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq) // hash order, no RNG
+  }
+
+  test("budgetSelect: bucketed prefix sum ≡ global running sum, budget maximal") {
+    // scores engineered to straddle bucket boundaries and include ties
+    val rows = (1L to 200L).map { i =>
+      val score = math.rint((i % 17).toDouble / 16 * 1e6) / 1e6 // ties galore
+      (i, score, 10L + i % 7)
+    }
+    val df = rows.toDF("doc_id", "score", "cost")
+    val budget = 1500L
+    val out = Dedup.budgetSelect(df, "doc_id", "score", "cost", budget)
+      .as[(Long, Double, Long, Long)].collect().sortBy(_._4)
+    // oracle: single global running sum over (score desc, doc_id asc)
+    val global = rows.sortBy { case (id, s, _) => (-s, id) }
+    val cums = global.scanLeft(0L) { case (acc, (_, _, c)) => acc + c }.tail
+    val expect = global.zip(cums).takeWhile(_._2 <= budget)
+      .map { case ((id, s, c), cum) => (id, s, c, cum) }
+    assert(out.toSeq == expect)
+    // maximality: the next row in global order would blow the budget
+    assert(cums(expect.length) > budget)
+  }
 }

@@ -62,7 +62,8 @@ class PlanSpec extends SparkSpec {
       "q40_two_hop",      // broadcast 1-row anchor
       "q58_ann_ivf",      // broadcast query vector
       "q75_tfidf_topk",   // broadcast 1-row N(docs) scalar
-      "q86_ann_recall")   // broadcast query vector (brute + LSH sides)
+      "q86_ann_recall",   // broadcast query vector (brute + LSH sides)
+      "q88_vocabulary")   // broadcast 1-row corpus-token-total scalar
     // Known blind spot: the iterative queries (q42/q60/q80/q81) run
     // their superstep jobs eagerly inside fn, so only their FINAL frame
     // is inspected here; the supersteps' own plan shapes are covered by

@@ -74,6 +74,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals batch interval join") {
+    implicit val sc = spark.sqlContext
+    // left = clicks, right = views; pair views within 15 min after a click
+    val clicks = eventRows.filter(_._4 == "click")
+    val views = eventRows.filter(_._4 == "view")
+    val memL = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val memR = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    def named(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withWatermark("ts", "1 hour")
+    val joined = EventStreams.intervalJoin(
+      named(memL.toDF()), named(memR.toDF()), maxDelaySec = 900)
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      memL.addData(clicks: _*)
+      memR.addData(views: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ij_out")
+        .orderBy("l_id", "r_id").collect().toSeq
+      def batchSide(rows: Seq[(Long, Timestamp, Long, String, Double)]) =
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val batch = EventStreams.intervalJoin(
+          batchSide(clicks), batchSide(views), maxDelaySec = 900)
+        .orderBy("l_id", "r_id").collect().toSeq
+      assert(streamed == batch)
+      // user 8: view at 10:10 is within 15 min of nothing (click at 10:59:59
+      // precedes no view); user 7: view at 10:30 is > 15 min after both
+      // clicks → only pairs inside the window survive
+      val pairs = batch.map(r => (r.getLong(1), r.getLong(2)))
+      assert(pairs.forall { case (l, r) => l != r })
+      val expected = for {
+        (lid, lts, lu, _, _) <- clicks
+        (rid, rts, ru, _, _) <- views
+        if lu == ru && rts.getTime >= lts.getTime &&
+          rts.getTime <= lts.getTime + 900 * 1000L
+      } yield (lid, rid)
+      assert(pairs.toSet == expected.toSet)
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment join") {
     implicit val sc = spark.sqlContext
     val dim = broadcast(Seq((0L, "alpha"), (1L, "beta")).toDF("bucket", "segment"))

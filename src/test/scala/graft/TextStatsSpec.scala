@@ -44,6 +44,23 @@ class TextStatsSpec extends SparkSpec {
     assert(one == ((9L, 1.0, 1.0, 0.0)))
   }
 
+  test("vocabulary: frequency order, tie-break, df, and coverage telescopes") {
+    val corpus = Seq(
+      (1L, "aa aa aa bb bb cc"),
+      (2L, "aa bb cc dd"),
+      (3L, "aa zz")).toDF("doc_id", "text")
+    // cf: aa=5, bb=3, cc=2, dd=1, zz=1 (dd before zz on the tie)
+    val v = TextStats.vocabulary(corpus, "doc_id", "text", topV = 4)
+      .as[(String, Long, Long, Int, Double)].collect().sortBy(_._4)
+    assert(v.map(_._1).toSeq == Seq("aa", "bb", "cc", "dd"))
+    assert(v.map(_._2).toSeq == Seq(5L, 3L, 2L, 1L))
+    assert(v.map(_._3).toSeq == Seq(3L, 2L, 2L, 1L)) // doc frequencies
+    assert(v.map(_._4).toSeq == Seq(1, 2, 3, 4))
+    // coverage is cumulative over ALL 12 tokens: 5/12, 8/12, 10/12, 11/12
+    val exp = Seq(5.0, 8.0, 10.0, 11.0).map(x => math.rint(x / 12 * 1e6) / 1e6)
+    assert(v.map(_._5).toSeq == exp)
+  }
+
   test("redactPii: emails and phone runs replaced, plain text untouched") {
     val in = Seq(
       "mail me at john.doe+x@corp.example.org today",
