@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -275,6 +275,54 @@ object Dedup {
       .select(
         col(s"a_$idCol").as("id_a"), col(s"b_$idCol").as("id_b"),
         round(inter.cast("double") / union.cast("double"), 6).as("jaccard"))
+  }
+
+  /** End-to-end fuzzy dedup — the near-dup REMOVAL pipeline production
+    * pretraining curation runs (the SlimPajama/RefinedWeb shape), composed
+    * from this module's kernels: MinHash signatures → LSH banding →
+    * candidate pairs ([[lshCandidates]]) → exact shingle-Jaccard
+    * verification → connected components over the verified near-dup graph
+    * → min-id canonical selection. Returns one row per input doc:
+    * (idCol, cluster, keep) with cluster = smallest doc id in the doc's
+    * near-dup cluster and keep ⇔ the doc IS that canonical.
+    *
+    * The Jaccard threshold is the rational jaccNum/jaccDen and the test is
+    * the integer cross-multiply `|∩|·den ≥ |∪|·num` — no float division,
+    * so the keep/drop decision has no rounding edge and replays exactly in
+    * any engine.
+    *
+    * Scale shape: candidates come from a band-key equi-join (never
+    * doc×doc); verification joins ONLY candidate pairs against per-doc
+    * distinct-shingle arrays (a semi-join-sized fraction of the corpus);
+    * the verified pair graph holds near-dups only — orders of magnitude
+    * smaller than the corpus — so components run in-process GraphX Pregel
+    * (the communityLevels measurement: on small graphs its convergence
+    * loop beats a Catalyst superstep loop); [[graft.graph.GraphOps.ccEdges]]
+    * is the drop-in Catalyst path should the dup graph itself be huge. */
+  def fuzzyDedup(
+      spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      jaccNum: Int = 1, jaccDen: Int = 2): DataFrame = {
+    import graft.graph.GraphOps
+    val cand = lshCandidates(
+      minhashBands(docs, idCol, textCol, shingleN, numHashes, bands), idCol)
+    val toks = wordTokens(col(textCol))
+    val sets = docs.filter(size(toks) >= shingleN)
+      .select(col(idCol).as("sid"), wordShingles(toks, shingleN).as("sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val uni = size(col("sh_a")) + size(col("sh_b")) - inter
+    val verified = cand
+      .join(sets.select(col("sid").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("sid").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(inter * jaccDen >= uni * jaccNum)
+      .select(col("id_a"), col("id_b"))
+    val cc = GraphOps.connectedComponentsDF(
+      spark, GraphOps.fromEdges(spark, verified, "id_a", "id_b"))
+    docs.select(col(idCol))
+      .join(cc.select(col("id").as(idCol), col("component")), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster"),
+        (coalesce(col("component"), col(idCol)) === col(idCol)).as("keep"))
   }
 
   /** Test-set decontamination (the C4/Dolma preprocessing step): flag

@@ -421,4 +421,47 @@ object GraphOps {
       .groupBy(col(srcCol).as("neighbor"))
       .agg(countDistinct(col("mid")).as("n_paths"))
   }
+
+  /** Per-vertex triangle counts via degree-ordered edge orientation — the
+    * node-iterator++ / Cohen MapReduce form. Each undirected edge is kept
+    * only in its (degree, id)-ascending direction, so every triangle is
+    * enumerated exactly once from its lowest-order corner and the wedge
+    * self-join fans out over out-degrees, which the orientation bounds by
+    * O(√m) — THE property that makes distributed triangle counting
+    * feasible on skewed (power-law) graphs, where an id-ordered
+    * orientation would pile all wedges of a hub onto one key. All joins
+    * are equi-joins (wedge build on the corner, closure probe on the
+    * (x, y) pair); no driver collect. Input may contain duplicate edges,
+    * self-loops, or either direction — canonicalized away first. Returns
+    * (id, n_triangles) for every vertex incident to ≥1 edge (isolated
+    * vertices are the caller's left join). */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+              greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val und = canon.union(canon.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+    val dirE = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .filter(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")))
+      .select(col("a").as("u"), col("b").as("v"), col("db").as("dv"))
+    // wedge (x, y) canonicalized by the SAME (degree, id) order the
+    // orientation uses, so the closing edge — if present — is x→y in dirE
+    val w1 = dirE.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val w2 = dirE.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val tris = w1.join(w2, "u")
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .join(dirE.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    val corners = tris.select(col("u").as("v"))
+      .union(tris.select(col("x").as("v")))
+      .union(tris.select(col("y").as("v")))
+    val counts = corners.groupBy("v").agg(count(lit(1)).as("n_triangles"))
+    deg.select(col("v")).join(counts, Seq("v"), "left")
+      .select(col("v").as("id"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
 }

@@ -293,5 +293,66 @@ object DedupQueries {
         Tables(s, dir, "documents"), "doc_id", "text",
         isTest = pmod(col("doc_id"), lit(10)) === 0, n = 8)
     },
+
+    // End-to-end fuzzy dedup (the SlimPajama/RefinedWeb near-dup removal
+    // pipeline): MinHash→LSH candidates → exact shingle-Jaccard
+    // verification at ≥ 1/2 (integer cross-multiply, no float edge) →
+    // connected components over the verified near-dup graph → min-id
+    // canonical per cluster. The oracle replays the LSH banding (q33's
+    // CTEs), verifies candidates relationally, and closes clusters with a
+    // recursive min-reachability CTE.
+    Q("q91_fuzzy_dedup",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(t) - 2),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |    FROM toks WHERE len(t) >= 3)),
+        |hh AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(generate_series(1, 12),
+        |      i -> CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS h1,
+        |    list_reduce(list_transform(generate_series(13, 24),
+        |      i -> CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) * 2 + 1 AS h2
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, i, MIN((h1 + i * h2) % 281474976710656) AS mh
+        |  FROM hh CROSS JOIN range(16) r(i) GROUP BY doc_id, i),
+        |bk AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS band_key
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id < b.doc_id),
+        |ssize AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |ins AS (
+        |  SELECT c.id_a, c.id_b, COUNT(*) AS i
+        |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+        |              JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+        |  GROUP BY c.id_a, c.id_b),
+        |ver AS (
+        |  SELECT ins.id_a, ins.id_b
+        |  FROM ins JOIN ssize sa ON sa.doc_id = ins.id_a
+        |           JOIN ssize sb ON sb.doc_id = ins.id_b
+        |  WHERE ins.i * 2 >= (sa.n + sb.n - ins.i) * 1),
+        |und AS (SELECT id_a AS s, id_b AS d FROM ver
+        |        UNION ALL SELECT id_b AS s, id_a AS d FROM ver),
+        |reach AS (SELECT s AS id, s AS comp FROM und
+        |          UNION
+        |          SELECT u.s AS id, r.comp FROM und u JOIN reach r ON u.d = r.id),
+        |cc AS (SELECT id, MIN(comp) AS cluster FROM reach GROUP BY id)
+        |SELECT d.doc_id,
+        |       COALESCE(cc.cluster, d.doc_id) AS cluster,
+        |       COALESCE(cc.cluster, d.doc_id) = d.doc_id AS keep
+        |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id""".stripMargin) { (s, dir) =>
+      Dedup.fuzzyDedup(s, Tables(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, jaccNum = 1, jaccDen = 2)
+    },
   )
 }

@@ -178,5 +178,49 @@ object VectorQueries {
         .select(lit(10).as("k"), col("n_hits"),
           round(col("n_hits").cast("double") / 10.0, 6).as("recall"))
     },
+
+    // Similarity-graph transitivity: per-vertex triangle counts over the
+    // cosine-threshold graph (within-label blocks, cos ≥ 0.22). Triangles
+    // in a similarity graph are the local-clustering signal (how much
+    // "neighbors of similar docs are themselves similar") that drives
+    // graph-based corpus diagnostics. The engine counts via degree-ordered
+    // orientation (GraphOps.triangleCounts — O(√m) wedge fan-out on skewed
+    // graphs); the oracle uses the simple id-ordered 3-way join, proving
+    // the oriented enumeration exact.
+    Q("q92_similarity_triangles",
+      s"""$normCte,
+         |ce AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE $dotAB / (a.nrm * b.nrm) >= 0.22),
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM ce e1 JOIN ce e2 ON e1.a = e2.a AND e1.b < e2.b
+         |       JOIN ce e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |corners AS (SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri
+         |            UNION ALL SELECT z AS v FROM tri),
+         |cnt AS (SELECT v, COUNT(*) AS n_triangles FROM corners GROUP BY v)
+         |SELECT e.vec_id, CAST(COALESCE(cnt.n_triangles, 0) AS BIGINT) AS n_triangles
+         |FROM e LEFT JOIN cnt ON e.vec_id = cnt.v""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val base = emb.select(col("vec_id"), col("label"),
+          Similarity.vecD(col("embedding")).as("v"))
+        .withColumn("nrm", Similarity.norm(col("v")))
+      val a = base.select(col("vec_id").as("ia"), col("label").as("blk"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = base.select(col("vec_id").as("ib"), col("label").as("blk"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      val edges = a.join(b, Seq("blk"))
+        .filter(col("ia") < col("ib"))
+        .filter(Similarity.cosine(col("va"), col("vb"), col("na"), col("nb"))
+          >= 0.22)
+        .select(col("ia"), col("ib"))
+      val tc = graft.graph.GraphOps.triangleCounts(edges, "ia", "ib")
+      emb.select(col("vec_id"))
+        .join(tc.select(col("id").as("vec_id"), col("n_triangles")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+    },
   )
 }

@@ -146,4 +146,25 @@ class DedupSpec extends SparkSpec {
     // maximality: the next row in global order would blow the budget
     assert(cums(expect.length) > budget)
   }
+
+  test("fuzzyDedup: clusters transitively, keeps min id, leaves singletons") {
+    // chain A≈B≈C (A-C may fall below threshold — transitivity must close
+    // the cluster), one exact dup pair, one unrelated singleton
+    val a = base
+    val b = base.replace("small dimension", "compact dimension")
+    val c = b.replace("columnar parquet", "vectorized parquet")
+    val corpus = Seq(
+      (10L, a), (11L, b), (12L, c), (20L, unrelated), (21L, unrelated),
+      (30L, "short text only")).toDF("doc_id", "text")
+    // 8 bands × 2 rows: ~99% candidate recall at J≈0.77 (4×4 banding
+    // would miss ~18% of true pairs — banding is a recall/cost dial)
+    val out = Dedup.fuzzyDedup(spark, corpus, "doc_id", "text", bands = 8)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val cluster = out.map(r => r._1 -> r._2).toMap
+    val keep = out.map(r => r._1 -> r._3).toMap
+    assert(cluster(10L) == 10L && cluster(11L) == 10L && cluster(12L) == 10L)
+    assert(cluster(20L) == 20L && cluster(21L) == 20L) // exact dups cluster
+    assert(cluster(30L) == 30L) // singleton keeps itself
+    assert(keep.filter(_._2).keySet == Set(10L, 20L, 30L)) // one canonical each
+  }
 }

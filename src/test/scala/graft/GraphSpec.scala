@@ -144,4 +144,36 @@ class GraphSpec extends SparkSpec {
       .flatMap { case (id, m) => m.get(1L).map(id -> _) }
     assert(sp.filter(_._2 <= 2) == lv.map { case (k, v) => k -> v })
   }
+
+  test("triangleCounts: K4, path, bipartite, and a brute-force cross-check") {
+    // K4: every vertex is in C(3,2)=3 triangles
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val t4 = GraphOps.triangleCounts(k4, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(t4 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // path graph: no triangles (zeros, not missing rows)
+    val tp = GraphOps.triangleCounts(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(tp.values.forall(_ == 0L) && tp.keySet == Set(1L, 2L, 3L, 10L, 11L))
+    // dup edges / reversed direction / self-loops don't inflate counts
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val tm = GraphOps.triangleCounts(messy, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(tm == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // brute-force cross-check on a deterministic pseudo-random graph
+    val es = (for { a <- 0L until 30L; b <- 0L until 30L
+                    if a < b && (a * 31 + b * 17) % 5 == 0 } yield (a, b))
+    val got = GraphOps.triangleCounts(es.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val adj = es.toSet
+    def conn(x: Long, y: Long) = adj((x min y, x max y))
+    val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val brute = verts.map(v => v -> (for {
+      x <- verts; y <- verts
+      if x < y && x != v && y != v && conn(v, x) && conn(v, y) && conn(x, y)
+    } yield 1).size.toLong).toMap
+    assert(got == brute)
+  }
 }
