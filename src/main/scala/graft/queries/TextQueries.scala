@@ -347,6 +347,94 @@ object TextQueries {
               x => x.getField("text")),
             " <doc> ").as("packed_text"))
     },
+
+    // BM25 top-15 for a 3-term query (one rare term, two common): the
+    // lexical ranker complementing vector kNN. Per-term partials are
+    // bit-identical IEEE doubles; the cross-term sum folds left-to-right
+    // over the term-sorted list in BOTH engines (DuckDB list_reduce over
+    // array_agg ORDER BY term ≡ Spark aggregate over sort_array), so
+    // no aggregation-order drift; ordering on the raw score, total
+    // tie-break by doc_id.
+    Q("q93_bm25",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM lens),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(t) AS term FROM toks)
+        |  WHERE term IN ('spark', 'window', 'dup') GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl
+        |          / (CAST(sum_dl AS DOUBLE) / n_docs))) AS s
+        |  FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms,
+        |    list_reduce(array_agg(s ORDER BY term), (a, b) -> a + b) AS raw
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_terms, ROUND(raw, 6) AS bm25
+        |FROM agg ORDER BY raw DESC, doc_id LIMIT 15""".stripMargin) { (s, dir) =>
+      TextStats.bm25TopK(Tables(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "window", "dup"), k = 15)
+    },
+
+    // Inverted-index materialization: term → (df, cf, capped posting list
+    // ordered by impact). df/cf cover ALL postings; the stored list keeps
+    // the top 5 per term.
+    Q("q94_inverted_index",
+      """WITH tf AS (
+        |  SELECT term, doc_id, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |    FROM documents)
+        |  GROUP BY term, doc_id),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY term ORDER BY tf DESC, doc_id) AS rn FROM tf)
+        |SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+        |  string_agg(CASE WHEN rn <= 5 THEN doc_id || ':' || tf END, ',' ORDER BY rn)
+        |    AS postings
+        |FROM r GROUP BY term""".stripMargin) { (s, dir) =>
+      TextStats.invertedIndex(Tables(s, dir, "documents"), "doc_id", "text",
+        maxPostings = 5)
+    },
+
+    // Shannon entropy quality signals (char + word, bits): near-zero
+    // entropy flags degenerate/repetitive content. Per-class c·ln c
+    // addends fold left-to-right over the class-sorted list in both
+    // engines — no aggregation-order dependence.
+    Q("q95_entropy",
+      """WITH ch AS (
+        |  SELECT doc_id, cls, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, length(lower(text))),
+        |      i -> substr(lower(text), i, 1))) AS cls
+        |    FROM documents)
+        |  GROUP BY doc_id, cls),
+        |che AS (
+        |  SELECT doc_id, SUM(c) AS n,
+        |    list_reduce(list_transform(array_agg(c ORDER BY cls),
+        |      x -> CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE))), (a, b) -> a + b) AS slnc
+        |  FROM ch GROUP BY doc_id),
+        |wd AS (
+        |  SELECT doc_id, cls, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS cls
+        |    FROM documents)
+        |  GROUP BY doc_id, cls),
+        |wde AS (
+        |  SELECT doc_id, SUM(c) AS n,
+        |    list_reduce(list_transform(array_agg(c ORDER BY cls),
+        |      x -> CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE))), (a, b) -> a + b) AS slnc
+        |  FROM wd GROUP BY doc_id)
+        |SELECT che.doc_id,
+        |  ROUND((ln(CAST(che.n AS DOUBLE)) - che.slnc / che.n) / ln(2.0), 6)
+        |    AS char_entropy_bits,
+        |  ROUND((ln(CAST(wde.n AS DOUBLE)) - wde.slnc / wde.n) / ln(2.0), 6)
+        |    AS word_entropy_bits
+        |FROM che LEFT JOIN wde ON che.doc_id = wde.doc_id""".stripMargin) { (s, dir) =>
+      TextStats.entropySignals(Tables(s, dir, "documents"), "doc_id", "text")
+    },
   )
 
   /** Shared oracle prelude for q83/q85: the greedy per-source packing

@@ -66,6 +66,115 @@ object TextStats {
       .select("term", "cf", "df", "rank", "coverage")
   }
 
+  /** BM25 top-k retrieval for a bag of query terms (Robertson k1/b, the
+    * Lucene-style always-positive idf ln(1 + (N-df+0.5)/(df+0.5))) — the
+    * lexical ranker complementing the vector layer's kNN.
+    *
+    * Determinism: every per-(doc, term) partial score is a chain of IEEE
+    * double ops on exact integer inputs (bit-identical in any engine);
+    * the cross-term sum folds left-to-right over the term-sorted score
+    * list (collect_list is order-nondeterministic — sort_array
+    * canonicalizes before the fold), so aggregation order can never move
+    * the total. NOT a decimal cast: Spark's double→decimal goes through
+    * the shortest string repr and diverges from binary rounding.
+    *
+    * Scale shape: one tf hash-agg over only the rows matching the ≤|terms|
+    * query terms, a genuinely-bounded broadcast (the df table has at most
+    * |terms| rows — unlike a full vocabulary it cannot grow with the
+    * corpus), doc lengths as a second hash-agg, top-k via
+    * TakeOrderedAndProject. */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol), tokens(textCol).as("t"))
+    val lens = toks.select(col(idCol), size(col("t")).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = toks.select(col(idCol), explode(col("t")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .join(lens, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("s",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / (col("sum_dl").cast("double") / col("n_docs")))))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("term").as("t"), col("s").as("s")))),
+            x => x.getField("s")),
+          lit(0.0), _ + _).as("raw"))
+      .select(col(idCol), col("n_terms").cast("int").as("n_terms"),
+        round(col("raw"), 6).as("bm25"))
+      .orderBy(col("raw").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Inverted-index build: one row per term with document frequency,
+    * collection frequency, and a capped posting list "doc:tf,doc:tf,…"
+    * ordered by (tf desc, doc asc) — the retrieval-index materialization
+    * step (posting caps are the standard impact-ordered truncation).
+    * df/cf aggregate over ALL postings; only the stored list is capped.
+    * One explode → one (term, doc) hash agg → one term-partitioned window
+    * → one term hash agg; output is vocabulary-sized (sublinear in the
+    * corpus by Heaps' law). */
+  def invertedIndex(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxPostings: Int): DataFrame = {
+    val tf = docs.select(col(idCol), explode(tokens(textCol)).as("term"))
+      .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("term").orderBy(col("tf").desc, col(idCol).asc)
+    tf.withColumn("rn", row_number().over(w))
+      .groupBy("term")
+      .agg(
+        count(lit(1)).as("df"),
+        sum("tf").as("cf"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("rn") <= maxPostings,
+              struct(col("rn").as("rn"),
+                concat(col(idCol), lit(":"), col("tf")).as("e"))))),
+            x => x.getField("e")),
+          ",").as("postings"))
+  }
+
+  /** Shannon entropy quality signals per document, in bits: character
+    * entropy (over the lowercased character stream) and word entropy
+    * (over tokens). Near-zero entropy = degenerate/repetitive content;
+    * the standard cheap complement to the Gopher repetition fractions.
+    *
+    * H = (ln n − Σ c·ln c / n) / ln 2 over class counts c. Each c·ln c
+    * is an IEEE double on exact integer input (engine-portable); the sum
+    * folds left-to-right over the class-sorted count list, so no
+    * aggregation-order dependence anywhere. Scale: two explode→hash-agg
+    * passes (chars, words) and per-doc folds over class lists — class
+    * cardinality is alphabet/vocabulary-bounded per doc, never
+    * corpus-sized. */
+  def entropySignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def entropyOf(classes: DataFrame): DataFrame =
+      classes.groupBy(col(idCol), col("cls")).agg(count(lit(1)).as("c"))
+        .groupBy(col(idCol))
+        .agg(sum("c").as("n"),
+          aggregate(
+            transform(sort_array(collect_list(struct(col("cls").as("k"), col("c").as("c")))),
+              x => x.getField("c").cast("double") * log(x.getField("c").cast("double"))),
+            lit(0.0), _ + _).as("slnc"))
+        .select(col(idCol),
+          round((log(col("n").cast("double")) - col("slnc") / col("n")) / log(lit(2.0)), 6)
+            .as("h"))
+    val chars = docs.select(col(idCol),
+      explode(expr(s"transform(sequence(1, length(lower($textCol))), " +
+        s"i -> substr(lower($textCol), i, 1))")).as("cls"))
+    val words = docs.select(col(idCol), explode(tokens(textCol)).as("cls"))
+    entropyOf(chars).withColumnRenamed("h", "char_entropy_bits")
+      .join(entropyOf(words).withColumnRenamed("h", "word_entropy_bits"), Seq(idCol), "left")
+  }
+
   /** Word-level repetition signals per document (the Gopher quality
     * filters' lexical core): distinct-token ratio, most-frequent-token
     * fraction, most-frequent-bigram fraction. All ratios are exact

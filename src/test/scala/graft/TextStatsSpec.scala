@@ -147,4 +147,45 @@ class TextStatsSpec extends SparkSpec {
       assert(ps.map(_.n_tokens).sum <= 100 || ps.length == 1)
     }
   }
+
+  test("bm25TopK: rare query term dominates; hand-computed score matches") {
+    // query = {cat, the}: 'cat' appears only in doc 1; 'the' in docs 1-2
+    val out = TextStats.bm25TopK(docs, "doc_id", "text",
+      terms = Seq("cat", "the"), k = 4)
+      .as[(Long, Int, Double)].collect()
+    assert(out.head._1 == 1L && out.head._2 == 2) // doc 1 first, both terms hit
+    assert(out.map(_._1).toSeq == Seq(1L, 2L)) // doc 2 matches only 'the'
+    // hand-computed BM25 for doc 2 (tf_the=2, df_the=2, N=4, dl=6, avgdl=5.25)
+    val idf = math.log(1.0 + (4 - 2 + 0.5) / (2 + 0.5))
+    val s = idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 6 / 5.25))
+    assert(math.abs(out(1)._3 - math.rint(s * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("invertedIndex: impact-ordered postings, cap leaves df/cf exact") {
+    val idx = TextStats.invertedIndex(docs, "doc_id", "text", maxPostings = 2)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(idx("the") == ((2L, 4L, "1:2,2:2"))) // tf ties → doc order
+    assert(idx("spam") == ((1L, 5L, "4:5")))
+    // cap: 'sat' in 2 docs, cap 2 keeps both; 'on' likewise
+    assert(idx("sat")._3 == "1:1,2:1")
+    val uncapped = TextStats.invertedIndex(docs, "doc_id", "text", maxPostings = 1)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(uncapped("the") == ((2L, 4L, "1:2"))) // df/cf still see all postings
+  }
+
+  test("entropySignals: degenerate, uniform, and repetitive-word cases") {
+    val d = Seq(
+      (1L, "aaaa"),           // one char class → 0 bits
+      (2L, "abcd"),           // 4 uniform classes → 2 bits
+      (3L, "zz zz zz zz"))    // words all equal → word entropy 0
+      .toDF("doc_id", "text")
+    val out = TextStats.entropySignals(d, "doc_id", "text")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((0.0, 0.0)))
+    assert(out(2L)._1 == 2.0 && out(2L)._2 == 0.0) // one 4-char token
+    assert(out(3L)._2 == 0.0) // 'zz' repeated → zero word entropy
+    assert(out(3L)._1 > 0.0)  // chars 'z' and ' ' mix → positive char entropy
+  }
 }
