@@ -215,4 +215,44 @@ object Relational {
       .map { case (lc, rc) => left.join(right, left(lc) === right(rc), "inner") }
       .reduce(_ unionByName _)
       .distinct()
+
+  /** SCD Type-2 history build (gaps-and-islands): collapse a per-key
+    * attribute stream into versioned validity intervals
+    * [valid_from_us, valid_to_us) — valid_to is the NEXT version's start,
+    * null while current — the standard dimension-history materialization
+    * of a lakehouse pipeline. Event order within a key is
+    * (tsCol, ordCol) — a total order, since Spark has no file order (the
+    * SURVEY §7.5 risk-1 discipline). Consecutive equal attribute values
+    * merge into one version; n_events counts the merged rows.
+    *
+    * Scale shape: everything runs key-partition-parallel — two windows
+    * over the same (key, ts, ord) shuffle ordering (lag + running sum,
+    * one Exchange since the partitioning is shared), one hash agg to
+    * islands, one lead over the islands frame. Timestamps become exact
+    * integer micros before any arithmetic. */
+  def scd2(
+      df: DataFrame, keyCol: String, attrCol: String,
+      tsCol: String, ordCol: String): DataFrame = {
+    // micros are a monotone image of the timestamp, so ordering by
+    // ("us", ordCol) is the same total order as (tsCol, ordCol)
+    val wOrd = Window.partitionBy(keyCol).orderBy(col("us"), col(ordCol))
+    val prev = lag(col(attrCol), 1).over(wOrd)
+    val flagged = df
+      .select(col(keyCol), col(attrCol), unix_micros(col(tsCol)).as("us"),
+        col(ordCol))
+      .withColumn("chg",
+        when(prev.isNull || prev =!= col(attrCol), 1).otherwise(0))
+      .withColumn("version",
+        sum("chg").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val islands = flagged.groupBy(col(keyCol), col("version"))
+      .agg(min(col(attrCol)).as(attrCol), // constant within an island
+        min(col("us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val wNext = Window.partitionBy(keyCol).orderBy("version")
+    islands
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wNext))
+      .select(col(keyCol), col("version").cast("int").as("version"),
+        col(attrCol), col("valid_from_us"), col("valid_to_us"),
+        col("n_events"))
+  }
 }

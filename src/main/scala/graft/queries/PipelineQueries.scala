@@ -378,5 +378,38 @@ object PipelineQueries {
           min("o_orderkey").cast("long").as("min_key"),
           max("o_orderkey").cast("long").as("max_key"))
     },
+
+    // SCD Type-2 dimension-history build (gaps-and-islands): each user's
+    // event_type stream collapses into versioned validity intervals
+    // [valid_from, valid_to) with valid_to = next version's start (null
+    // while current) — the lakehouse dimension-history materialization.
+    // All interval arithmetic in exact integer micros.
+    Q("q96_scd2",
+      """WITH t AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      AS prev_attr
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_type, us, event_id,
+        |    CASE WHEN prev_attr IS NULL OR prev_attr <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM t),
+        |v AS (
+        |  SELECT user_id, event_type, us,
+        |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |  FROM flagged),
+        |islands AS (
+        |  SELECT user_id, CAST(version AS INT) AS version,
+        |    MIN(event_type) AS event_type, MIN(us) AS valid_from_us,
+        |    COUNT(*) AS n_events
+        |  FROM v GROUP BY user_id, version)
+        |SELECT user_id, version, event_type, valid_from_us,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+        |    AS valid_to_us,
+        |  n_events
+        |FROM islands""".stripMargin) { (s, dir) =>
+      R.scd2(Tables(s, dir, "events"), "user_id", "event_type", "ts", "event_id")
+    },
   )
 }

@@ -164,4 +164,21 @@ class RelationalSpec extends SparkSpec {
     val dups = Checks.duplicateStats(df).collect()(0)
     assert(dups.getLong(0) == 2 && dups.getLong(1) == 1)
   }
+
+  test("scd2: runs merge, versions chain, open tail, per-key independence") {
+    val log = Seq(
+      ("A", "x", 1L, 1L), ("A", "x", 2L, 2L), ("A", "y", 3L, 3L),
+      ("A", "x", 5L, 4L), ("B", "z", 1L, 5L))
+      .toDF("k", "attr", "t", "eid")
+      .withColumn("ts", timestamp_seconds(col("t")))
+    val out = R.scd2(log, "k", "attr", "ts", "eid")
+      .as[(String, Int, String, Long, Option[Long], Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    val M = 1000000L // micros per second
+    assert(out.toSeq == Seq(
+      ("A", 1, "x", 1 * M, Some(3 * M), 2L), // two equal rows merged
+      ("A", 2, "y", 3 * M, Some(5 * M), 1L),
+      ("A", 3, "x", 5 * M, None, 1L),        // re-appearing attr = new version
+      ("B", 1, "z", 1 * M, None, 1L)))       // open-ended current version
+  }
 }
