@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.vector.Similarity
+import graft.vector.{Clustering, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Vector-similarity queries (SURVEY §2.11 V2 + the brief's ANN scale
@@ -222,5 +222,48 @@ object VectorQueries {
         .select(col("vec_id"),
           coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
     },
+
+    // Deterministic distributed k-means (k=8, 3 Lloyd iterations) over
+    // integer-quantized embeddings: exact integer centroid sums + IEEE
+    // double quotients + left-to-right distance folds make the whole
+    // algorithm a pure function of the input — the oracle replays the
+    // unrolled iterations bit-for-bit. The run-of-the-mill float k-means
+    // is partial-aggregation-order nondeterministic; this one is the
+    // reproducible form a curation pipeline can re-run and audit.
+    Q("q97_kmeans", kmeansOracle(k = 8, iters = 3)) { (s, dir) =>
+      Clustering.kmeans(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 3)
+    },
   )
+
+  /** Unrolled Lloyd iterations: quantize → seed centroids (k lowest ids)
+    * → [assign → integer-sum update]^(iters−1) → final assignment.
+    * Mirrors Clustering.kmeans frame by frame. */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    def assignCte(a: String, c: String): String =
+      s"""$a AS (SELECT vec_id, cid FROM (
+         |  SELECT ed.vec_id, $c.cid, row_number() OVER (PARTITION BY ed.vec_id
+         |    ORDER BY list_reduce(list_transform(generate_series(1, 64),
+         |      d -> (ed.dv[d] - $c.cv[d]) * (ed.dv[d] - $c.cv[d])),
+         |      (x, y) -> x + y) ASC, $c.cid) AS rn
+         |  FROM ed CROSS JOIN $c) t WHERE rn = 1)""".stripMargin
+    val steps = (1 until iters).map { i =>
+      s"""${assignCte(s"a$i", s"c${i - 1}")},
+         |u$i AS (SELECT a$i.cid, d, CAST(SUM(ed.qv[d]) AS BIGINT) AS s, COUNT(*) AS n
+         |        FROM a$i JOIN ed USING (vec_id) CROSS JOIN range(1, 65) r(d)
+         |        GROUP BY a$i.cid, d),
+         |c$i AS (SELECT cid, array_agg(CAST(s AS DOUBLE) / n ORDER BY d) AS cv
+         |        FROM u$i GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |ed AS (SELECT vec_id, qv, list_transform(qv, x -> CAST(x AS DOUBLE)) AS dv
+       |       FROM e),
+       |c0 AS (SELECT vec_id AS cid, dv AS cv FROM ed ORDER BY vec_id LIMIT $k),
+       |$steps,
+       |${assignCte(s"a$iters", s"c${iters - 1}")}
+       |SELECT vec_id, cid AS cluster FROM a$iters""".stripMargin
+  }
 }

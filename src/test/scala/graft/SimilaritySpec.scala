@@ -63,4 +63,22 @@ class SimilaritySpec extends SparkSpec {
     val ones = a.flatten.count(_ == 1)
     assert(ones > 200 && ones < 312) // ~half of 512
   }
+
+  test("kmeans: planted blobs recovered, Lloyd improves on seeds, reruns agree") {
+    import graft.vector.Clustering
+    // two tight blobs far apart; seeds (ids 0,1) both land in blob A, so
+    // iteration must MOVE a centroid across to blob B
+    val blobA = (0L to 4L).map(i => (i, Array(1f + i * 0.01f, 0f, 0f, 1f)))
+    val blobB = (5L to 9L).map(i => (i, Array(-1f, 5f + i * 0.01f, 2f, 0f)))
+    val df = (blobA ++ blobB).toDF("vec_id", "embedding")
+    val out = Clustering.kmeans(df, "vec_id", "embedding", k = 2, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val clustersA = (0L to 4L).map(out).toSet
+    val clustersB = (5L to 9L).map(out).toSet
+    assert(clustersA.size == 1 && clustersB.size == 1) // each blob pure
+    assert(clustersA != clustersB)                     // separated
+    val again = Clustering.kmeans(df, "vec_id", "embedding", k = 2, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == again) // deterministic end-to-end
+  }
 }
