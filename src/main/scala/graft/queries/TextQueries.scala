@@ -435,6 +435,41 @@ object TextQueries {
         |FROM che LEFT JOIN wde ON che.doc_id = wde.doc_id""".stripMargin) { (s, dir) =>
       TextStats.entropySignals(Tables(s, dir, "documents"), "doc_id", "text")
     },
+
+    // C4/RefinedWeb line-level cleaning over derived 8-word lines:
+    // intra-doc line dedup + min-words + badword-line drop, kept lines
+    // rejoined in order. (The corpus has no newlines, so the query first
+    // derives them — 8 words per line — with the SAME regex in both
+    // engines; the operator itself consumes any newline-delimited text.)
+    Q("q98_line_filter",
+      """WITH nl AS (
+        |  SELECT doc_id, regexp_replace(text,
+        |    '(\S+ \S+ \S+ \S+ \S+ \S+ \S+ \S+) ', '\1' || chr(10), 'g') AS t
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM nl),
+        |lines AS (
+        |  SELECT doc_id, s.i AS i, s.line AS line FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(l)),
+        |      i -> {'i': i, 'line': l[i]})) AS s
+        |    FROM ls)),
+        |f AS (
+        |  SELECT doc_id, i, line,
+        |    (row_number() OVER (PARTITION BY doc_id, line ORDER BY i) = 1
+        |     AND len(regexp_extract_all(lower(line), '[a-z0-9]+')) >= 8
+        |     AND NOT list_contains(regexp_extract_all(lower(line), '[a-z0-9]+'), 'dup'))
+        |      AS keep
+        |  FROM lines)
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_lines,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept,
+        |  COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY i), '')
+        |    AS clean_text
+        |FROM f GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val withLines = Tables(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(col("text"),
+          "(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ", "$1\n").as("text"))
+      TextStats.lineFilter(withLines, "doc_id", "text",
+        minWords = 8, badwords = Seq("dup"))
+    },
   )
 
   /** Shared oracle prelude for q83/q85: the greedy per-source packing

@@ -175,6 +175,44 @@ object TextStats {
       .join(entropyOf(words).withColumnRenamed("h", "word_entropy_bits"), Seq(idCol), "left")
   }
 
+  /** C4/RefinedWeb-style LINE-level cleaning: split each document on
+    * newlines, drop lines that (a) repeat an earlier identical line in
+    * the same document (RefinedWeb's intra-doc line dedup), (b) have
+    * fewer than `minWords` word tokens, or (c) contain a badword token
+    * (C4's line filters; its terminal-punctuation rule is the same
+    * predicate shape — add a regex test on the line if the corpus has
+    * punctuation). Returns per doc: (idCol, n_lines, n_kept, clean_text)
+    * with clean_text the kept lines rejoined in original order.
+    *
+    * Scale shape: one posexplode to (doc, line-index, line) rows, one
+    * (doc, line) window for the first-occurrence flag, one per-doc hash
+    * agg that re-assembles via an index-sorted fold — everything
+    * doc-partition-parallel, no driver collect. */
+  def lineFilter(
+      docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int, badwords: Seq[String]): DataFrame = {
+    val lineToks = expr("regexp_extract_all(lower(line), '[a-z0-9]+', 0)")
+    val bad =
+      if (badwords.isEmpty) lit(false)
+      else badwords.map(b => array_contains(lineToks, b)).reduce(_ || _)
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("i", "line")))
+    val w = Window.partitionBy(col(idCol), col("line")).orderBy(col("i"))
+    lines
+      .withColumn("keep",
+        (row_number().over(w) === 1) && size(lineToks) >= minWords && !bad)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_lines"),
+        coalesce(sum(when(col("keep"), 1)), lit(0)).cast("int").as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("i").as("i"), col("line").as("line"))))),
+            x => x.getField("line")),
+          "\n").as("clean_text"))
+  }
+
   /** Word-level repetition signals per document (the Gopher quality
     * filters' lexical core): distinct-token ratio, most-frequent-token
     * fraction, most-frequent-bigram fraction. All ratios are exact

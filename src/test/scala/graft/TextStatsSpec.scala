@@ -188,4 +188,23 @@ class TextStatsSpec extends SparkSpec {
     assert(out(3L)._2 == 0.0) // 'zz' repeated → zero word entropy
     assert(out(3L)._1 > 0.0)  // chars 'z' and ' ' mix → positive char entropy
   }
+
+  test("lineFilter: dedups repeated lines, drops short and badword lines") {
+    val d = Seq(
+      (1L, "good line with plenty of words here\n" +
+        "good line with plenty of words here\n" + // exact repeat → dropped
+        "too short\n" +                            // < 4 words → dropped
+        "spam appears inside this longer line today\n" + // badword → dropped
+        "another clean line with enough words too"),
+      (2L, "only one short line"))
+      .toDF("doc_id", "text")
+    val out = TextStats.lineFilter(d, "doc_id", "text",
+      minWords = 4, badwords = Seq("spam"))
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 5 && out(1L)._3 == 2)
+    assert(out(1L)._4 ==
+      "good line with plenty of words here\n" +
+        "another clean line with enough words too") // order preserved
+    assert(out(2L)._2 == 1 && out(2L)._3 == 1 && out(2L)._4 == "only one short line")
+  }
 }
