@@ -216,6 +216,57 @@ object Relational {
       .reduce(_ unionByName _)
       .distinct()
 
+  /** Skew-resistant equi-join by key salting (the join-side complement of
+    * [[saltedSumCount]]): the large/skewed left side tags each row with a
+    * deterministic salt in [0, salts); the smaller right side replicates
+    * every row across all salts; the join runs on (key, salt), so one hot
+    * key spreads over `salts` reducers instead of melting one. Each left
+    * row meets each right row exactly once → result ≡ the plain
+    * equi-join (the oracle property). AQE re-splits skewed sort-merge
+    * joins at runtime; explicit salting is the plan-stable form that also
+    * covers what AQE can't re-split, at the cost of a `salts`× right-side
+    * blowup — use with a dimension-sized right side. */
+  def saltedJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      salts: Int = 16): DataFrame = {
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1)))) // int elements already
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Group-wise z-score standardization of a numeric column (the feature
+    * normalization step of ML data prep), deterministic under any
+    * aggregation order: mean/variance come from DECIMAL-exact Σx and Σx²
+    * (associative), each cast to double ONCE, then
+    * σ = √(Σx²/n − μ²) — a fixed chain of IEEE scalar ops. Adds `zCol`
+    * (null when the group is constant, σ = 0) in one group-stats hash agg
+    * + one broadcast-joinable stats frame (group-cardinality-sized) —
+    * the input is scanned once, never window-sorted. */
+  def zscore(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      zCol: String): DataFrame = {
+    // factors cast to decimal BEFORE squaring: decimal(18,4)² = (37,8)
+    // stays exact inside precision 38 in both engines, while casting a
+    // COMPUTED double to decimal diverges (shortest-repr vs binary
+    // rounding — the dsum discipline applies to inputs only)
+    val xd = col(valueCol).cast(DecimalType(18, 4))
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(xd).cast(DoubleType).as("__s1"),
+        sum(xd * xd).cast(DoubleType).as("__s2"))
+      .withColumn("__mean", col("__s1") / col("__n"))
+      .withColumn("__std",
+        sqrt(greatest(col("__s2") / col("__n") - col("__mean") * col("__mean"),
+          lit(0.0))))
+    df.join(broadcast(stats), groupCols)
+      .withColumn(zCol,
+        (col(valueCol) - col("__mean")) / when(col("__std") > 0, col("__std")))
+      .drop("__n", "__s1", "__s2", "__mean", "__std")
+  }
+
   /** SCD Type-2 history build (gaps-and-islands): collapse a per-key
     * attribute stream into versioned validity intervals
     * [valid_from_us, valid_to_us) — valid_to is the NEXT version's start,

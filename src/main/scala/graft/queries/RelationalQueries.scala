@@ -458,5 +458,73 @@ object RelationalQueries {
           (abs(col("a50") - col("p50_exact")) <= col("p50_exact") * 0.01).as("p50_ok"),
           (abs(col("a99") - col("p99_exact")) <= col("p99_exact") * 0.01).as("p99_ok"))
     },
+
+    // Skew-resistant salted equi-join (the join-side complement of q59's
+    // salted aggregation): lineitem salted into 8 sub-keys per orderkey,
+    // orders replicated 8×, joined on (key, salt) — one hot key spreads
+    // over 8 reducers. The oracle is the PLAIN join: salting must be
+    // invisible in the result.
+    Q("q99_salted_join",
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_extendedprice"))
+      val ord = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      R.saltedJoin(li, ord, "k", salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), R.dsum(col("l_extendedprice")).as("revenue"))
+    },
+
+    // Group-wise z-score standardization (ML feature prep): per-flag
+    // mean/σ from decimal-exact Σx / Σx², row-level z, then order-free
+    // per-group extremes and a |z|>2 outlier count.
+    Q("q100_zscore",
+      """WITH st AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
+        |             * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s2
+        |  FROM lineitem GROUP BY l_returnflag),
+        |z AS (
+        |  SELECT l.l_returnflag,
+        |    (l.l_quantity - st.s1 / st.n)
+        |      / sqrt(greatest(st.s2 / st.n - (st.s1 / st.n) * (st.s1 / st.n), 0.0)) AS z
+        |  FROM lineitem l JOIN st USING (l_returnflag))
+        |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(MIN(z), 6) AS min_z, ROUND(MAX(z), 6) AS max_z,
+        |  CAST(SUM(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM z GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      R.zscore(Tables(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity", "z")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(min("z"), 6).as("min_z"), round(max("z"), 6).as("max_z"),
+          coalesce(sum(when(abs(col("z")) > 2, 1)), lit(0)).cast("long")
+            .as("n_outliers"))
+    },
+
+    // Decile bucketing (ntile) of order value within each priority class
+    // — equal-frequency binning for feature discretization; bucket
+    // boundaries from a total (price, key) order so the cut is exact.
+    Q("q101_ntile",
+      """WITH t AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    ntile(10) OVER (PARTITION BY o_orderpriority
+        |                    ORDER BY o_totalprice, o_orderkey) AS decile
+        |  FROM orders)
+        |SELECT o_orderpriority, decile, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM t GROUP BY o_orderpriority, decile""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy("o_orderpriority", "decile")
+        .agg(count(lit(1)).as("n"),
+          min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+    },
   )
 }

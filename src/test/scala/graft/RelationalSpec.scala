@@ -165,6 +165,30 @@ class RelationalSpec extends SparkSpec {
     assert(dups.getLong(0) == 2 && dups.getLong(1) == 1)
   }
 
+  test("saltedJoin ≡ plain join, multiplicities preserved") {
+    // hot key 1 on the left (5 rows), dup right rows to check multiplicity
+    val left = Seq((1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"), (1L, "e"),
+      (2L, "f"), (3L, "g")).toDF("k", "lv")
+    val right = Seq((1L, "X"), (1L, "Y"), (2L, "Z")).toDF("k", "rv")
+    val salted = R.saltedJoin(left, right, "k", salts = 4)
+      .select("k", "lv", "rv").as[(Long, String, String)].collect().sorted
+    val plain = left.join(right, "k")
+      .select("k", "lv", "rv").as[(Long, String, String)].collect().sorted
+    assert(salted.toSeq == plain.toSeq && plain.nonEmpty)
+  }
+
+  test("zscore: hand-computed values, constant group nulls out") {
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("c", 7.0), ("c", 7.0))
+      .toDF("grp", "x")
+    val out = R.zscore(df, Seq("grp"), "x", "z")
+      .select("grp", "x", "z").as[(String, Double, Option[Double])].collect()
+    val g = out.filter(_._1 == "g").map(r => r._2 -> r._3.get).toMap
+    val std = math.sqrt((1.0 + 4 + 9) / 3 - 4.0) // = sqrt(2/3)
+    assert(math.abs(g(3.0) - 1.0 / std) < 1e-12)
+    assert(math.abs(g(2.0)) < 1e-12)
+    assert(out.filter(_._1 == "c").forall(_._3.isEmpty)) // σ=0 → null
+  }
+
   test("scd2: runs merge, versions chain, open tail, per-key independence") {
     val log = Seq(
       ("A", "x", 1L, 1L), ("A", "x", 2L, 2L), ("A", "y", 3L, 3L),
