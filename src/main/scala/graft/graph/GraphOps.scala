@@ -464,4 +464,48 @@ object GraphOps {
       .select(col("v").as("id"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
+
+  /** k-core membership by `rounds` peeling rounds: repeatedly drop
+    * vertices whose degree in the survivor-induced subgraph is < k — the
+    * density-core extraction (community nuclei, spam-farm detection). A
+    * fixed round budget makes the operator a pure function of its input
+    * (the oracle unrolls the same rounds); cascades longer than `rounds`
+    * keep extra vertices, exactly as a bounded-superstep Pregel would —
+    * raise `rounds` for deeper cascades (graph-diameter-bounded).
+    *
+    * Returns (id, in_core, core_deg) for every vertex of the input edge
+    * set; core_deg is the final survivor-induced degree (null for peeled
+    * vertices). Scale: per round two semi-join-shaped equi-joins of the
+    * cached undirected edge list against the shrinking survivor set and
+    * one hash-agg degree count — work is proportional to surviving
+    * edges, the standard distributed peeling shape. */
+  def kCorePeel(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+              greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val und = canon.union(canon.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("src"), col("b").as("dst")).persist()
+    val allV = und.select(col("src").as("id")).distinct()
+    var surv = allV
+    var degS = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    for (_ <- 1 to rounds) {
+      surv = degS.filter(col("d") >= k).select("id").localCheckpoint()
+      degS = und
+        .join(surv.select(col("id").as("src")), "src")
+        .join(surv.select(col("id").as("dst")), "dst")
+        .groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    }
+    val out = allV
+      .join(surv.select(col("id"), lit(true).as("in_core")), Seq("id"), "left")
+      .join(degS.select(col("id"), col("d")), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("in_core"), lit(false)).as("in_core"),
+        when(coalesce(col("in_core"), lit(false)), coalesce(col("d"), lit(0L)))
+          .as("core_deg"))
+    und.unpersist(blocking = false)
+    out
+  }
 }

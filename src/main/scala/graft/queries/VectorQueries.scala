@@ -223,6 +223,53 @@ object VectorQueries {
           coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
     },
 
+    // k-core extraction (k=3, 3 peeling rounds) of the same similarity
+    // graph as q92: repeatedly drop vertices with survivor-induced degree
+    // < 3 — the density-nuclei diagnostic (tight semantic clusters
+    // survive; fringe vectors peel off). Oracle unrolls the same rounds.
+    Q("q102_kcore",
+      s"""$normCte,
+         |ce AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE $dotAB / (a.nrm * b.nrm) >= 0.22),
+         |und AS (SELECT a AS src, b AS dst FROM ce
+         |        UNION ALL SELECT b AS src, a AS dst FROM ce),
+         |d0 AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src),
+         |${(1 to 3).map { i =>
+          s"""s$i AS (SELECT id FROM d${i - 1} WHERE d >= 3),
+             |d$i AS (SELECT u.src AS id, COUNT(*) AS d
+             |        FROM und u JOIN s$i x ON u.src = x.id JOIN s$i y ON u.dst = y.id
+             |        GROUP BY u.src)""".stripMargin
+        }.mkString(",\n")}
+         |SELECT e.vec_id,
+         |  COALESCE(s3.id IS NOT NULL, FALSE) AS in_core,
+         |  CASE WHEN s3.id IS NOT NULL THEN CAST(COALESCE(d3.d, 0) AS BIGINT) END
+         |    AS core_deg
+         |FROM e LEFT JOIN s3 ON e.vec_id = s3.id
+         |       LEFT JOIN d3 ON e.vec_id = d3.id""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val base = emb.select(col("vec_id"), col("label"),
+          Similarity.vecD(col("embedding")).as("v"))
+        .withColumn("nrm", Similarity.norm(col("v")))
+      val a = base.select(col("vec_id").as("ia"), col("label").as("blk"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = base.select(col("vec_id").as("ib"), col("label").as("blk"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      val edges = a.join(b, Seq("blk"))
+        .filter(col("ia") < col("ib"))
+        .filter(Similarity.cosine(col("va"), col("vb"), col("na"), col("nb"))
+          >= 0.22)
+        .select(col("ia"), col("ib"))
+      val core = graft.graph.GraphOps.kCorePeel(edges, "ia", "ib", k = 3, rounds = 3)
+      emb.select(col("vec_id"))
+        .join(core.select(col("id").as("vec_id"), col("in_core"), col("core_deg")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("in_core"), lit(false)).as("in_core"),
+          col("core_deg"))
+    },
+
     // Deterministic distributed k-means (k=8, 3 Lloyd iterations) over
     // integer-quantized embeddings: exact integer centroid sums + IEEE
     // double quotients + left-to-right distance folds make the whole

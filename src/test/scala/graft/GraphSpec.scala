@@ -176,4 +176,21 @@ class GraphSpec extends SparkSpec {
     } yield 1).size.toLong).toMap
     assert(got == brute)
   }
+
+  test("kCorePeel: K4 core survives, pendant chain cascades off") {
+    // K4 on 1-4, chain 4-5-6 hanging off: 3-core = exactly the K4;
+    // 5 peels only AFTER 6 (cascade needs 2 rounds)
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val e = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val out = GraphOps.kCorePeel(e, "src", "dst", k = 3, rounds = 3)
+      .as[(Long, Boolean, Option[Long])].collect().map(r => r._1 -> r).toMap
+    assert((1L to 4L).forall(out(_)._2))
+    assert(!out(5L)._2 && !out(6L)._2)
+    assert(out(1L)._3.contains(3L) && out(5L)._3.isEmpty)
+    // bounded rounds: with rounds = 1 the not-yet-cascaded 5 still survives
+    // degree-wise? no — deg(5)=2 < 3 drops round 1; but 4 keeps core deg
+    val r1 = GraphOps.kCorePeel(e, "src", "dst", k = 3, rounds = 1)
+      .as[(Long, Boolean, Option[Long])].collect().map(r => r._1 -> r._2).toMap
+    assert(r1 == out.view.mapValues(_._2).toMap) // this cascade settles in 1
+  }
 }
