@@ -63,7 +63,9 @@ class PlanSpec extends SparkSpec {
       "q58_ann_ivf",      // broadcast query vector
       "q75_tfidf_topk",   // broadcast 1-row N(docs) scalar
       "q86_ann_recall",   // broadcast query vector (brute + LSH sides)
-      "q88_vocabulary")   // broadcast 1-row corpus-token-total scalar
+      "q88_vocabulary",   // broadcast 1-row corpus-token-total scalar
+      "q93_bm25",         // broadcast 1-row (n_docs, sum_dl) scalar
+      "q97_kmeans")       // broadcast k-row centroid table per iteration
     // Known blind spot: the iterative queries (q42/q60/q80/q81) run
     // their superstep jobs eagerly inside fn, so only their FINAL frame
     // is inspected here; the supersteps' own plan shapes are covered by
