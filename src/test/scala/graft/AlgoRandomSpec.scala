@@ -198,4 +198,98 @@ class AlgoRandomSpec extends SparkSpec {
       assert(got == want, s"decontamination mismatch for seed $seed")
     }
   }
+
+  test("kCorePeel equals scalar peeling on random graphs") {
+    for (seed <- Seq(11, 43, 97)) {
+      val rnd = new Random(seed)
+      val n = 25
+      val edges = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val (k, rounds) = (3, 5)
+      val got = GraphOps.kCorePeel(edges.toDF("src", "dst"), "src", "dst", k, rounds)
+        .as[(Long, Boolean, Option[Long])].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      // scalar replay: adjacency over distinct canonical pairs
+      val canon = edges.map { case (a, b) => (a min b, a max b) }.distinct
+      val verts = canon.flatMap(e => Seq(e._1, e._2)).distinct
+      def degrees(s: Set[Long]): Map[Long, Long] =
+        canon.filter(e => s(e._1) && s(e._2))
+          .flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (v, l) => v -> l.size.toLong }
+      var surv = verts.toSet
+      var deg = verts.map(v => v ->
+        canon.count(e => e._1 == v || e._2 == v).toLong).toMap
+      for (_ <- 1 to rounds) {
+        surv = surv.filter(v => deg.getOrElse(v, 0L) >= k)
+        deg = degrees(surv)
+      }
+      val want = verts.map { v =>
+        v -> ((surv(v), if (surv(v)) Some(deg.getOrElse(v, 0L)) else None))
+      }.toMap
+      assert(got == want, s"kCore mismatch for seed $seed")
+    }
+  }
+
+  test("kmeans equals a scalar Lloyd replay on random vectors") {
+    for (seed <- Seq(7, 31, 83)) {
+      val rnd = new Random(seed)
+      val dims = 6
+      val vecs = (1L to 40L).map(i =>
+        (i, Array.fill(dims)((rnd.nextDouble() * 4 - 2).toFloat)))
+      val (k, iters) = (4, 3)
+      val got = graft.vector.Clustering.kmeans(
+          vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", k, iters)
+        .as[(Long, Long)].collect().toMap
+      // scalar replay with the exact same quantization / fold / tie-break
+      def quant(x: Float): Long =
+        BigDecimal.valueOf(x.toDouble * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val q = vecs.map { case (id, v) => id -> v.map(quant) }.toMap
+      def d2(x: Array[Double], c: Array[Double]): Double =
+        x.indices.foldLeft(0.0)((a, i) => a + (x(i) - c(i)) * (x(i) - c(i)))
+      def assign(cent: Seq[(Long, Array[Double])]): Map[Long, Long] =
+        q.map { case (id, x) =>
+          id -> cent.map { case (cid, cv) => (d2(x.map(_.toDouble), cv), cid) }
+            .min._2
+        }
+      var cent: Seq[(Long, Array[Double])] = vecs.sortBy(_._1).take(k)
+        .map { case (id, _) => id -> q(id).map(_.toDouble) }
+      for (_ <- 1 until iters) {
+        val asg = assign(cent)
+        cent = asg.groupBy(_._2).toSeq.sortBy(_._1).map { case (cid, members) =>
+          val xs = members.keys.toSeq.map(q)
+          val ndim = xs.head.length
+          cid -> Array.tabulate(ndim)(d =>
+            xs.map(_(d)).sum.toDouble / xs.size)
+        }
+      }
+      assert(assign(cent) == got, s"kmeans mismatch for seed $seed")
+    }
+  }
+
+  test("scd2 equals a scalar run-collapse on random event logs") {
+    for (seed <- Seq(13, 59, 103)) {
+      val rnd = new Random(seed)
+      val events = (1L to 80L).map { id =>
+        (rnd.nextInt(4).toLong, Seq("a", "b", "c")(rnd.nextInt(3)),
+          new Timestamp(rnd.nextInt(1000) * 1000L), id)
+      }
+      val got = graft.operators.Relational.scd2(
+          events.toDF("k", "attr", "ts", "eid"), "k", "attr", "ts", "eid")
+        .as[(Long, Int, String, Long, Option[Long], Long)].collect().toSet
+      val want = events.groupBy(_._1).flatMap { case (key, evs) =>
+        val sorted = evs.map(e => (e._3.getTime * 1000L, e._4, e._2)).sorted
+        val runs = sorted.foldLeft(Vector.empty[Vector[(Long, Long, String)]]) {
+          case (acc, e) =>
+            if (acc.isEmpty || acc.last.last._3 != e._3) acc :+ Vector(e)
+            else acc.init :+ (acc.last :+ e)
+        }
+        runs.zipWithIndex.map { case (run, i) =>
+          val to = if (i + 1 < runs.size) Some(runs(i + 1).head._1) else None
+          (key, i + 1, run.head._3, run.head._1, to, run.size.toLong)
+        }
+      }.toSet
+      assert(got == want, s"scd2 mismatch for seed $seed")
+    }
+  }
 }
