@@ -526,5 +526,46 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
     },
+
+    // Full-outer join (absent from the reference; Catalyst built-in):
+    // per-nation customer vs supplier presence, null-preserving on both
+    // sides — the reconciliation-report join shape.
+    Q("q103_full_outer",
+      """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT COALESCE(c.nk, s.nk) AS nationkey,
+        |  CAST(COALESCE(c.n_cust, 0) AS BIGINT) AS n_cust,
+        |  CAST(COALESCE(s.n_supp, 0) AS BIGINT) AS n_supp,
+        |  (c.nk IS NOT NULL AND s.nk IS NOT NULL) AS both_sides
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk""".stripMargin) { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+      val su = Tables(s, dir, "supplier")
+        .groupBy(col("s_nationkey").as("snk")).agg(count(lit(1)).as("n_supp"))
+      c.join(su, col("nk") === col("snk"), "full_outer")
+        .select(coalesce(col("nk"), col("snk")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+          (col("nk").isNotNull && col("snk").isNotNull).as("both_sides"))
+    },
+
+    // Rank-statistics windows (percent_rank / cume_dist) — the relative
+    // standing of each order inside its priority class; quantile features
+    // computed distributively with no global sort.
+    Q("q104_rank_stats",
+      """SELECT o_orderkey, o_orderpriority,
+        |  ROUND(percent_rank() OVER (PARTITION BY o_orderpriority
+        |        ORDER BY o_totalprice, o_orderkey), 6) AS pr,
+        |  ROUND(cume_dist() OVER (PARTITION BY o_orderpriority
+        |        ORDER BY o_totalprice, o_orderkey), 6) AS cd
+        |FROM orders""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+    },
   )
 }
