@@ -379,6 +379,32 @@ object PipelineQueries {
           max("o_orderkey").cast("long").as("max_key"))
     },
 
+    // Bucketed co-located join: both sides written bucketBy(8) on the
+    // join key, then joined WITHOUT any exchange (the bucket layout IS
+    // the shuffle, paid once at write time) — the pre-partitioning
+    // discipline that amortizes one shuffle across every downstream join
+    // at 100 TB. The oracle is the plain join on the raw parquet:
+    // bucketing must be invisible in results.
+    Q("q105_bucketed_join",
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      Tables(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"graft_bkt_li_$sfx")
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"graft_bkt_ord_$sfx")
+      s.table(s"graft_bkt_li_$sfx")
+        .hint("merge") // force SMJ so the bucket layout (not a broadcast) carries the join
+        .join(s.table(s"graft_bkt_ord_$sfx"), "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), R.dsum(col("l_extendedprice")).as("revenue"))
+    },
+
     // SCD Type-2 dimension-history build (gaps-and-islands): each user's
     // event_type stream collapses into versioned validity intervals
     // [valid_from, valid_to) with valid_to = next version's start (null

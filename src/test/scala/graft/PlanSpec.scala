@@ -85,6 +85,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q105: bucketed join is SMJ with zero join-side exchange") {
+    val p = planOf("q105_bucketed_join")
+    assert(p.contains("SortMergeJoin"))
+    // the only hashpartitioning exchange is the post-join aggregation's;
+    // the join key itself is carried by the bucket layout
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"))
+  }
+
   test("q83: packing plans exactly one group repartition, no global sort") {
     val p = planOf("q83_pack_sequences")
     // one hashpartitioning exchange on the group column; the order is
