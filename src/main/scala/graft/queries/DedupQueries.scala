@@ -354,5 +354,68 @@ object DedupQueries {
       Dedup.fuzzyDedup(s, Tables(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, numHashes = 16, bands = 4, jaccNum = 1, jaccDen = 2)
     },
+
+    // End-to-end curation funnel — the module kernels composed the way a
+    // production pretraining pipeline chains them, reported as per-stage
+    // survivor counts: language+quality gate → exact dedup →
+    // decontamination (held-out = doc_id%10=0) → reproducible train
+    // split. Every stage is one of the already-oracled kernels; the
+    // funnel proves they compose.
+    Q("q106_curation_pipeline",
+      """WITH sc AS (
+        |  SELECT doc_id, lang, text,
+        |    ROUND(
+        |      CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        |           x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+        |        / GREATEST(len(regexp_extract_all(lower(text), '[a-z]+')), 1) * 0.5
+        |      + (1 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
+        |            / GREATEST(length(text), 1)) * 0.5, 6) AS q
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, text FROM sc WHERE lang = 'en' AND q >= 0.52),
+        |keep AS (SELECT MIN(doc_id) AS doc_id FROM s1 GROUP BY sha256(text)),
+        |s2 AS (SELECT s1.doc_id, s1.text FROM s1 JOIN keep USING (doc_id)),
+        |toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+        |                doc_id % 10 = 0 AS is_test
+        |         FROM s2),
+        |grams AS (
+        |  SELECT doc_id, is_test,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(0, greatest(len(t) - 8, 0)),
+        |      i -> array_to_string(t[i+1:i+8], ' ')))) AS ng
+        |  FROM toks WHERE len(t) >= 8),
+        |tg AS (SELECT DISTINCT ng FROM grams WHERE is_test),
+        |cont AS (SELECT DISTINCT g.doc_id FROM grams g JOIN tg USING (ng)),
+        |s3 AS (SELECT s2.doc_id, s2.text FROM s2
+        |       WHERE s2.doc_id % 10 <> 0
+        |         AND s2.doc_id NOT IN (SELECT doc_id FROM cont)),
+        |s4 AS (SELECT doc_id FROM s3
+        |       WHERE (CAST(strpos('0123456789abcdef',
+        |                substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) * 16
+        |              + CAST(strpos('0123456789abcdef',
+        |                substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS INT)) < 205)
+        |SELECT '1_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+        |UNION ALL SELECT '2_quality', COUNT(*) FROM s1
+        |UNION ALL SELECT '3_exact_dedup', COUNT(*) FROM s2
+        |UNION ALL SELECT '4_decontaminated', COUNT(*) FROM s3
+        |UNION ALL SELECT '5_train', COUNT(*) FROM s4""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val s1 = docs.filter(col("lang") === "en" &&
+        round(graft.functions.TextFunctions.qualityScore(col("text")), 6) >= 0.52)
+      val s2 = s1.join(
+        Dedup.exactGroups(s1, "doc_id", "text")
+          .select(col("keep_id").as("doc_id")), "doc_id")
+      val dec = Dedup.decontaminateNgrams(s2, "doc_id", "text",
+        isTest = pmod(col("doc_id"), lit(10)) === 0, n = 8)
+      val s3 = s2
+        .join(dec.filter(!col("contaminated")).select("doc_id"), "doc_id")
+        .filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val s4 = s3.filter(Dedup.hashSplit3(col("doc_id")) === "train")
+      Seq("1_input" -> docs, "2_quality" -> s1, "3_exact_dedup" -> s2,
+          "4_decontaminated" -> s3, "5_train" -> s4)
+        .map { case (n, df) =>
+          df.agg(count(lit(1)).as("n_docs")).select(lit(n).as("stage"), col("n_docs"))
+        }
+        .reduce(_ unionByName _)
+    },
   )
 }
