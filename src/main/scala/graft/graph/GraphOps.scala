@@ -352,6 +352,75 @@ object GraphOps {
     out
   }
 
+  /** PERSONALIZED PageRank in the same fixed-point integer arithmetic as
+    * [[pageRankFixedPoint]]: all teleport mass returns to ONE anchor
+    * vertex instead of spreading uniformly — the graph-retrieval
+    * primitive ("rank everything by relevance to this node", the
+    * GraphRAG anchor-expansion query shape, ingest_graph_db.py:366-377
+    * via /root/reference generalized from 2 hops to a damped walk).
+    * Initial mass: the whole scale on the anchor. Iteration:
+    * pr' = isAnchor·base + (damping%·Σ incoming shares) div 100 with
+    * base = (100−damping)% of scale. Deterministic under any partial-agg
+    * order (integer ops only); same per-iteration shuffle structure and
+    * block-lazy chaining as the uniform variant — the static state now
+    * carries (deg, isAnchor). */
+  def personalizedPageRankFixedPoint(
+      edges: DataFrame, srcCol: String, dstCol: String, anchor: DataFrame,
+      iters: Int, dampingPct: Long = 85L,
+      scale: Long = 1000000000000L): DataFrame = {
+    val cacheUnd = iters > 2 * SuperstepBlock
+    val und0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    val und = if (cacheUnd) und0.persist() else und0
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .persist()
+    val n = deg.count()
+    if (n == 0) {
+      und.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
+      return deg.select(col("id"), lit(0L).as("pr"))
+    }
+    val base = ((100L - dampingPct) * scale) / 100L
+    val a = broadcast(anchor
+      .select(col(anchor.columns.head).as("id")).limit(1)
+      .withColumn("isa", lit(1L)))
+    // STATIC (id, deg, isa) frame cached once — each iteration rebuilds
+    // the state from it and references the previous state exactly once
+    // (via `incoming`), keeping the superstep chain a linear plan (the
+    // pageRankFixedPoint discipline)
+    val degA = deg.join(a, Seq("id"), "left")
+      .select(col("id"), col("deg"), coalesce(col("isa"), lit(0L)).as("isa"))
+      .persist()
+    var st = degA.withColumn("pr", col("isa") * scale)
+    var cached: Option[DataFrame] = None
+    var done = 0
+    while (done < iters) {
+      val steps = math.min(2 * SuperstepBlock, iters - done)
+      for (_ <- 1 to steps) {
+        val incoming = und
+          .join(st.select(col("id").as("src"), expr("pr div deg").as("share")), "src")
+          .groupBy(col("dst").as("id"))
+          .agg(sum(col("share")).as("s"))
+        st = degA
+          .join(incoming, Seq("id"), "left")
+          .select(col("id"), col("deg"), col("isa"),
+            (col("isa") * base +
+              expr(s"($dampingPct * coalesce(s, 0L)) div 100")).as("pr"))
+      }
+      val snap = st.persist()
+      snap.count()
+      cached.foreach(_.unpersist(blocking = false))
+      cached = Some(snap)
+      st = snap
+      done += steps
+    }
+    val out = st.select(col("id"), col("pr"))
+    if (cacheUnd) und.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    degA.unpersist(blocking = false)
+    out
+  }
+
   /** BFS levels from an anchor: minimum hop distance ≤ maxHops, as a
     * frontier-expansion Catalyst loop — per hop one equi-join of the edge
     * list against the (small) frontier plus an anti-join against the

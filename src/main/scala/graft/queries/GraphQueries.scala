@@ -177,6 +177,24 @@ object GraphQueries {
           shiftright(col("id"), 1).as("key"),
           col("level"))
     },
+
+    // Personalized PageRank from the min-key part vertex — the damped
+    // generalization of the reference's 2-hop anchor expansion
+    // (ingest_graph_db.py:366-377): rank every vertex by relevance to
+    // the anchor. Same fixed-point integer arithmetic as q80, teleport
+    // mass returning to the anchor only; oracle replays the unrolled
+    // anchored power iteration.
+    Q("q107_personalized_pagerank", pprOracle(iters = 3)) { (s, dir) =>
+      val e = bipartite(s, dir).persist()
+      val anchor = e.agg(min(col("src")).as("id"))
+      val pr = GraphOps.personalizedPageRankFixedPoint(
+        e, "src", "dst", anchor, iters = 3)
+      e.unpersist(blocking = false)
+      pr.select(
+        when(pmod(col("id"), lit(2)) === 0, "part").otherwise("supplier").as("kind"),
+        shiftright(col("id"), 1).as("key"),
+        col("pr"))
+    },
   )
 
   /** The part–supplier bipartite edge set shared by the graph queries
@@ -215,6 +233,28 @@ object GraphQueries {
        |p AS (SELECT 1000000000000 // COUNT(*) AS unit,
        |             (15 * (1000000000000 // COUNT(*))) // 100 AS base FROM deg),
        |pr0 AS (SELECT id, (SELECT unit FROM p) AS pr FROM deg),
+       |$steps
+       |SELECT $kindKey, pr FROM pr$iters""".stripMargin
+  }
+
+  /** Unrolled anchored (personalized) fixed-point PageRank: pr0 = scale
+    * on the anchor, 0 elsewhere; per step the (100−d)% teleport base
+    * returns to the anchor only. All-BIGINT ops ≡ one Spark iteration. */
+  private def pprOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""s$i AS (SELECT u.dst AS id, CAST(SUM(pr${i - 1}.pr // d.deg) AS BIGINT) AS s
+         |  FROM und u JOIN pr${i - 1} ON u.src = pr${i - 1}.id JOIN deg d ON u.src = d.id
+         |  GROUP BY u.dst),
+         |pr$i AS (SELECT d.id,
+         |  (CASE WHEN d.id = (SELECT id FROM anc) THEN (15 * 1000000000000) // 100
+         |        ELSE 0 END) + (85 * COALESCE(s$i.s, 0)) // 100 AS pr
+         |  FROM deg d LEFT JOIN s$i ON d.id = s$i.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$graphPrelude,
+       |deg AS (SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY src),
+       |anc AS (SELECT MIN(src) AS id FROM e),
+       |pr0 AS (SELECT id, CASE WHEN id = (SELECT id FROM anc)
+       |                        THEN 1000000000000 ELSE 0 END AS pr FROM deg),
        |$steps
        |SELECT $kindKey, pr FROM pr$iters""".stripMargin
   }

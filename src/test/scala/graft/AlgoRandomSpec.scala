@@ -99,6 +99,38 @@ class AlgoRandomSpec extends SparkSpec {
     }
   }
 
+  test("personalizedPageRank equals a scalar anchored replay on random graphs") {
+    for (seed <- Seq(19, 53, 113)) {
+      val rnd = new Random(seed)
+      val n = 20
+      val edges = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val iters = 4
+      val scale = 1000000L
+      val anchorId = edges.map(_._1).min
+      val got = GraphOps.personalizedPageRankFixedPoint(
+          edges.toDF("src", "dst"), "src", "dst",
+          Seq(anchorId).toDF("id"), iters, scale = scale)
+        .as[(Long, Long)].collect().toMap
+      val und = edges ++ edges.map(_.swap)
+      val deg = und.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+      val base = (15L * scale) / 100L
+      var pr = deg.keys.map(v => v -> (if (v == anchorId) scale else 0L)).toMap
+      for (_ <- 1 to iters) {
+        val share = pr.map { case (v, p) => v -> p / deg(v) }
+        val in = und.groupBy(_._2).map { case (v, es) =>
+          v -> es.map(e => share(e._1)).sum
+        }
+        pr = deg.keys.map(v => v ->
+          ((if (v == anchorId) base else 0L) + (85L * in.getOrElse(v, 0L)) / 100L)).toMap
+      }
+      assert(got == pr, s"personalized pagerank mismatch for seed $seed")
+      // teleport mass concentrates at the anchor: it outranks the median
+      val ranks = got.values.toSeq.sorted
+      assert(got(anchorId) >= ranks(ranks.size / 2))
+    }
+  }
+
   test("bfsLevels equals scalar BFS on random graphs") {
     for (seed <- Seq(11, 59, 131)) {
       val rnd = new Random(seed)
