@@ -479,6 +479,148 @@ object GraphOps {
     out
   }
 
+  /** HITS hubs & authorities in fixed-point integer arithmetic over the
+    * DIRECTED edge set (src = hub side, dst = authority side — on a
+    * bipartite graph the natural "good parts point at good suppliers"
+    * ranking; the reference's graph retrieval is exactly this
+    * anchor/neighbor-quality shape, ingest_graph_db.py:366-377 via
+    * /root/reference). Per iteration: authRaw = Σ incoming hub, rescaled
+    * so Σauth = ~scale via integer div; then hubRaw = Σ outgoing auth,
+    * rescaled the same way — Kleinberg's power iteration with
+    * sum-normalization (instead of L2) to stay in exact integer ops, so
+    * the result is deterministic under any partial-aggregation order.
+    *
+    * Overflow bound: every state value ≤ scale and every raw sum ≤
+    * m·(max state), so rescale products stay < scale² ·deg-skew; the
+    * default 1e9 scale holds to ~1e9-edge graphs — at larger m lower
+    * `scale` (precision trades linearly). Scale shape: per iteration two
+    * edge-list equi-joins + two hash aggs + two 1-row scalar broadcasts;
+    * no driver collect. */
+  def hitsFixedPoint(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, scale: Long = 1000000000L): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist()
+    val srcs = e.select(col("src").as("id")).distinct()
+    val nSrc = srcs.count()
+    if (nSrc == 0) {
+      e.unpersist(blocking = false)
+      return srcs.select(col("id"), lit(0L).as("hub"), lit(0L).as("auth"))
+    }
+    // max(…,1): a unit of 0 (scale < nSrc) would zero every raw sum and
+    // the rescale would divide by zero — floor the unit at 1 instead
+    var hub = srcs.withColumn("h", lit(math.max(scale / nSrc, 1L)))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val authRaw = e.join(hub.select(col("id").as("src"), col("h")), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("raw"))
+      val aTot = authRaw.agg(sum("raw").as("tot"))
+      auth = authRaw.crossJoin(broadcast(aTot))
+        .select(col("id"), expr(s"(raw * ${scale}L) div tot").as("a"))
+      val hubRaw = e.join(auth.select(col("id").as("dst"), col("a")), "dst")
+        .groupBy(col("src").as("id")).agg(sum(col("a")).as("raw"))
+      val hTot = hubRaw.agg(sum("raw").as("tot"))
+      hub = hubRaw.crossJoin(broadcast(hTot))
+        .select(col("id"), expr(s"(raw * ${scale}L) div tot").as("h"))
+    }
+    val out = hub.select(col("id"), col("h").as("hub"), lit(null).cast("long").as("auth"))
+      .unionByName(auth.select(col("id"), lit(null).cast("long").as("hub"),
+        col("a").as("auth")))
+      .groupBy("id")
+      .agg(max(col("hub")).as("hub"), max(col("auth")).as("auth"))
+    val persisted = out.persist()
+    persisted.count()
+    e.unpersist(blocking = false)
+    persisted
+  }
+
+  /** Newman modularity of a community assignment, per community, in EXACT
+    * integer arithmetic: for the undirected expansion (m2 = 2m directed
+    * rows), contribution_c = E2_c/m2 − (D_c/m2)² with E2_c = directed
+    * within-community edge count and D_c = community degree sum. The
+    * integer numerator q_num_c = E2_c·m2 − D_c² is exact (the double
+    * `contrib` is its exactly-rounded IEEE quotient by m2² — the quality
+    * score for any community detector's output, the evaluation step the
+    * reference's Leiden pipeline leaves implicit in leidenalg).
+    *
+    * Scale: two assignment equi-joins over the edge list + two hash
+    * aggs; D_c ≤ m2 so q_num needs |m2²| < 2⁶³ — exact to ~3e9-edge
+    * graphs, beyond that cast the products to decimal(38,0). */
+  def modularityOf(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      assignment: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val asg = assignment.select(col(idCol).as("v"), col(labelCol).as("c"))
+    val lab = und
+      .join(asg.select(col("v").as("src"), col("c").as("sc")), "src")
+      .join(asg.select(col("v").as("dst"), col("c").as("dc")), "dst")
+      .persist()
+    val m2df = lab.agg(count(lit(1)).as("m2"))
+    val within = lab.filter(col("sc") === col("dc"))
+      .groupBy(col("sc").as("community")).agg(count(lit(1)).as("e_within"))
+    val degSum = lab.groupBy(col("sc").as("community"))
+      .agg(count(lit(1)).as("deg_sum"))
+    val out = degSum.join(within, Seq("community"), "left")
+      .crossJoin(broadcast(m2df))
+      .select(col("community"),
+        coalesce(col("e_within"), lit(0L)).as("e_within"),
+        col("deg_sum"),
+        (coalesce(col("e_within"), lit(0L)) * col("m2") -
+          col("deg_sum") * col("deg_sum")).as("q_num"),
+        round((coalesce(col("e_within"), lit(0L)) * col("m2") -
+          col("deg_sum") * col("deg_sum")).cast("double") /
+          (col("m2") * col("m2")).cast("double"), 9).as("contrib"))
+    val persisted = out.persist()
+    persisted.count()
+    lab.unpersist(blocking = false)
+    persisted
+  }
+
+  /** Multi-source BFS: minimum hop distance to ANY of a set of landmark
+    * vertices, plus WHICH landmark (nearest-landmark partition — ties at
+    * equal distance break to the smallest landmark id, a total order).
+    * The GraphRAG "distance to anchor entities" primitive generalizing
+    * [[bfsLevels]]; same frontier-expansion shape — per hop one edge⋈
+    * frontier equi-join, a (dst → min landmark) hash agg, and an
+    * anti-join against the visited set, so per-hop work tracks the
+    * frontier's edge neighborhood, not the whole graph. */
+  def multiSourceBfs(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      anchors: DataFrame, maxHops: Int): DataFrame = {
+    val pre = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val callerCached =
+      edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val e0 = if (callerCached) pre else pre.persist()
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    var frontier = anchors
+      .select(col(anchors.columns.head).as("id"))
+      .distinct()
+      .select(col("id"), col("id").as("landmark"))
+      .withColumn("level", lit(0))
+      .persist()
+    frontier.count()
+    var layers = List(frontier)
+    var h = 1
+    var exhausted = false
+    while (h <= maxHops && !exhausted) {
+      val seen = layers.map(_.select("id")).reduce(_ unionByName _)
+      val next = und
+        .join(frontier.select(col("id").as("src"), col("landmark")), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("landmark")).as("landmark"))
+        .join(seen, Seq("id"), "left_anti")
+        .withColumn("level", lit(h))
+        .persist()
+      if (next.count() == 0) { next.unpersist(blocking = false); exhausted = true }
+      else { layers = layers :+ next; frontier = next }
+      h += 1
+    }
+    val out = layers.reduce(_ unionByName _).persist()
+    out.count()
+    layers.filterNot(_ eq out).foreach(_.unpersist(blocking = false))
+    if (!callerCached) e0.unpersist(blocking = false)
+    out
+  }
+
   /** G5 multi-hop as edge-DataFrame self-joins — anchor → 1-hop mids →
     * 2-hop neighbors with path counts. Stays hash-joinable (two shuffles
     * on the edge keys) instead of a Pregel BFS; the right shape when the

@@ -195,6 +195,45 @@ object GraphQueries {
         shiftright(col("id"), 1).as("key"),
         col("pr"))
     },
+
+    // HITS hubs & authorities on the DIRECTED part→supplier graph —
+    // Kleinberg's power iteration with sum-normalization in fixed-point
+    // integer arithmetic (deterministic under any partial-agg order; the
+    // oracle replays the unrolled iterations in BIGINT exactly).
+    Q("q108_hits", hitsOracle(iters = 2)) { (s, dir) =>
+      GraphOps.hitsFixedPoint(bipartite(s, dir), "src", "dst", iters = 2)
+        .select(
+          when(pmod(col("id"), lit(2)) === 0, "part").otherwise("supplier").as("kind"),
+          shiftright(col("id"), 1).as("key"),
+          col("hub"), col("auth"))
+    },
+
+    // Newman modularity of the q42 LPA assignment, per community, in
+    // EXACT integer arithmetic (q_num = E2_c·m2 − D_c²) — the detector-
+    // quality evaluation the reference's leidenalg call leaves implicit.
+    Q("q109_modularity", modularityOracle(iters = 2)) { (s, dir) =>
+      val e = bipartite(s, dir).persist()
+      val asg = GraphOps.lpaEdges(e, "src", "dst", maxIter = 2)
+      val out = GraphOps.modularityOf(e, "src", "dst", asg, "id", "label")
+      e.unpersist(blocking = false)
+      out
+    },
+
+    // Multi-source BFS: hop distance to the NEAREST of 3 landmark parts
+    // (ties → smallest landmark) — the GraphRAG "distance to anchor
+    // entities" partition, one frontier expansion for all landmarks.
+    Q("q112_landmark_bfs", landmarkBfsOracle(maxHops = 2)) { (s, dir) =>
+      val e = bipartite(s, dir).persist()
+      val landmarks = e.select(col("src").as("id")).distinct()
+        .orderBy(col("id").asc).limit(3)
+      val lv = GraphOps.multiSourceBfs(e, "src", "dst", landmarks, maxHops = 2)
+      e.unpersist(blocking = false)
+      lv.select(
+        when(pmod(col("id"), lit(2)) === 0, "part").otherwise("supplier").as("kind"),
+        shiftright(col("id"), 1).as("key"),
+        col("level"),
+        shiftright(col("landmark"), 1).as("landmark_key"))
+    },
   )
 
   /** The part–supplier bipartite edge set shared by the graph queries
@@ -314,6 +353,66 @@ object GraphQueries {
        |         FROM asg0 a LEFT JOIN ccres ON a.c0 = ccres.c0),
        |v AS (SELECT * FROM lvl0 UNION ALL SELECT * FROM lvl1 UNION ALL SELECT * FROM lvl2)
        |SELECT $kindKey, level, community FROM v""".stripMargin
+
+  /** Unrolled fixed-point HITS over the DIRECTED edge set: per iteration
+    * authRaw = Σ incoming hub → rescale to Σ≈scale by integer div, then
+    * hubRaw = Σ outgoing auth → rescale. All-BIGINT (`//` ≡ Spark `div`
+    * on the nonnegative mass values), bit-identical to hitsFixedPoint. */
+  private def hitsOracle(iters: Int, scale: Long = 1000000000L): String = {
+    val steps = (1 to iters).map { i =>
+      s"""ar$i AS (SELECT e.dst AS id, CAST(SUM(h${i - 1}.h) AS BIGINT) AS raw
+         |  FROM e JOIN h${i - 1} ON e.src = h${i - 1}.id GROUP BY e.dst),
+         |a$i AS (SELECT id, (raw * $scale) // (SELECT SUM(raw) FROM ar$i) AS a FROM ar$i),
+         |hr$i AS (SELECT e.src AS id, CAST(SUM(a$i.a) AS BIGINT) AS raw
+         |  FROM e JOIN a$i ON e.dst = a$i.id GROUP BY e.src),
+         |h$i AS (SELECT id, (raw * $scale) // (SELECT SUM(raw) FROM hr$i) AS h FROM hr$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""$graphPrelude,
+       |srcs AS (SELECT DISTINCT src AS id FROM e),
+       |p AS (SELECT GREATEST($scale // COUNT(*), 1) AS unit FROM srcs),
+       |h0 AS (SELECT id, (SELECT unit FROM p) AS h FROM srcs),
+       |$steps
+       |SELECT $kindKey, h AS hub, CAST(NULL AS BIGINT) AS auth FROM h$iters
+       |UNION ALL
+       |SELECT $kindKey, CAST(NULL AS BIGINT) AS hub, a AS auth FROM a$iters""".stripMargin
+  }
+
+  /** Per-community Newman modularity of the unrolled-LPA assignment, in
+    * exact integer arithmetic over the undirected expansion (m2 = 2m):
+    * q_num = e_within·m2 − deg_sum². */
+  private def modularityOracle(iters: Int): String =
+    s"""$graphPrelude,
+       |${lpaSteps("und", "l", iters)},
+       |asg AS (SELECT id, label AS c FROM l$iters),
+       |lab AS (SELECT a1.c AS sc, a2.c AS dc
+       |        FROM und u JOIN asg a1 ON u.src = a1.id JOIN asg a2 ON u.dst = a2.id),
+       |m2t AS (SELECT COUNT(*) AS m2 FROM lab),
+       |w AS (SELECT sc AS community, COUNT(*) AS e_within FROM lab WHERE sc = dc GROUP BY sc),
+       |d AS (SELECT sc AS community, COUNT(*) AS deg_sum FROM lab GROUP BY sc)
+       |SELECT d.community, COALESCE(w.e_within, 0) AS e_within, d.deg_sum,
+       |  COALESCE(w.e_within, 0) * m2t.m2 - d.deg_sum * d.deg_sum AS q_num,
+       |  ROUND(CAST(COALESCE(w.e_within, 0) * m2t.m2 - d.deg_sum * d.deg_sum AS DOUBLE)
+       |        / CAST(m2t.m2 * m2t.m2 AS DOUBLE), 9) AS contrib
+       |FROM d LEFT JOIN w USING (community), m2t""".stripMargin
+
+  /** Unrolled multi-source BFS: per hop, (dst → min frontier landmark),
+    * minus everything already levelled. */
+  private def landmarkBfsOracle(maxHops: Int): String = {
+    val hops = (1 to maxHops).map { h =>
+      val seen = (0 until h).map(i => s"SELECT id FROM l$i").mkString(" UNION ALL ")
+      s"""f$h AS (SELECT u.dst AS id, MIN(l${h - 1}.landmark) AS landmark
+         |  FROM und u JOIN l${h - 1} ON u.src = l${h - 1}.id GROUP BY u.dst),
+         |l$h AS (SELECT id, landmark, $h AS level FROM f$h
+         |  WHERE id NOT IN ($seen))""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to maxHops).map(i => s"SELECT * FROM l$i").mkString(" UNION ALL ")
+    s"""$graphPrelude,
+       |lms AS (SELECT src AS id FROM e GROUP BY src ORDER BY src LIMIT 3),
+       |l0 AS (SELECT id, id AS landmark, 0 AS level FROM lms),
+       |$hops
+       |SELECT $kindKey, level, landmark // 2 AS landmark_key FROM ($union)""".stripMargin
+  }
 
   /** Unrolled BFS frontier expansion: per hop, distinct neighbors of the
     * previous frontier minus everything already levelled. */

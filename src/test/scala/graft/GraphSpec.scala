@@ -193,4 +193,66 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Boolean, Option[Long])].collect().map(r => r._1 -> r._2).toMap
     assert(r1 == out.view.mapValues(_._2).toMap) // this cascade settles in 1
   }
+
+  test("hitsFixedPoint: star hub dominates, determinism, mass conservation") {
+    // hub 1 points at 3 suppliers; hub 2 points at one of them
+    val e = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L)).toDF("src", "dst")
+    val h = GraphOps.hitsFixedPoint(e, "src", "dst", iters = 2)
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // hub 1 (3 out-edges incl. the shared top authority) beats hub 2
+    assert(h(1L)._1.get > h(2L)._1.get)
+    // authority 10 (two in-edges) beats 11/12
+    assert(h(10L)._2.get > h(11L)._2.get)
+    assert(h(11L)._2 == h(12L)._2) // symmetric siblings tie exactly
+    // rescaled masses stay ≤ scale and sum to ~scale (integer-div floor)
+    val hubs = h.values.flatMap(_._1).sum
+    val auths = h.values.flatMap(_._2).sum
+    assert(hubs <= 1000000000L && hubs > 999999990L)
+    assert(auths <= 1000000000L && auths > 999999990L)
+    val again = GraphOps.hitsFixedPoint(e, "src", "dst", iters = 2)
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(again == h)
+    // empty edge set: empty result, no division by zero
+    assert(GraphOps.hitsFixedPoint(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst", 2).count() == 0)
+  }
+
+  test("modularityOf: perfect split positive, single blob zero-sum") {
+    // two disjoint cliques labelled by component: contributions positive,
+    // and q_num matches the hand formula exactly
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val e = (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(11L, 12L, 13L))).toDF("src", "dst")
+    val asg = Seq((1L, 1L), (2L, 1L), (3L, 1L), (11L, 2L), (12L, 2L), (13L, 2L))
+      .toDF("id", "label")
+    val m = GraphOps.modularityOf(e, "src", "dst", asg, "id", "label")
+      .select("community", "e_within", "deg_sum", "q_num")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // m2 = 12 directed rows; per clique: e_within = 6, deg_sum = 6
+    assert(m(1L) == (1L, 6L, 6L, 6L * 12L - 36L))
+    assert(m(2L) == (2L, 6L, 6L, 6L * 12L - 36L))
+    // everything in ONE community: Σ q_num = m2·m2 − m2² = 0
+    val one = Seq((1L, 1L), (2L, 1L), (3L, 1L), (11L, 1L), (12L, 1L), (13L, 1L))
+      .toDF("id", "label")
+    val q0 = GraphOps.modularityOf(e, "src", "dst", one, "id", "label")
+      .agg(sum("q_num")).as[Long].head()
+    assert(q0 == 0L)
+  }
+
+  test("multiSourceBfs: nearest landmark with smallest-id tie-break") {
+    // path 1-2-3-4-5 with landmarks {1, 5}: 2→1, 4→5, 3 ties → 1
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val lms = Seq(1L, 5L).toDF("id")
+    val out = GraphOps.multiSourceBfs(e, "src", "dst", lms, maxHops = 2)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == (1L, 0) && out(5L) == (5L, 0))
+    assert(out(2L) == (1L, 1) && out(4L) == (5L, 1))
+    assert(out(3L) == (1L, 2)) // equidistant — smallest landmark wins
+    // maxHops bounds the expansion
+    val h1 = GraphOps.multiSourceBfs(e, "src", "dst", lms, maxHops = 1)
+      .as[(Long, Long, Int)].collect().map(_._1).toSet
+    assert(h1 == Set(1L, 2L, 4L, 5L))
+  }
 }
