@@ -221,6 +221,28 @@ object PipelineQueries {
           sum(col("n_chars")).as("sum_chars"))
     },
 
+    // S2/K2 sibling: CSV interchange roundtrip — header write, explicit-
+    // schema scan back (inference would drift int32 → int), aggregate
+    // compared against the source table, proving the text encode/decode
+    // path is lossless (doubles re-parse bit-exactly from shortest-repr).
+    Q("q110_csv_roundtrip",
+      """SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+        |  COUNT(DISTINCT c_nationkey) AS n_nations
+        |FROM customer GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val path = tmpPath(s"csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      Sinks.writeCsv(Tables(s, dir, "customer"), path)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_name", StringType),
+        StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType)))
+      Sinks.readCsv(s, path, schema)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"),
+          countDistinct("c_nationkey").as("n_nations"))
+    },
+
     // N6: nested-JSON field extraction from the events props payload
     // (the Wikidata claims-path analog, wikidata_helpers.py:348-494).
     Q("q48_json_extract",

@@ -470,6 +470,31 @@ object TextQueries {
       TextStats.lineFilter(withLines, "doc_id", "text",
         minWords = 8, badwords = Seq("dup"))
     },
+
+    // Unigram LM quality score: mean negative log₂-probability per token
+    // under the corpus's own unigram distribution — the perplexity-style
+    // filter (CCNet/Gopher shape) without an external model. Per-term
+    // addends fold left-to-right over the term-sorted list in both
+    // engines (the q95 discipline) — no aggregation-order dependence.
+    Q("q111_lm_score",
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS c FROM tk GROUP BY doc_id, term),
+        |cf AS (SELECT term, CAST(SUM(c) AS BIGINT) AS cf FROM tf GROUP BY term),
+        |tt AS (SELECT CAST(SUM(cf) AS BIGINT) AS t FROM cf),
+        |r AS (SELECT tf.doc_id, tf.term, tf.c,
+        |        CAST(tf.c AS DOUBLE) *
+        |          (ln(CAST(tt.t AS DOUBLE)) - ln(CAST(cf.cf AS DOUBLE))) AS s
+        |      FROM tf JOIN cf USING (term), tt),
+        |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |          list_reduce(array_agg(s ORDER BY term), (a, b) -> a + b) AS raw
+        |        FROM r GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  ROUND(raw / n_tokens / ln(2.0), 6) AS bits_per_token
+        |FROM agg""".stripMargin) { (s, dir) =>
+      TextStats.lmScore(Tables(s, dir, "documents"), "doc_id", "text")
+    },
   )
 
   /** Shared oracle prelude for q83/q85: the greedy per-source packing

@@ -281,6 +281,29 @@ object VectorQueries {
       Clustering.kmeans(Tables(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, iters = 3)
     },
+
+    // Symmetric int8 quantization — the 4× vector-store compression step.
+    // Every op is IEEE-exact (no transcendentals, floor not round), so
+    // the quantized codes hash-match across engines element for element.
+    Q("q113_embedding_quantize",
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |a AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM v),
+        |qt AS (
+        |  SELECT vec_id, CAST(len(v) AS INT) AS n_dims, amax,
+        |    CASE WHEN amax = 0
+        |         THEN list_transform(v, x -> CAST(0 AS INT))
+        |         ELSE list_transform(v, x -> CAST(floor(x * 127.0 / amax + 0.5) AS INT))
+        |    END AS q
+        |  FROM a)
+        |SELECT vec_id, n_dims, amax, q,
+        |  CAST(list_reduce(list_transform(q, x -> CAST(x AS BIGINT)), (a, b) -> a + b)
+        |    AS BIGINT) AS sum_q
+        |FROM qt""".stripMargin) { (s, dir) =>
+      Similarity.quantizeInt8(Tables(s, dir, "embeddings"), "vec_id", "embedding")
+    },
   )
 
   /** Unrolled Lloyd iterations: quantize → seed centroids (k lowest ids)

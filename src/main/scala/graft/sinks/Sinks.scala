@@ -43,6 +43,20 @@ object Sinks {
       .partitionBy(partitionCol)
       .parquet(path)
 
+  /** K2 sibling: CSV sink with header — the interchange format the
+    * reference's Parquet/JSONL pair doesn't cover but any engine a user
+    * "switches to" must speak. Distributed write (one file per
+    * partition), default quoting/escaping, so embedded delimiters
+    * round-trip. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** S2 sibling: CSV scan with EXPLICIT schema (same inference-drift
+    * rule as readJsonl — never infer in the engine path; doubles parse
+    * back bit-exactly from Spark's shortest-repr output). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
   /** K7: post-write count validation — write, read back, compare. Returns
     * (written, readBack, ok); throws nothing (callers decide, mirroring
     * the reference's warn-on-mismatch, ingest_graph_db.py:336-363). */

@@ -175,6 +175,38 @@ object TextStats {
       .join(entropyOf(words).withColumnRenamed("h", "word_entropy_bits"), Seq(idCol), "left")
   }
 
+  /** Unigram language-model quality score per document: mean negative
+    * log₂-probability per token under the corpus's OWN unigram
+    * distribution — the perplexity-style quality filter (CCNet/Gopher
+    * shape) with the corpus itself as the model, so no external LM is
+    * needed. score = Σ_t c_dt·(ln T − ln cf_t) / (n_d·ln 2); low =
+    * stereotypical text, high = rare-token-heavy (or noisy) text.
+    *
+    * Determinism: each per-(doc, term) contribution is IEEE double on
+    * exact integer inputs; the per-doc sum folds left-to-right over the
+    * term-sorted list (the entropySignals discipline), so no
+    * aggregation-order dependence. Scale: two explode→hash-agg passes;
+    * the term-frequency join is vocabulary-sized (AQE picks the
+    * strategy); the 1-row corpus total is the only broadcast. */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(textCol)).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("c"))
+    val cf = tf.groupBy("term").agg(sum("c").as("cf"))
+    val tot = cf.agg(sum("cf").as("t"))
+    val rows = tf.join(cf, "term").crossJoin(broadcast(tot))
+      .select(col(idCol), col("term"), col("c"),
+        (col("c").cast("double") *
+          (log(col("t").cast("double")) - log(col("cf").cast("double")))).as("s"))
+    rows.groupBy(col(idCol))
+      .agg(sum("c").as("n_tokens"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("term").as("t"), col("s").as("s")))),
+            x => x.getField("s")),
+          lit(0.0), _ + _).as("raw"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("raw") / col("n_tokens") / log(lit(2.0)), 6).as("bits_per_token"))
+  }
+
   /** C4/RefinedWeb-style LINE-level cleaning: split each document on
     * newlines, drop lines that (a) repeat an earlier identical line in
     * the same document (RefinedWeb's intra-doc line dedup), (b) have

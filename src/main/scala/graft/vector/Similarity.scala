@@ -162,4 +162,24 @@ object Similarity {
       .orderBy(col("cos_raw").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Symmetric int8 quantization of an embedding column — the 4×
+    * vector-store compression step (q = ⌊127·x/amax + 0.5⌋ per element,
+    * amax = per-vector max |x|). Every op in the chain is IEEE-exact
+    * (widening cast, mul, div, add, floor) so the quantized codes are
+    * bit-identical in any engine — no transcendentals, unlike a
+    * round() whose tie rule differs across engines. All-zero vectors
+    * (amax = 0) quantize to all zeros rather than dividing by zero.
+    * Returns (idCol, n_dims, amax, q, sum_q); dequantization is
+    * q·amax/127. Scale: embarrassingly parallel single projection. */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = vecD(col(vecCol))
+    val amax = array_max(transform(v, x => abs(x)))
+    val q = when(amax === 0.0, transform(v, _ => lit(0)))
+      .otherwise(transform(v,
+        x => floor(x * lit(127.0) / amax + lit(0.5)).cast("int")))
+    emb.select(col(idCol), size(v).as("n_dims"), amax.as("amax"), q.as("q"))
+      .withColumn("sum_q",
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long")))
+  }
 }

@@ -81,4 +81,18 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out == again) // deterministic end-to-end
   }
+
+  test("quantizeInt8: codes, negatives, ties round half-up, zero vector") {
+    val df = Seq(
+      (1L, Array(1.0f, -1.0f, 0.5f, 0.0f)),  // amax 1: ±127, 64 (63.5+0.5→64), 0
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),   // all-zero: no div-by-zero
+      (3L, Array(-2.0f, 1.0f, 0.0f, 0.0f)))  // amax 2 from a negative
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .as[(Long, Int, Double, Seq[Int], Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._4 == Seq(127, -127, 64, 0) && out(1L)._5 == 64L)
+    assert(out(1L)._3 == 1.0 && out(1L)._2 == 4)
+    assert(out(2L)._4 == Seq(0, 0, 0, 0) && out(2L)._3 == 0.0)
+    assert(out(3L)._4 == Seq(-127, 64, 0, 0)) // -2/2→-127; 1/2→63.5+0.5→64
+  }
 }

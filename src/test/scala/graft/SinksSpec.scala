@@ -104,4 +104,22 @@ class SinksSpec extends SparkSpec {
     assert(Multimodal.resizeStub("abcdef".getBytes, 4).length == 4)
     assert(Multimodal.resizeStub("ab".getBytes, 8).length == 8)
   }
+
+  test("CSV roundtrip: header + explicit schema, delimiters/doubles survive") {
+    import org.apache.spark.sql.types._
+    val df = Seq(
+      (1L, "plain", 0.1),
+      (2L, "with, comma", -2.5),
+      (3L, "with \"quotes\"", 1e-7))
+      .toDF("id", "name", "x")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_test_csv"
+    graft.sinks.Sinks.writeCsv(df, path)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("x", DoubleType)))
+    val back = graft.sinks.Sinks.readCsv(spark, path, schema)
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(back.toSeq == Seq(
+      (1L, "plain", 0.1), (2L, "with, comma", -2.5), (3L, "with \"quotes\"", 1e-7)))
+  }
 }

@@ -207,4 +207,22 @@ class TextStatsSpec extends SparkSpec {
         "another clean line with enough words too") // order preserved
     assert(out(2L)._2 == 1 && out(2L)._3 == 1 && out(2L)._4 == "only one short line")
   }
+
+  test("lmScore: common-token docs score lower than rare-token docs") {
+    // corpus: 'the' appears 8×, 'xyzzy' once → p(the) >> p(xyzzy)
+    val d = Seq(
+      (1L, "the the the the"),   // all common tokens
+      (2L, "the the the xyzzy"), // one rare token
+      (3L, ""))                  // tokenless → no output row
+      .toDF("doc_id", "text")
+    val out = TextStats.lmScore(d, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._2 == 4L && out(2L)._2 == 4L)
+    assert(out(1L)._3 < out(2L)._3) // rare token raises surprise
+    // doc 1 exact: all tokens 'the' with cf=7, T=8 → bits = log2(8/7)
+    val expect = math.log(8.0 / 7.0) / math.log(2.0)
+    assert(math.abs(out(1L)._3 - BigDecimal(expect)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
 }
