@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -156,23 +156,50 @@ object TextStats {
     * cardinality is alphabet/vocabulary-bounded per doc, never
     * corpus-sized. */
   def entropySignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    def entropyOf(classes: DataFrame): DataFrame =
-      classes.groupBy(col(idCol), col("cls")).agg(count(lit(1)).as("c"))
-        .groupBy(col(idCol))
-        .agg(sum("c").as("n"),
-          aggregate(
-            transform(sort_array(collect_list(struct(col("cls").as("k"), col("c").as("c")))),
-              x => x.getField("c").cast("double") * log(x.getField("c").cast("double"))),
-            lit(0.0), _ + _).as("slnc"))
-        .select(col(idCol),
-          round((log(col("n").cast("double")) - col("slnc") / col("n")) / log(lit(2.0)), 6)
-            .as("h"))
-    val chars = docs.select(col(idCol),
-      explode(expr(s"transform(sequence(1, length(lower($textCol))), " +
-        s"i -> substr(lower($textCol), i, 1))")).as("cls"))
-    val words = docs.select(col(idCol), explode(tokens(textCol)).as("cls"))
-    entropyOf(chars).withColumnRenamed("h", "char_entropy_bits")
-      .join(entropyOf(words).withColumnRenamed("h", "word_entropy_bits"), Seq(idCol), "left")
+    // Per-ROW run-length form — zero shuffles: sort the class array, find
+    // run starts, diff consecutive starts into run counts, fold c·ln c in
+    // sorted-class order (the same addends in the same order as the
+    // earlier explode→groupBy form and as the DuckDB oracle's ordered
+    // list_reduce, so values are bit-identical — but the explode'd
+    // one-row-per-character shuffle is gone; at corpus scale this removes
+    // two corpus-wide exchanges entirely, and per-doc work is
+    // length-bounded so there is no skew pile-up either.
+    //
+    // Every expensive array (sort, run starts, counts) is STAGED as its
+    // own projection column and only attribute refs appear inside HOF
+    // lambdas: Catalyst evaluates lambdas interpretively and re-evaluates
+    // any inlined subtree PER ELEMENT — an inlined array_sort inside the
+    // run-start lambda is O(n² log n) per document (measured: minutes at
+    // sf0.01; staged: sub-second at sf0.1). CollapseProject keeps the
+    // stages separate because each staged column is non-cheap and
+    // referenced more than once downstream.
+    def staged(df: DataFrame, arr: String, out: String): DataFrame = {
+      val n = size(col(arr))
+      val withSorted = df.withColumn("__s", array_sort(col(arr)))
+      val withBounds = withSorted.withColumn("__b",
+        concat(
+          filter(sequence(lit(1), n),
+            i => (i === 1) || (element_at(col("__s"), i) =!= element_at(col("__s"), i - 1))),
+          array(n + 1)))
+      val withCounts = withBounds.withColumn("__c",
+        transform(sequence(lit(1), size(col("__b")) - 1),
+          j => element_at(col("__b"), j + 1) - element_at(col("__b"), j)))
+      val slnc = aggregate(col("__c"), lit(0.0),
+        (a, c) => a + c.cast("double") * log(c.cast("double")))
+      withCounts.withColumn(out,
+        when(n > 0,
+          round((log(n.cast("double")) - slnc / n.cast("double")) / log(lit(2.0)), 6)))
+        .drop("__s", "__b", "__c")
+    }
+    // lower(text) staged too — inlined it would re-lowercase the whole
+    // string per character element inside the char-array lambda
+    val base = docs
+      .select(col(idCol), lower(col(textCol)).as("__lt"), tokens(textCol).as("wa"))
+      .filter(length(col("__lt")) > 0) // charless docs had no rows in the agg form
+      .withColumn("ca",
+        expr("transform(sequence(1, length(__lt)), i -> substr(__lt, i, 1))"))
+    staged(staged(base, "ca", "char_entropy_bits"), "wa", "word_entropy_bits")
+      .select(col(idCol), col("char_entropy_bits"), col("word_entropy_bits"))
   }
 
   /** Unigram language-model quality score per document: mean negative

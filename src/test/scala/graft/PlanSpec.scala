@@ -39,10 +39,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
-  test("q33: minhash aggregates partially before the doc-id shuffle") {
+  test("q33: minhash signature is a pure projection — no shuffle at all") {
     val p = planOf("q33_minhash_lsh")
-    // partial_min on the map side → combiner collapses shingle rows
-    assert(p.contains("partial_min") || p.contains("HashAggregate"))
+    // per-row array_min folds replaced the explode→groupBy(k mins) form:
+    // the whole signature+banding plan must be exchange-free (the
+    // corpus-wide shingle shuffle is the thing that owned the wall-clock
+    // at scale)
+    assert(p.contains("Generate"))      // banding posexplode
+    assert(!p.contains("Exchange"), "minhash signature should not shuffle")
   }
 
   test("q82: decontamination joins on n-grams, never a doc-pair product") {
@@ -65,7 +69,10 @@ class PlanSpec extends SparkSpec {
       "q86_ann_recall",   // broadcast query vector (brute + LSH sides)
       "q88_vocabulary",   // broadcast 1-row corpus-token-total scalar
       "q93_bm25",         // broadcast 1-row (n_docs, sum_dl) scalar
-      "q97_kmeans")       // broadcast k-row centroid table per iteration
+      "q97_kmeans",       // broadcast k-row centroid table per iteration
+      "q108_hits",        // broadcast 1-row Σraw rescale scalar per iteration
+      "q109_modularity",  // broadcast 1-row m2 (2m edge count) scalar
+      "q111_lm_score")    // broadcast 1-row corpus-token-total scalar
     // Known blind spot: the iterative queries (q42/q60/q80/q81) run
     // their superstep jobs eagerly inside fn, so only their FINAL frame
     // is inspected here; the supersteps' own plan shapes are covered by
