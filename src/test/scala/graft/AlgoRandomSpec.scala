@@ -324,4 +324,127 @@ class AlgoRandomSpec extends SparkSpec {
       assert(got == want, s"scd2 mismatch for seed $seed")
     }
   }
+
+  test("hitsFixedPoint equals a scalar sum-normalized replay on random graphs") {
+    for (seed <- Seq(11, 47, 97)) {
+      val rnd = new Random(seed)
+      val n = 20
+      val edges = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val iters = 3
+      val scale = 1000000L
+      val got = GraphOps.hitsFixedPoint(
+          edges.toDF("src", "dst"), "src", "dst", iters, scale = scale)
+        .as[(Long, Option[Long], Option[Long])].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val srcs = edges.map(_._1).distinct
+      var hub = srcs.map(_ -> math.max(scale / srcs.size, 1L)).toMap
+      var auth = Map.empty[Long, Long]
+      for (_ <- 1 to iters) {
+        val araw = edges.groupBy(_._2).map { case (v, es) =>
+          v -> es.map(e => hub(e._1)).sum }
+        val at = araw.values.sum
+        auth = araw.map { case (v, r) => v -> (r * scale) / at }
+        val hraw = edges.groupBy(_._1).map { case (v, es) =>
+          v -> es.map(e => auth(e._2)).sum }
+        val ht = hraw.values.sum
+        hub = hraw.map { case (v, r) => v -> (r * scale) / ht }
+      }
+      val verts = (hub.keySet ++ auth.keySet).toSeq
+      val want = verts.map(v => v -> (hub.get(v), auth.get(v))).toMap
+      assert(got == want, s"hits mismatch for seed $seed")
+    }
+  }
+
+  test("modularityOf equals the scalar Newman formula on random partitions") {
+    for (seed <- Seq(29, 61, 107)) {
+      val rnd = new Random(seed)
+      val n = 16
+      val edges = Seq.fill(24)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val asg = verts.map(v => v -> rnd.nextInt(3).toLong).toMap
+      val got = GraphOps.modularityOf(
+          edges.toDF("src", "dst"), "src", "dst",
+          asg.toSeq.toDF("id", "label"), "id", "label")
+        .select("community", "e_within", "deg_sum", "q_num")
+        .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      val und = edges ++ edges.map(_.swap)
+      val m2 = und.size.toLong
+      val want = und.groupBy(e => asg(e._1)).map { case (c, es) =>
+        val within = es.count(e => asg(e._2) == c).toLong
+        val degSum = es.size.toLong
+        c -> ((c, within, degSum, within * m2 - degSum * degSum))
+      }
+      assert(got == want, s"modularity mismatch for seed $seed")
+      // partition-wide invariant: Σ q_num ≤ m2² and equals 0 for the
+      // everything-in-one-community assignment (checked in GraphSpec)
+      assert(got.values.map(_._4).sum <= m2 * m2)
+    }
+  }
+
+  test("multiSourceBfs equals per-landmark scalar BFS with min/tie-break") {
+    for (seed <- Seq(31, 67, 127)) {
+      val rnd = new Random(seed)
+      val n = 25
+      val edges = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val lms = verts.sorted.take(3)
+      val maxHops = 4
+      val got = GraphOps.multiSourceBfs(
+          edges.toDF("src", "dst"), "src", "dst", lms.toDF("id"), maxHops)
+        .as[(Long, Long, Int)].collect().map(r => r._1 -> (r._3, r._2)).toMap
+      // reference: independent BFS per landmark, then per vertex take
+      // (min distance, then smallest landmark among those achieving it) —
+      // the SEMANTIC definition, proving the frontier recurrence computes it
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .map { case (v, es) => v -> es.map(_._2).toSet }
+      def bfs(src: Long): Map[Long, Int] = {
+        var dist = Map(src -> 0)
+        var frontier = Set(src)
+        for (h <- 1 to maxHops) {
+          val next = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+            .filterNot(dist.contains)
+          dist = dist ++ next.map(_ -> h)
+          frontier = next
+        }
+        dist
+      }
+      val dists = lms.map(l => l -> bfs(l)).toMap
+      val want = verts.flatMap { v =>
+        val reached = lms.flatMap(l => dists(l).get(v).map(d => (d, l)))
+        if (reached.isEmpty) None
+        else Some(v -> { val dm = reached.map(_._1).min
+          (dm, reached.filter(_._1 == dm).map(_._2).min) })
+      }.toMap
+      assert(got == want, s"multi-source bfs mismatch for seed $seed")
+    }
+  }
+
+  test("lmScore equals a scalar term-sorted fold on random corpora") {
+    for (seed <- Seq(37, 71, 131)) {
+      val rnd = new Random(seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+      val docs = (1L to 12L).map { id =>
+        id -> Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+      val got = graft.text.TextStats.lmScore(
+          docs.toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+      val tokens = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+      val cf = tokens.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val total = cf.values.sum
+      for ((id, toks) <- tokens) {
+        val perTerm = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val raw = perTerm.toSeq.sortBy(_._1).foldLeft(0.0) { case (a, (t, c)) =>
+          a + c.toDouble * (math.log(total.toDouble) - math.log(cf(t).toDouble))
+        }
+        val bits = raw / toks.size / math.log(2.0)
+        assert(got(id)._2 == toks.size.toLong)
+        assert(math.abs(got(id)._3 - bits) < 1e-6, s"lm score mismatch seed $seed doc $id")
+      }
+    }
+  }
 }
