@@ -17,6 +17,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // GraphX Pregel messages serialize per superstep — Kryo, not Java ser
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.sql.maxPlanStringLength", "1048576")
       .getOrCreate()
     // ERROR, not WARN: the driver keeps only the last 2000 chars of the
     // run log — benign WARNs (e.g. unpersisting localCheckpointed RDDs in

@@ -198,33 +198,28 @@ object Dedup {
     * fraction between two docs is an unbiased estimator of their shingle
     * Jaccard similarity (the property DedupSpec verifies).
     *
-    * Per-ROW form — zero shuffles: one md5 per distinct shingle into a
-    * (h1, h2) struct array, then k array_min folds over it. Same mins
-    * over the same shingle sets as the earlier explode→groupBy(k mins)
-    * form (bit-identical output), but the per-shingle exchange is gone —
-    * the whole signature is an embarrassingly parallel projection.
-    * Locally the two forms measure EQUAL (~4s for q33 at sf0.1 — md5
-    * dominates and the k interpreted array_min lambdas cost what the
-    * codegen'd partial-min shuffle saved); the per-row form is kept for
-    * the cluster shape: it removes a corpus-wide exchange whose row
-    * count is the total shingle count, the kind of shuffle that owns the
-    * wall-clock at 100 TB. Per-doc work is length-bounded — no skew
-    * pile-up. The hs struct array is STAGED as a projection column so
-    * the 16 min-passes reference an attribute, not 16 inlined re-hashes
-    * (the entropySignals lambda-inlining lesson). */
+    * Form note (measured round 5): the explode→groupBy(k partial mins)
+    * shape is the right one. Its shuffle is NOT shingle-count-sized —
+    * the codegen'd partial mins collapse map-side to ≤ |docs|·k values
+    * per partition before the exchange. A per-row variant (k array_min
+    * folds over a staged (h1,h2) struct array, zero shuffles) measured
+    * EQUAL solo (~4s for q33 at sf0.1: md5 dominates and the interpreted
+    * HOF lambdas cost what the shuffle saved) but 2× WORSE inside q91's
+    * fuzzy-dedup pipeline — downstream self-joins consume the signature
+    * twice, and with no exchange there is nothing for ReuseExchange to
+    * dedup, so both join sides re-hashed the whole corpus. The agg form
+    * gives every consumer a reusable exchange for free. */
   def minhashSignature(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16): DataFrame = {
     val toks = wordTokens(col(textCol))
-    val base = df
+    val sh = df
       .filter(size(toks) >= shingleN)
-      .select(col(idCol),
-        transform(wordShingles(toks, shingleN),
-          s => struct(h1(s).as("h1"), h2odd(s).as("h2"))).as("hs"))
+      .select(col(idCol), explode(wordShingles(toks, shingleN)).as("s"))
+      .select(col(idCol), h1(col("s")).as("h1"), h2odd(col("s")).as("h2"))
     val mins = (0 until numHashes).map(i =>
-      array_min(transform(col("hs"),
-        h => (h.getField("h1") + h.getField("h2") * i) % HashSpace)).as(s"mh$i"))
-    base.select(col(idCol) +: mins: _*)
+      min((col("h1") + col("h2") * i) % HashSpace).as(s"mh$i"))
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
   def minhashBands(

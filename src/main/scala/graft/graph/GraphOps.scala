@@ -108,19 +108,22 @@ object GraphOps {
   private val SuperstepBlock = 4
 
   def lpaEdges(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int): DataFrame = {
-    // Cache the DIRECTED edge list once (half the rows of the undirected
-    // expansion) and expand lazily from the cache per reference: the
-    // superstep chain + the initial label derivation reference the
-    // expansion once per superstep, and measured end-to-end the cache
-    // beats re-reading the distinct's shuffle files per reference
-    // (7.0s vs 5.5s for q42 at sf0.1). Callers that already persisted
-    // `edges` (e.g. communityLevels, which reuses the same frame for the
-    // contraction join) are honored — no double materialization.
+    // The undirected expansion is cached PRE-PARTITIONED ON src — the
+    // superstep aggregation key. Each superstep joins on dst against the
+    // vertex-sized label state as a BROADCAST (hinted), so the cached
+    // src-partitioning flows through the join and BOTH superstep aggs
+    // ((src,label) counts, then the per-src argmax — HashPartitioning(src)
+    // satisfies both clusterings) plan NO exchange: after one setup
+    // shuffle every superstep is exchange-free over the edges. At vertex
+    // counts too large to broadcast, drop the hint and repartition the
+    // labels on dst instead — only the vertex-sized state moves per
+    // superstep; the edge side never re-shuffles. (Callers that persisted
+    // `edges` still avoid re-deriving it: the setup shuffle scans their
+    // cache once.)
     val pre = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val callerCached =
-      edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-    val e0 = if (callerCached) pre else pre.persist()
-    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val und = pre.union(pre.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .persist()
     // callers that BRANCH on the result (e.g. communityLevels) must
     // localCheckpoint it, or the shared subtree re-prints/re-optimizes
     // exponentially.
@@ -145,7 +148,9 @@ object GraphOps {
         // the shuffle/cache row width and the decimal mul/mod/cast in
         // every superstep outweighs the saved per-partition sort of the
         // already-aggregated message table. Keep the struct form.)
-        val msgs = und.join(labels.withColumnRenamed("id", "nbr"), col("dst") === col("nbr"))
+        val msgs = und
+          .join(broadcast(labels.withColumnRenamed("id", "nbr")),
+            col("dst") === col("nbr"))
           .groupBy(col("src").as("id"), col("label"))
           .agg(count(lit(1)).as("cnt"))
         labels = msgs
@@ -160,7 +165,7 @@ object GraphOps {
       labels = snap
       done += steps
     }
-    if (!callerCached) e0.unpersist(blocking = false)
+    und.unpersist(blocking = false)
     labels
   }
 
@@ -179,9 +184,13 @@ object GraphOps {
     // lazily-chained block stays a LINEAR plan (the SuperstepBlock
     // invariant; the earlier labels ⋈ nbrMin form referenced the state
     // twice and doubled the subtree per chained step).
+    // src-partitioned (the superstep aggregation key) + broadcast labels
+    // per superstep — exchange-free over the edges after one setup
+    // shuffle (the lpaEdges discipline)
     val und = und0
       .union(und0.select(col("src")).distinct()
         .select(col("src"), col("src").as("dst")))
+      .repartition(col("src"))
       .persist()
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -199,7 +208,9 @@ object GraphOps {
     while (!converged && iter < maxIter) {
       val steps = math.min(SuperstepBlock, maxIter - iter)
       for (_ <- 1 to steps) {
-        labels = und.join(labels.withColumnRenamed("id", "nbr"), col("dst") === col("nbr"))
+        labels = und
+          .join(broadcast(labels.withColumnRenamed("id", "nbr")),
+            col("dst") === col("nbr"))
           .groupBy(col("src").as("id"))
           .agg(min(col("label")).as("label"))
       }
@@ -301,22 +312,25 @@ object GraphOps {
       edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, dampingPct: Long = 85L,
       scale: Long = 1000000000000L): DataFrame = {
-    // Directed edge cache + lazy undirected expansion (the lpaEdges
-    // discipline): the deg job and every iteration block re-reference the
-    // edge list, and without the cache each block-job re-runs the
-    // caller's (possibly expensive) edge derivation — measured ~1-1.5s
-    // per query at sf0.1, a full re-scan+shuffle at corpus scale.
-    // Callers that already persisted `edges` are honored.
+    // The undirected expansion is cached PRE-PARTITIONED ON dst — the
+    // per-iteration aggregation key. Each iteration joins the edge list
+    // on src against the vertex-sized state as a BROADCAST (hinted), so
+    // the cached dst-partitioning flows through the join and the
+    // groupBy(dst) plans NO exchange: after one setup shuffle, every
+    // iteration is exchange-free over the edges (the GraphX
+    // EdgePartition idea expressed in Catalyst). At vertex counts too
+    // large to broadcast, drop the hint and repartition the state on the
+    // join key instead — the edge side still never re-shuffles; only the
+    // vertex-sized state moves per iteration.
     val pre = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val callerCached =
-      edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-    val e0 = if (callerCached) pre else pre.persist()
-    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val und = pre.union(pre.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
+      .persist()
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       .persist()
-    val n = deg.count() // one scalar agg job; also materializes deg + e0
+    val n = deg.count() // one scalar agg job; also materializes deg + und
     if (n == 0) { // empty edge set: no vertices, no rank mass to divide
-      if (!callerCached) e0.unpersist(blocking = false)
+      und.unpersist(blocking = false)
       deg.unpersist(blocking = false)
       return deg.select(col("id"), lit(0L).as("pr"))
     }
@@ -336,7 +350,8 @@ object GraphOps {
       val steps = math.min(2 * SuperstepBlock, iters - done)
       for (_ <- 1 to steps) {
         val incoming = und
-          .join(st.select(col("id").as("src"), expr("pr div deg").as("share")), "src")
+          .join(broadcast(
+            st.select(col("id").as("src"), expr("pr div deg").as("share"))), "src")
           .groupBy(col("dst").as("id"))
           .agg(sum(col("share")).as("s"))
         // left join keeps isolated-in-degree vertices (none in an
@@ -354,7 +369,7 @@ object GraphOps {
       done += steps
     }
     val out = st.select(col("id"), col("pr"))
-    if (!callerCached) e0.unpersist(blocking = false)
+    und.unpersist(blocking = false)
     deg.unpersist(blocking = false)
     out
   }
@@ -375,18 +390,17 @@ object GraphOps {
       edges: DataFrame, srcCol: String, dstCol: String, anchor: DataFrame,
       iters: Int, dampingPct: Long = 85L,
       scale: Long = 1000000000000L): DataFrame = {
-    // directed edge cache + lazy undirected expansion — see
-    // pageRankFixedPoint; callers that persisted `edges` are honored
+    // dst-partitioned undirected cache + broadcast state joins — the
+    // exchange-free iteration discipline; see pageRankFixedPoint
     val pre = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val callerCached =
-      edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-    val e0 = if (callerCached) pre else pre.persist()
-    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val und = pre.union(pre.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
+      .persist()
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       .persist()
     val n = deg.count()
     if (n == 0) {
-      if (!callerCached) e0.unpersist(blocking = false)
+      und.unpersist(blocking = false)
       deg.unpersist(blocking = false)
       return deg.select(col("id"), lit(0L).as("pr"))
     }
@@ -408,7 +422,8 @@ object GraphOps {
       val steps = math.min(2 * SuperstepBlock, iters - done)
       for (_ <- 1 to steps) {
         val incoming = und
-          .join(st.select(col("id").as("src"), expr("pr div deg").as("share")), "src")
+          .join(broadcast(
+            st.select(col("id").as("src"), expr("pr div deg").as("share"))), "src")
           .groupBy(col("dst").as("id"))
           .agg(sum(col("share")).as("s"))
         st = degA
@@ -425,9 +440,80 @@ object GraphOps {
       done += steps
     }
     val out = st.select(col("id"), col("pr"))
-    if (!callerCached) e0.unpersist(blocking = false)
+    und.unpersist(blocking = false)
     deg.unpersist(blocking = false)
     degA.unpersist(blocking = false)
+    out
+  }
+
+  /** WEIGHTED PageRank in the same fixed-point integer arithmetic as
+    * [[pageRankFixedPoint]]: each undirected edge carries a positive
+    * integer weight (co-occurrence count, interaction strength — the
+    * GraphRAG relationship-strength signal the unweighted walk ignores)
+    * and a vertex distributes its mass proportionally:
+    * share(u→v) = (pr_u · w_uv) div W_u with W_u = Σ_v w_uv. Every step
+    * is integer ops, so the result is reproducible under any partial-agg
+    * order and the oracle can replay the unrolled iterations in BIGINT.
+    *
+    * Overflow bound: pr ≤ scale (default 10¹²) and the per-edge product
+    * pr·w must stay under 2⁶³ — weights up to ~9·10⁶ are safe at the
+    * default scale; pass a smaller `scale` for heavier weights.
+    *
+    * Scale shape: identical to [[pageRankFixedPoint]] — the weighted
+    * expansion is cached pre-partitioned on dst (the per-iteration
+    * aggregation key), the vertex-sized state joins in as a broadcast,
+    * so after one setup shuffle every iteration is exchange-free over
+    * the edges; the per-edge proportional split is a projection. */
+  def weightedPageRankFixedPoint(
+      edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
+      iters: Int, dampingPct: Long = 85L,
+      scale: Long = 1000000000000L): DataFrame = {
+    val pre = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("long").as("w"))
+    val und = pre
+      .union(pre.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .repartition(col("dst"))
+      .persist()
+    val deg = und.groupBy(col("src").as("id")).agg(sum(col("w")).as("wdeg"))
+      .persist()
+    val n = deg.count()
+    if (n == 0) {
+      und.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
+      return deg.select(col("id"), lit(0L).as("pr"))
+    }
+    val unit = scale / n
+    val base = ((100L - dampingPct) * unit) / 100L
+    // state = (id, wdeg, pr); wdeg static. The per-edge proportional
+    // share (pr·w) div wdeg is computed AFTER the edge⋈state join (it
+    // needs w), unlike the unweighted variant where the share is
+    // state-side — same shuffle structure either way.
+    var st = deg.select(col("id"), col("wdeg"), lit(unit).as("pr"))
+    var cached: Option[DataFrame] = None
+    var done = 0
+    while (done < iters) {
+      val steps = math.min(2 * SuperstepBlock, iters - done)
+      for (_ <- 1 to steps) {
+        val incoming = und
+          .join(broadcast(st.select(col("id").as("src"), col("pr"), col("wdeg"))),
+            "src")
+          .groupBy(col("dst").as("id"))
+          .agg(sum(expr("(pr * w) div wdeg")).as("s"))
+        st = deg
+          .join(incoming, Seq("id"), "left")
+          .select(col("id"), col("wdeg"),
+            (lit(base) + expr(s"($dampingPct * coalesce(s, 0L)) div 100")).as("pr"))
+      }
+      val snap = st.persist()
+      snap.count()
+      cached.foreach(_.unpersist(blocking = false))
+      cached = Some(snap)
+      st = snap
+      done += steps
+    }
+    val out = st.select(col("id"), col("pr"))
+    und.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
     out
   }
 
@@ -440,21 +526,22 @@ object GraphOps {
   def bfsLevels(
       edges: DataFrame, srcCol: String, dstCol: String,
       anchor: DataFrame, maxHops: Int): DataFrame = {
-    // directed edge cache + lazy undirected expansion (see lpaEdges).
-    // Callers that already persisted `edges` (e.g. to derive the anchor
-    // from the same frame) are honored: the projection scans their cache
-    // and nothing is double-materialized. (Negative result, measured
+    // The undirected expansion is cached PRE-PARTITIONED ON dst — the
+    // per-hop dedup key. Each hop joins on src against the (small)
+    // frontier as a BROADCAST and anti-joins the visited union the same
+    // way, so the hop's distinct reuses the cached partitioning and
+    // plans NO exchange: after one setup shuffle, every hop is
+    // exchange-free over the edges (see lpaEdges for the at-scale
+    // variant without the broadcast hint). (Negative result, measured
     // round 5: chaining all hops in ONE lazy plan is ~2× SLOWER than the
-    // per-hop barriers below — 5.0s vs 2.8s warm at sf0.1 — because the
-    // later seen-sets re-reference earlier layer subtrees and
-    // ReuseExchange does not collapse the duplicated cache-scan+join
-    // work, only the exchanges. Frontier BFS keeps each hop's work
-    // linear precisely because the layers are materialized.)
+    // per-hop barriers below — the later seen-sets re-reference earlier
+    // layer subtrees and ReuseExchange does not collapse the duplicated
+    // cache-scan+join work. Frontier BFS keeps each hop's work linear
+    // precisely because the layers are materialized.)
     val pre = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val callerCached =
-      edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-    val e0 = if (callerCached) pre else pre.persist()
-    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val und = pre.union(pre.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
+      .persist()
     // Only the per-hop FRONTIER is persisted (the working set); the
     // visited set is the lazy union of the cached layers, so each hop is
     // one job (frontier join → dedup → anti-join vs cached layers) and
@@ -471,9 +558,9 @@ object GraphOps {
     while (h <= maxHops && !exhausted) {
       val seen = layers.map(_.select("id")).reduce(_ unionByName _)
       val next = und
-        .join(frontier.select(col("id").as("src")), "src")
+        .join(broadcast(frontier.select(col("id").as("src"))), "src")
         .select(col("dst").as("id")).distinct()
-        .join(seen, Seq("id"), "left_anti")
+        .join(broadcast(seen), Seq("id"), "left_anti")
         .withColumn("level", lit(h))
         .persist()
       if (next.count() == 0) { next.unpersist(blocking = false); exhausted = true }
@@ -485,7 +572,7 @@ object GraphOps {
     // single-layer search: reduce returns the anchor frontier itself —
     // unpersisting it would uncache the value being returned
     layers.filterNot(_ eq out).foreach(_.unpersist(blocking = false))
-    if (!callerCached) e0.unpersist(blocking = false)
+    und.unpersist(blocking = false)
     out
   }
 
@@ -509,28 +596,62 @@ object GraphOps {
   def hitsFixedPoint(
       edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, scale: Long = 1000000000L): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist()
-    val srcs = e.select(col("src").as("id")).distinct()
+    // TWO partitioned caches of the directed edge list — the auth step
+    // aggregates on dst (eByDst), the hub step on src (eBySrc); with the
+    // vertex-sized state broadcast into each join, both per-half-step
+    // aggregations reuse the cached partitioning and plan NO exchange
+    // (the lpaEdges/pageRank discipline, doubled because HITS
+    // alternates aggregation keys). Setup = two shuffles; every
+    // iteration after that is exchange-free over the edges.
+    val pre = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val eByDst = pre.repartition(col("dst")).persist()
+    val eBySrc = pre.repartition(col("src")).persist()
+    val srcs = eBySrc.select(col("src").as("id")).distinct()
     val nSrc = srcs.count()
     if (nSrc == 0) {
-      e.unpersist(blocking = false)
+      eByDst.unpersist(blocking = false)
+      eBySrc.unpersist(blocking = false)
       return srcs.select(col("id"), lit(0L).as("hub"), lit(0L).as("auth"))
     }
     // max(…,1): a unit of 0 (scale < nSrc) would zero every raw sum and
     // the rescale would divide by zero — floor the unit at 1 instead
     var hub = srcs.withColumn("h", lit(math.max(scale / nSrc, 1L)))
     var auth: DataFrame = null
+    // Each half-iteration references its raw-sum frame TWICE (the Σraw
+    // scalar AND the rescale projection), and the next half references
+    // the rescaled state again — without materialization the lazy
+    // subtree doubles 4× per iteration and the plan re-executes the
+    // whole prefix exponentially (measured 72s for 2 iterations at
+    // sf0.1; persisted: ~2s). The rescaled states are LOCALLY
+    // CHECKPOINTED (eager, lineage-truncating), not just persisted:
+    // persisted frames keep their full logical lineage, and because each
+    // state nests the previous state's cached subtree, the PLAN STRING
+    // Spark renders per action (explainString for the UI/listeners)
+    // grows exponentially in the iteration count — at 4+ iterations the
+    // tree-string rendering alone OOMed an 8 GB driver (round 5,
+    // AlgoRandomSpec). Checkpointed states start a fresh lineage, so
+    // every plan stays O(1) per iteration. The raw-sum frames are
+    // persist-only (both consumers run inside the checkpoint job) and
+    // released as soon as their state is materialized.
+    var toRelease = List.empty[DataFrame]
     for (_ <- 1 to iters) {
-      val authRaw = e.join(hub.select(col("id").as("src"), col("h")), "src")
-        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("raw"))
+      val authRaw = eByDst
+        .join(broadcast(hub.select(col("id").as("src"), col("h"))), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("raw")).persist()
       val aTot = authRaw.agg(sum("raw").as("tot"))
       auth = authRaw.crossJoin(broadcast(aTot))
         .select(col("id"), expr(s"(raw * ${scale}L) div tot").as("a"))
-      val hubRaw = e.join(auth.select(col("id").as("dst"), col("a")), "dst")
-        .groupBy(col("src").as("id")).agg(sum(col("a")).as("raw"))
+        .localCheckpoint()
+      authRaw.unpersist(blocking = false)
+      val hubRaw = eBySrc
+        .join(broadcast(auth.select(col("id").as("dst"), col("a"))), "dst")
+        .groupBy(col("src").as("id")).agg(sum(col("a")).as("raw")).persist()
       val hTot = hubRaw.agg(sum("raw").as("tot"))
       hub = hubRaw.crossJoin(broadcast(hTot))
         .select(col("id"), expr(s"(raw * ${scale}L) div tot").as("h"))
+        .localCheckpoint()
+      hubRaw.unpersist(blocking = false)
+      toRelease = auth :: hub :: toRelease
     }
     val out = hub.select(col("id"), col("h").as("hub"), lit(null).cast("long").as("auth"))
       .unionByName(auth.select(col("id"), lit(null).cast("long").as("hub"),
@@ -539,9 +660,24 @@ object GraphOps {
       .agg(max(col("hub")).as("hub"), max(col("auth")).as("auth"))
     val persisted = out.persist()
     persisted.count()
-    e.unpersist(blocking = false)
+    eByDst.unpersist(blocking = false)
+    eBySrc.unpersist(blocking = false)
+    toRelease.foreach(releaseLocalCheckpoint)
     persisted
   }
+
+  /** Release the RDD blocks behind a locally-checkpointed DataFrame.
+    * `Dataset.unpersist` is a no-op for these (localCheckpoint persists
+    * the RDD directly, bypassing the CacheManager), so without this the
+    * per-iteration state blocks of checkpoint-truncated loops stay
+    * resident for the session. The frame's data must already be consumed
+    * (checkpointed lineage cannot recompute after unpersist). */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Newman modularity of a community assignment, per community, in EXACT
     * integer arithmetic: for the undirected expansion (m2 = 2m directed
@@ -597,11 +733,12 @@ object GraphOps {
   def multiSourceBfs(
       edges: DataFrame, srcCol: String, dstCol: String,
       anchors: DataFrame, maxHops: Int): DataFrame = {
+    // dst-partitioned undirected cache + broadcast frontier/seen — the
+    // exchange-free hop discipline (see bfsLevels)
     val pre = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val callerCached =
-      edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-    val e0 = if (callerCached) pre else pre.persist()
-    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val und = pre.union(pre.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
+      .persist()
     var frontier = anchors
       .select(col(anchors.columns.head).as("id"))
       .distinct()
@@ -615,9 +752,9 @@ object GraphOps {
     while (h <= maxHops && !exhausted) {
       val seen = layers.map(_.select("id")).reduce(_ unionByName _)
       val next = und
-        .join(frontier.select(col("id").as("src"), col("landmark")), "src")
+        .join(broadcast(frontier.select(col("id").as("src"), col("landmark"))), "src")
         .groupBy(col("dst").as("id")).agg(min(col("landmark")).as("landmark"))
-        .join(seen, Seq("id"), "left_anti")
+        .join(broadcast(seen), Seq("id"), "left_anti")
         .withColumn("level", lit(h))
         .persist()
       if (next.count() == 0) { next.unpersist(blocking = false); exhausted = true }
@@ -627,7 +764,7 @@ object GraphOps {
     val out = layers.reduce(_ unionByName _).persist()
     out.count()
     layers.filterNot(_ eq out).foreach(_.unpersist(blocking = false))
-    if (!callerCached) e0.unpersist(blocking = false)
+    und.unpersist(blocking = false)
     out
   }
 
@@ -686,6 +823,46 @@ object GraphOps {
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient per vertex:
+    * lcc(v) = 2·T(v) / (d(v)·(d(v)−1)) for d(v) ≥ 2, else 0 — how close
+    * a vertex's neighborhood is to a clique (the community-cohesion /
+    * hub-vs-bridge diagnostic; Watts–Strogatz). Triangles come from the
+    * degree-ordered oriented enumeration ([[triangleCounts]], O(√m)
+    * wedge fan-out); degrees are DISTINCT-neighbor counts over the same
+    * canonical edge set, so numerator and denominator agree on
+    * multigraph inputs. The quotient is one exact-integer double
+    * division (2·T < 2⁵³), bit-identical across engines; rounded to 6
+    * digits for the cross-engine hash gate (the tfidf convention).
+    *
+    * Returns (id, degree, n_triangles, lcc) for every vertex of the
+    * edge set. Scale/plan shape: fully LAZY, exactly like
+    * [[triangleCounts]] — the canonical distinct set is re-derived per
+    * consumer and the whole thing runs as ONE AQE-planned job. (Negative
+    * result, measured round 5 at sf0.1 on the q115 similarity graph:
+    * persisting the canonical set and materializing it first was 15×
+    * SLOWER — 10.3s vs 0.7s — the InMemoryRelation's stats pushed AQE
+    * off the broadcast plan for the wedge-closing join that the lazy
+    * runtime stats pick naturally. Callers with a genuinely expensive
+    * edge derivation should persist the EDGE input themselves.) */
+  def clusteringCoefficients(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+              greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = canon.select(col("a").as("v")).union(canon.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+    val tc = triangleCounts(canon, "a", "b")
+    deg
+      .join(tc.select(col("id").as("v"), col("n_triangles")), Seq("v"), "left")
+      .select(col("v").as("id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - lit(1))), 6))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
+
   /** k-core membership by `rounds` peeling rounds: repeatedly drop
     * vertices whose degree in the survivor-induced subgraph is < k — the
     * density-core extraction (community nuclei, spam-farm detection). A
@@ -703,16 +880,21 @@ object GraphOps {
   def kCorePeel(
       edges: DataFrame, srcCol: String, dstCol: String,
       k: Int, rounds: Int): DataFrame = {
-    // persist the CANONICAL set (half the rows); the undirected expansion
-    // is a cheap union over the cache, and persisting before the union
-    // keeps the upstream (possibly expensive) edge derivation from
-    // running once per union branch when AQE skips exchange reuse
+    // canonical distinct set expanded and LOCALLY CHECKPOINTED: the
+    // peeling rounds re-reference the edge list ~2× per round, and a
+    // checkpoint materializes the (possibly expensive — q102's cosine
+    // all-pairs) derivation exactly once WITHOUT an InMemoryRelation in
+    // the plan — a plain persist's IMR stats pushed AQE off the
+    // broadcast plans here (measured round 5: 8.8s persist / 4.5s fully
+    // lazy / 2.0s checkpoint at sf0.1). The vertex-sized survivor set is
+    // broadcast (hinted) into both semi-joins.
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
               greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b")).distinct().persist()
+      .filter(col("a") =!= col("b")).distinct()
     val und = canon.union(canon.select(col("b").as("a"), col("a").as("b")))
       .select(col("a").as("src"), col("b").as("dst"))
+      .localCheckpoint()
     val allV = und.select(col("src").as("id")).distinct()
     var surv = allV
     var degS = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
@@ -726,8 +908,8 @@ object GraphOps {
       // bounds plan growth for deep cascades
       if (r % 3 == 0 && r < rounds) surv = surv.localCheckpoint()
       degS = und
-        .join(surv.select(col("id").as("src")), "src")
-        .join(surv.select(col("id").as("dst")), "dst")
+        .join(broadcast(surv.select(col("id").as("src"))), "src")
+        .join(broadcast(surv.select(col("id").as("dst"))), "dst")
         .groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
     }
     val out = allV
@@ -737,7 +919,8 @@ object GraphOps {
         coalesce(col("in_core"), lit(false)).as("in_core"),
         when(coalesce(col("in_core"), lit(false)), coalesce(col("d"), lit(0L)))
           .as("core_deg"))
-    canon.unpersist(blocking = false)
-    out
+    val persisted = materializeAndRelease(out)
+    releaseLocalCheckpoint(und)
+    persisted
   }
 }

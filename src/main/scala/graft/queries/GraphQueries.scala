@@ -219,6 +219,44 @@ object GraphQueries {
       out
     },
 
+    // G1/CC scale path: the Catalyst min-label loop (ccEdges) on the
+    // customer–nation membership graph — same semantics as q41's GraphX
+    // form (GraphSpec proves the two equal on random graphs); this gives
+    // the scale path its own driver-checked oracle. Components are
+    // star-shaped (customer → nation), so the oracle is the per-nation
+    // min-customer window; labels normalized to min member key exactly
+    // as q41.
+    Q("q114_cc_catalyst",
+      """SELECT c_custkey, MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS component
+        |FROM customer""".stripMargin) { (s, dir) =>
+      val edges = Tables(s, dir, "customer")
+        .select((col("c_custkey") * 2).cast("long").as("src"),
+                (col("c_nationkey") * 2 + 1).cast("long").as("dst"))
+      val cc = GraphOps.ccEdges(edges, "src", "dst", maxIter = 8)
+      val cust = cc.filter(pmod(col("id"), lit(2)) === 0)
+        .select(shiftright(col("id"), 1).as("c_custkey"), col("component"))
+      val labels = cust.groupBy("component").agg(min("c_custkey").as("comp_label"))
+      cust.join(labels, "component")
+        .select(col("c_custkey"), col("comp_label").as("component"))
+    },
+
+    // WEIGHTED PageRank: edges weighted by lineitem co-occurrence count
+    // (the GraphRAG relationship-strength signal — how often a part and
+    // a supplier actually transact, not just whether they ever did).
+    // share(u→v) = (pr·w) div W_u, all-BIGINT; oracle replays the
+    // unrolled weighted iterations exactly.
+    Q("q116_weighted_pagerank", weightedPagerankOracle(iters = 3)) { (s, dir) =>
+      val we = Tables(s, dir, "lineitem")
+        .groupBy((col("l_partkey") * 2).cast("long").as("src"),
+                 (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      GraphOps.weightedPageRankFixedPoint(we, "src", "dst", "w", iters = 3)
+        .select(
+          when(pmod(col("id"), lit(2)) === 0, "part").otherwise("supplier").as("kind"),
+          shiftright(col("id"), 1).as("key"),
+          col("pr"))
+    },
+
     // Multi-source BFS: hop distance to the NEAREST of 3 landmark parts
     // (ties → smallest landmark) — the GraphRAG "distance to anchor
     // entities" partition, one frontier expansion for all landmarks.
@@ -269,6 +307,34 @@ object GraphQueries {
     }.mkString(",\n")
     s"""$graphPrelude,
        |deg AS (SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY src),
+       |p AS (SELECT 1000000000000 // COUNT(*) AS unit,
+       |             (15 * (1000000000000 // COUNT(*))) // 100 AS base FROM deg),
+       |pr0 AS (SELECT id, (SELECT unit FROM p) AS pr FROM deg),
+       |$steps
+       |SELECT $kindKey, pr FROM pr$iters""".stripMargin
+  }
+
+  /** Unrolled WEIGHTED fixed-point PageRank: per-edge share =
+    * (pr·w) // W_u with W_u = Σ w, new = base + (85·Σ shares) // 100.
+    * All-BIGINT (`//` floor ≡ Spark `div` on the nonnegative mass), so
+    * each CTE is bit-identical to one Spark iteration of
+    * GraphOps.weightedPageRankFixedPoint. Weights = lineitem
+    * co-occurrence counts per (part, supplier) pair. */
+  private def weightedPagerankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""s$i AS (SELECT u.dst AS id,
+         |    CAST(SUM((pr${i - 1}.pr * u.w) // d.wd) AS BIGINT) AS s
+         |  FROM und u JOIN pr${i - 1} ON u.src = pr${i - 1}.id JOIN deg d ON u.src = d.id
+         |  GROUP BY u.dst),
+         |pr$i AS (SELECT d.id, (SELECT base FROM p) + (85 * COALESCE(s$i.s, 0)) // 100 AS pr
+         |  FROM deg d LEFT JOIN s$i ON d.id = s$i.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT CAST(l_partkey*2 AS BIGINT) AS src,
+       |                  CAST(l_suppkey*2+1 AS BIGINT) AS dst,
+       |                  COUNT(*) AS w
+       |           FROM lineitem GROUP BY 1, 2),
+       |und AS (SELECT src, dst, w FROM e UNION ALL SELECT dst AS src, src AS dst, w FROM e),
+       |deg AS (SELECT src AS id, SUM(w) AS wd FROM und GROUP BY src),
        |p AS (SELECT 1000000000000 // COUNT(*) AS unit,
        |             (15 * (1000000000000 // COUNT(*))) // 100 AS base FROM deg),
        |pr0 AS (SELECT id, (SELECT unit FROM p) AS pr FROM deg),

@@ -270,6 +270,60 @@ object VectorQueries {
           col("core_deg"))
     },
 
+    // Local clustering coefficient per vertex of the same similarity
+    // graph as q92: lcc = 2·T(v)/(d(v)·(d(v)−1)) — cohesion-vs-bridge
+    // scoring of each vector's neighborhood (near-1 ⇒ tight semantic
+    // cluster; near-0 at high degree ⇒ hub spanning topics). The
+    // quotient is one exact-integer double division, identical in both
+    // engines; rounded to 6 digits (the tfidf convention).
+    Q("q115_clustering_coefficient",
+      s"""$normCte,
+         |ce AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE $dotAB / (a.nrm * b.nrm) >= 0.22),
+         |und AS (SELECT a, b FROM ce UNION ALL SELECT b AS a, a AS b FROM ce),
+         |deg AS (SELECT a AS v, COUNT(*) AS degree FROM und GROUP BY a),
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM ce e1 JOIN ce e2 ON e1.a = e2.a AND e1.b < e2.b
+         |       JOIN ce e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |corners AS (SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri
+         |            UNION ALL SELECT z AS v FROM tri),
+         |cnt AS (SELECT v, COUNT(*) AS n_triangles FROM corners GROUP BY v)
+         |SELECT e.vec_id,
+         |  CAST(COALESCE(deg.degree, 0) AS BIGINT) AS degree,
+         |  CAST(COALESCE(cnt.n_triangles, 0) AS BIGINT) AS n_triangles,
+         |  CASE WHEN COALESCE(deg.degree, 0) >= 2
+         |       THEN ROUND(2.0 * COALESCE(cnt.n_triangles, 0)
+         |                  / (deg.degree * (deg.degree - 1)), 6)
+         |       ELSE 0.0 END AS lcc
+         |FROM e LEFT JOIN deg ON e.vec_id = deg.v
+         |       LEFT JOIN cnt ON e.vec_id = cnt.v""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val base = emb.select(col("vec_id"), col("label"),
+          Similarity.vecD(col("embedding")).as("v"))
+        .withColumn("nrm", Similarity.norm(col("v")))
+      val a = base.select(col("vec_id").as("ia"), col("label").as("blk"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = base.select(col("vec_id").as("ib"), col("label").as("blk"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      val edges = a.join(b, Seq("blk"))
+        .filter(col("ia") < col("ib"))
+        .filter(Similarity.cosine(col("va"), col("vb"), col("na"), col("nb"))
+          >= 0.22)
+        .select(col("ia"), col("ib"))
+      val lcc = graft.graph.GraphOps.clusteringCoefficients(edges, "ia", "ib")
+      emb.select(col("vec_id"))
+        .join(lcc.select(col("id").as("vec_id"), col("degree"),
+            col("n_triangles"), col("lcc")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("degree"), lit(0L)).as("degree"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+          coalesce(col("lcc"), lit(0.0)).as("lcc"))
+    },
+
     // Deterministic distributed k-means (k=8, 3 Lloyd iterations) over
     // integer-quantized embeddings: exact integer centroid sums + IEEE
     // double quotients + left-to-right distance folds make the whole

@@ -23,12 +23,21 @@ object Similarity {
   /** Exact float→double widening; keeps Spark and DuckDB bit-identical. */
   def vecD(c: Column): Column = c.cast("array<double>")
 
-  /** Left-to-right fold dot product — order-deterministic. (An index-fold
-    * via element_at over sequence(1, size(a)) was measured equal within
-    * noise — the per-row index-array allocation cancels what skipping the
-    * zip_with product array saves — so the simpler form stays.) */
+  /** Left-to-right fold dot product — order-deterministic. Codegen'd
+    * Catalyst expression (graft.functions.VecDot): same IEEE fold as the
+    * earlier `aggregate(zip_with(...))` HOF form (bit-identical results,
+    * so every DuckDB oracle still matches) but runs as a primitive loop
+    * inside whole-stage codegen instead of an interpreted per-element
+    * lambda — ~3× on all-pairs similarity scans (round 5). (An index-fold
+    * via element_at over sequence(1, size(a)) had been measured equal to
+    * the HOF form — both were interpreter-bound.) */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    // identity casts optimize away for array<double> inputs; non-double
+    // arrays (e.g. the ±1 int hyperplanes in annLsh) NEED the cast —
+    // VecDot reads primitive doubles and does no implicit coercion (the
+    // HOF form coerced through the lambda's multiply)
+    graft.functions.VectorExpressions.vecDot(
+      a.cast("array<double>"), b.cast("array<double>"))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -99,6 +99,34 @@ class AlgoRandomSpec extends SparkSpec {
     }
   }
 
+  test("weightedPageRank equals a scalar weighted replay on random graphs") {
+    for (seed <- Seq(23, 67, 101)) {
+      val rnd = new Random(seed)
+      val n = 20
+      val edges = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+        .map { case (a, b) => (a, b, (rnd.nextInt(9) + 1).toLong) }
+      val iters = 4
+      val scale = 1000000L
+      val got = GraphOps.weightedPageRankFixedPoint(
+          edges.toDF("src", "dst", "w"), "src", "dst", "w", iters, scale = scale)
+        .as[(Long, Long)].collect().toMap
+      // scalar reference: same integer recurrence, single-threaded
+      val und = edges ++ edges.map { case (a, b, w) => (b, a, w) }
+      val wdeg = und.groupBy(_._1).map { case (v, es) => v -> es.map(_._3).sum }
+      val unit = scale / wdeg.size
+      val base = (15L * unit) / 100L
+      var pr = wdeg.keys.map(_ -> unit).toMap
+      for (_ <- 1 to iters) {
+        val in = und.groupBy(_._2).map { case (v, es) =>
+          v -> es.map { case (u, _, w) => (pr(u) * w) / wdeg(u) }.sum
+        }
+        pr = wdeg.keys.map(v => v -> (base + (85L * in.getOrElse(v, 0L)) / 100L)).toMap
+      }
+      assert(got == pr, s"weighted pagerank mismatch for seed $seed")
+    }
+  }
+
   test("personalizedPageRank equals a scalar anchored replay on random graphs") {
     for (seed <- Seq(19, 53, 113)) {
       val rnd = new Random(seed)

