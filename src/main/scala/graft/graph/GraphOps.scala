@@ -603,6 +603,10 @@ object GraphOps {
     // (the lpaEdges/pageRank discipline, doubled because HITS
     // alternates aggregation keys). Setup = two shuffles; every
     // iteration after that is exchange-free over the edges.
+    // (Negative result, round 5: localCheckpoint-ing `pre` so both
+    // partitioned caches build from one materialization measured SLOWER
+    // — 6.4s vs 4.8s for q108 at sf0.1 — the extra materialization job
+    // costs more than the saved second scan of the edge derivation.)
     val pre = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val eByDst = pre.repartition(col("dst")).persist()
     val eBySrc = pre.repartition(col("src")).persist()

@@ -324,6 +324,48 @@ object VectorQueries {
           coalesce(col("lcc"), lit(0.0)).as("lcc"))
     },
 
+    // MMR diversified re-ranking (λ=0.7): greedy top-5 from the anchor
+    // query's 12 nearest candidates, maximizing λ·sim(query,d) −
+    // (1−λ)·max sim(d, selected) — the diversity step between ANN
+    // retrieval and the LLM context window. All similarities quantized
+    // to BIGINT (⌊cos·10¹²⌋), so the greedy argmax is integer-exact and
+    // the oracle replays the unrolled selection steps.
+    Q("q117_mmr_rerank", {
+      val dotAQ = "list_reduce(list_transform(generate_series(1, 64), " +
+        "k -> a.v[k] * q.qv[k]), (x, y) -> x + y)"
+      val dotXY = "list_reduce(list_transform(generate_series(1, 64), " +
+        "k -> x.v[k] * y.v[k]), (s, t) -> s + t)"
+      val steps = (2 to 5).map { r =>
+        s"""s$r AS (SELECT $r AS rnk, c.id, c.qsim
+           |  FROM cand c JOIN (SELECT ia, MAX(psim) AS pen FROM pair
+           |                    WHERE ib IN (SELECT id FROM sel${r - 1}) GROUP BY ia) p
+           |       ON c.id = p.ia
+           |  WHERE c.id NOT IN (SELECT id FROM sel${r - 1})
+           |  ORDER BY 70 * c.qsim - 30 * p.pen DESC, c.id LIMIT 1),
+           |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
+      }.mkString(",\n")
+      s"""$normCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n ORDER BY vec_id LIMIT 1),
+         |cand AS (
+         |  SELECT a.vec_id AS id, a.v, a.nrm,
+         |    CAST(floor($dotAQ / (a.nrm * q.qn) * 1000000000000) AS BIGINT) AS qsim
+         |  FROM n a CROSS JOIN q WHERE a.vec_id <> q.q_id
+         |  ORDER BY qsim DESC, id LIMIT 12),
+         |pair AS (
+         |  SELECT x.id AS ia, y.id AS ib,
+         |    CAST(floor($dotXY / (x.nrm * y.nrm) * 1000000000000) AS BIGINT) AS psim
+         |  FROM cand x JOIN cand y ON x.id <> y.id),
+         |sel1 AS (SELECT 1 AS rnk, id, qsim FROM cand ORDER BY qsim DESC, id LIMIT 1),
+         |$steps
+         |SELECT rnk, id AS vec_id, qsim FROM sel5""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.mmrRerank(emb, "vec_id", "embedding",
+          query = emb.orderBy("vec_id").limit(1), k = 5, lambdaPct = 70L,
+          candidates = 12)
+        .select(col("rank").as("rnk"), col("id").as("vec_id"), col("qsim"))
+    },
+
     // Deterministic distributed k-means (k=8, 3 Lloyd iterations) over
     // integer-quantized embeddings: exact integer centroid sums + IEEE
     // double quotients + left-to-right distance folds make the whole

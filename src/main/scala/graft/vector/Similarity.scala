@@ -191,4 +191,86 @@ object Similarity {
       .withColumn("sum_q",
         aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long")))
   }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998) —
+    * the diversity-aware retrieval step RAG stacks put between ANN
+    * candidates and the LLM context window: greedily select k documents
+    * maximizing λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s), so near-duplicate
+    * passages don't crowd out coverage.
+    *
+    * Deterministic across engines: every similarity is quantized to a
+    * BIGINT (⌊cos·qscale⌋ — the cosine itself is the bit-exact VecDot
+    * fold, so the floor agrees engine-to-engine) and the greedy argmax
+    * compares integers with (score desc, id asc) ties — the kmeans
+    * quantization discipline, which makes the whole selection a pure
+    * function of the input and lets a SQL oracle replay it step by step.
+    *
+    * Scale shape: stage 1 is the distributed part — one broadcast-query
+    * scan of the corpus + TakeOrdered for the `candidates`-row pool
+    * (exactly knnBrute's plan). The greedy loop then runs k−1 tiny jobs
+    * over the checkpointed pool; per step the selected set rides along
+    * as a ONE-ROW collected-struct broadcast (never a candidate×selected
+    * join — no cartesian shape anywhere), and the penalty is an
+    * array-fold over ≤k entries. Returns (rank, id, qsim). */
+  def mmrRerank(
+      emb: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, k: Int, lambdaPct: Long = 70L,
+      candidates: Int = 12,
+      qscale: Long = 1000000000000L): DataFrame = {
+    val corpus = emb.select(col(idCol).as("id"), vecD(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = broadcast(query.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("qv"))
+      .withColumn("q_nrm", norm(col("qv"))))
+    val cands = corpus.crossJoin(q)
+      .filter(col("id") =!= col("q_id"))
+      .select(col("id"), col("v"), col("nrm"),
+        floor(cosine(col("v"), col("qv"), col("nrm"), col("q_nrm")) * qscale)
+          .cast("long").as("qsim"))
+      .orderBy(col("qsim").desc, col("id").asc)
+      .limit(candidates)
+      .localCheckpoint() // tiny pool; consumed once per greedy step
+    var selected = cands
+      .orderBy(col("qsim").desc, col("id").asc).limit(1)
+      .select(lit(1).as("rank"), col("id"), col("qsim"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      // the selected set as ONE collected row (≤k structs), broadcast —
+      // the size-bounded representation of the "compare against
+      // everything chosen so far" dependency
+      val selVecs = broadcast(
+        selected.join(cands.select(col("id"), col("v"), col("nrm")), "id")
+          .agg(collect_list(struct(col("v"), col("nrm"))).as("sel")))
+      val prev = selected
+      val next = cands
+        .join(selected.select(col("id")), Seq("id"), "left_anti")
+        .crossJoin(selVecs)
+        .select(col("id"), col("qsim"),
+          array_max(transform(col("sel"), s =>
+            floor(cosine(col("v"), s.getField("v"), col("nrm"), s.getField("nrm"))
+              * qscale).cast("long"))).as("pen"))
+        .select(col("id"), col("qsim"),
+          (lit(lambdaPct) * col("qsim") - lit(100L - lambdaPct) * col("pen"))
+            .as("score"))
+        .orderBy(col("score").desc, col("id").asc).limit(1)
+        .select(lit(r).as("rank"), col("id"), col("qsim"))
+      selected = prev.unionByName(next).localCheckpoint()
+      releaseCp(prev)
+    }
+    val out = selected.persist()
+    out.count()
+    releaseCp(selected)
+    releaseCp(cands)
+    out
+  }
+
+  /** Release the RDD blocks behind a locally-checkpointed DataFrame
+    * (Dataset.unpersist is a no-op for these — the checkpoint persists
+    * the RDD directly, bypassing the CacheManager). Data must already be
+    * consumed: truncated lineage cannot recompute after unpersist. */
+  private def releaseCp(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -28,6 +28,32 @@ class SimilaritySpec extends SparkSpec {
     assert(out(3L) == 4L && out(4L) == 3L) // label-1 block: only each other
   }
 
+  test("mmrRerank trades similarity for diversity, deterministically") {
+    // query [1,0,0,0]; A=1 (cos .994) and B=4 (cos .970) are near-dups
+    // of each other (cos .991); C=2 is orthogonal to the query (cos 0,
+    // cos(C,A) = .110). Pure kNN picks (A, B); at λ=0.3 the redundancy
+    // penalty flips the second pick to C:
+    //   B: 0.3·.970 − 0.7·.991 = −.403   C: 0.3·0 − 0.7·.110 = −.077
+    val q = vecs.filter(col("vec_id") === 0)
+    val out = Similarity.mmrRerank(vecs.filter(col("vec_id") =!= 3L),
+        "vec_id", "embedding", q, k = 2, lambdaPct = 30L, candidates = 3)
+      .orderBy("rank").select("id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 2L))
+    // λ=1 degenerates to pure kNN order (no diversity penalty)
+    val knn = Similarity.mmrRerank(vecs.filter(col("vec_id") =!= 3L),
+        "vec_id", "embedding", q, k = 2, lambdaPct = 100L, candidates = 3)
+      .orderBy("rank").select("id").as[Long].collect()
+    assert(knn.toSeq == Seq(1L, 4L))
+    // determinism: two runs agree exactly
+    val again = Similarity.mmrRerank(vecs.filter(col("vec_id") =!= 3L),
+        "vec_id", "embedding", q, k = 2, lambdaPct = 30L, candidates = 3)
+      .orderBy("rank").select("id", "qsim").as[(Long, Long)].collect()
+    val first = Similarity.mmrRerank(vecs.filter(col("vec_id") =!= 3L),
+        "vec_id", "embedding", q, k = 2, lambdaPct = 30L, candidates = 3)
+      .orderBy("rank").select("id", "qsim").as[(Long, Long)].collect()
+    assert(again.toSeq == first.toSeq)
+  }
+
   test("lsh bucketing: colinear vectors share bucket, opposite vectors differ") {
     val signs = Similarity.hyperplaneSigns(8, 4)
     val out = vecs.select(col("vec_id"),
