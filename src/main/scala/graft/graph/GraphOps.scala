@@ -695,6 +695,70 @@ object GraphOps {
     * Scale: two assignment equi-joins over the edge list + two hash
     * aggs; D_c ≤ m2 so q_num needs |m2²| < 2⁶³ — exact to ~3e9-edge
     * graphs, beyond that cast the products to decimal(38,0). */
+  /** Neighborhood feature aggregation — ONE message-passing layer
+    * (GraphSAGE-mean / GCN style, the feature-propagation step a
+    * graph-retrieval ranker runs over entity attributes): for every
+    * vertex, count + sum + mean of its neighbors' numeric feature over
+    * the undirected expansion. The sum is the decimal-exact `dsum`
+    * convention (cast to DECIMAL(18,2) BEFORE summing, result as
+    * double), so it is independent of partial-aggregation order — a raw
+    * double sum would drift run-to-run and engine-to-engine; the mean
+    * is one IEEE quotient of that exact sum. Scale: one edge⋈feature
+    * equi-join + one hash agg (map-side combined) — the canonical
+    * message-passing shuffle shape; stack calls for deeper receptive
+    * fields. */
+  def neighborhoodAgg(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      feats: DataFrame, idCol: String, featCol: String): DataFrame = {
+    val pre = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val und = pre.union(pre.select(col("dst").as("src"), col("src").as("dst")))
+    und.join(feats.select(col(idCol).as("dst"), col(featCol).as("f")), "dst")
+      .groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("n_nbrs"),
+        graft.operators.Relational.dsum(col("f")).as("f_sum"))
+      .select(col("id"), col("n_nbrs"), col("f_sum"),
+        round(col("f_sum") / col("n_nbrs"), 6).as("f_mean"))
+  }
+
+  /** Common-neighbor / Jaccard link prediction over a bipartite graph's
+    * LEFT projection: rank left-vertex pairs that share right-neighbors
+    * — "entities that co-occur with the same things probably relate"
+    * (the candidate-edge generator for graph completion; scores are the
+    * classic CN and Jaccard = cn / (|Γx| + |Γy| − cn)). Deterministic:
+    * integer counts, one exact double quotient, total (cn desc, x, y)
+    * order for the top-k cut.
+    *
+    * `maxRightDegree` drops hub right-vertices BEFORE pairing — the
+    * standard guard that keeps the wedge fan-out Σ d_r² bounded at
+    * corpus scale (a right vertex of degree d contributes d² candidate
+    * rows; hubs add quadratic work but near-zero signal). Scale shape:
+    * one self-equi-join on the right key + one hash agg + two
+    * vertex-sized degree joins + TakeOrdered. */
+  def linkPredictTopK(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, maxRightDegree: Long = 1000L): DataFrame = {
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("r")).distinct()
+    val keepR = e.groupBy("r").agg(count(lit(1)).as("dr"))
+      .filter(col("dr") <= maxRightDegree).select("r")
+    val ek = e.join(keepR, "r")
+    // degrees on the FILTERED graph, so cn ≤ min(dx, dy) and Jaccard
+    // stays in [0, 1] — scores are exact for the hub-pruned graph rather
+    // than approximate for the raw one
+    val degL = ek.groupBy("a").agg(count(lit(1)).as("d"))
+    val pairs = ek.select(col("a").as("x"), col("r"))
+      .join(ek.select(col("a").as("y"), col("r")), "r")
+      .filter(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("cn"))
+    pairs
+      .join(degL.select(col("a").as("x"), col("d").as("dx")), "x")
+      .join(degL.select(col("a").as("y"), col("d").as("dy")), "y")
+      .select(col("x"), col("y"), col("cn"),
+        round(col("cn").cast("double") /
+          (col("dx") + col("dy") - col("cn")), 6).as("jaccard"))
+      .orderBy(col("cn").desc, col("x").asc, col("y").asc)
+      .limit(k)
+  }
+
   def modularityOf(
       edges: DataFrame, srcCol: String, dstCol: String,
       assignment: DataFrame, idCol: String, labelCol: String): DataFrame = {

@@ -257,6 +257,59 @@ object GraphQueries {
           col("pr"))
     },
 
+    // Neighborhood feature aggregation — one message-passing layer over
+    // the bipartite graph with vertex features (part retail price /
+    // supplier account balance): per vertex the count, decimal-exact
+    // sum, and mean of neighbor features (the GraphSAGE-mean step a
+    // graph-retrieval ranker runs over entity attributes).
+    Q("q118_neighborhood_agg",
+      """WITH e AS (SELECT DISTINCT CAST(l_partkey*2 AS BIGINT) AS src,
+        |                           CAST(l_suppkey*2+1 AS BIGINT) AS dst FROM lineitem),
+        |und AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+        |f AS (SELECT CAST(p_partkey*2 AS BIGINT) AS id, p_retailprice AS f FROM part
+        |      UNION ALL
+        |      SELECT CAST(s_suppkey*2+1 AS BIGINT) AS id, s_acctbal AS f FROM supplier),
+        |agg AS (SELECT u.src AS id, COUNT(*) AS n_nbrs,
+        |               CAST(SUM(CAST(f.f AS DECIMAL(18,2))) AS DOUBLE) AS f_sum
+        |        FROM und u JOIN f ON u.dst = f.id GROUP BY u.src)
+        |SELECT CASE WHEN id % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+        |       id // 2 AS key, n_nbrs, f_sum,
+        |       ROUND(f_sum / n_nbrs, 6) AS f_mean
+        |FROM agg""".stripMargin) { (s, dir) =>
+      val feats = Tables(s, dir, "part")
+        .select((col("p_partkey") * 2).cast("long").as("id"),
+                col("p_retailprice").as("f"))
+        .unionByName(Tables(s, dir, "supplier")
+          .select((col("s_suppkey") * 2 + 1).cast("long").as("id"),
+                  col("s_acctbal").as("f")))
+      GraphOps.neighborhoodAgg(bipartite(s, dir), "src", "dst", feats, "id", "f")
+        .select(
+          when(pmod(col("id"), lit(2)) === 0, "part").otherwise("supplier").as("kind"),
+          shiftright(col("id"), 1).as("key"),
+          col("n_nbrs"), col("f_sum"), col("f_mean"))
+    },
+
+    // Common-neighbor / Jaccard link prediction on the part projection:
+    // top-50 part pairs sharing the most suppliers (hub suppliers of
+    // degree > 1000 pruned before pairing — the wedge-fan-out guard) —
+    // the candidate-edge generator for graph completion.
+    Q("q119_link_prediction",
+      """WITH e AS (SELECT DISTINCT l_partkey AS a, l_suppkey AS r FROM lineitem),
+        |keep AS (SELECT r FROM e GROUP BY r HAVING COUNT(*) <= 1000),
+        |ek AS (SELECT e.a, e.r FROM e JOIN keep USING (r)),
+        |deg AS (SELECT a, COUNT(*) AS d FROM ek GROUP BY a),
+        |p AS (SELECT x.a AS x, y.a AS y, COUNT(*) AS cn
+        |      FROM ek x JOIN ek y ON x.r = y.r AND x.a < y.a
+        |      GROUP BY x.a, y.a)
+        |SELECT p.x, p.y, p.cn,
+        |       ROUND(CAST(p.cn AS DOUBLE) / (dx.d + dy.d - p.cn), 6) AS jaccard
+        |FROM p JOIN deg dx ON p.x = dx.a JOIN deg dy ON p.y = dy.a
+        |ORDER BY p.cn DESC, p.x, p.y LIMIT 50""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "lineitem")
+        .select(col("l_partkey").as("part"), col("l_suppkey").as("supp"))
+      GraphOps.linkPredictTopK(e, "part", "supp", k = 50, maxRightDegree = 1000L)
+    },
+
     // Multi-source BFS: hop distance to the NEAREST of 3 landmark parts
     // (ties → smallest landmark) — the GraphRAG "distance to anchor
     // entities" partition, one frontier expansion for all landmarks.

@@ -185,6 +185,39 @@ class GraphSpec extends SparkSpec {
     assert(pr(4L) > pr(2L) && pr(4L) > pr(3L))
   }
 
+  test("neighborhoodAgg: one message-passing layer sums neighbor features exactly") {
+    // path 1-2-3 with features f(1)=10.50, f(2)=20.25, f(3)=30.00
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val f = Seq((1L, 10.50), (2L, 20.25), (3L, 30.00)).toDF("id", "f")
+    val out = GraphOps.neighborhoodAgg(e, "src", "dst", f, "id", "f")
+      .select("id", "n_nbrs", "f_sum", "f_mean")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1L, 20.25, 20.25)))
+    assert(out(2L) == ((2L, 2L, 40.50, 20.25))) // 10.50 + 30.00
+    assert(out(3L) == ((3L, 1L, 20.25, 20.25)))
+  }
+
+  test("linkPredictTopK: common neighbors, Jaccard, and the hub-degree guard") {
+    // parts {1,2} share suppliers {10,11}; part 3 shares only 11 with them;
+    // supplier 99 is a hub touching everything
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 11L),
+                (1L, 99L), (2L, 99L), (3L, 99L), (4L, 99L))
+      .toDF("part", "supp")
+    val top = GraphOps.linkPredictTopK(e, "part", "supp", k = 10,
+        maxRightDegree = 3)
+      .as[(Long, Long, Long, Double)].collect()
+    // hub 99 (degree 4 > 3) pruned: pair (1,2) has cn=2 over degrees 2,2
+    // → jaccard 2/(2+2-2)=1.0; (1,3)/(2,3) have cn=1 over degrees 2,1 →
+    // 1/(2+1-1)=0.5; vertex 4 (hub-only) pairs with nothing
+    assert(top.head == ((1L, 2L, 2L, 1.0)))
+    assert(top.toSet == Set((1L, 2L, 2L, 1.0), (1L, 3L, 1L, 0.5), (2L, 3L, 1L, 0.5)))
+    // without the guard the hub manufactures pairs with vertex 4
+    val all = GraphOps.linkPredictTopK(e, "part", "supp", k = 10,
+        maxRightDegree = 100)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(all.exists(r => r._2 == 4L))
+  }
+
   test("triangleCounts: K4, path, bipartite, and a brute-force cross-check") {
     // K4: every vertex is in C(3,2)=3 triangles
     val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
