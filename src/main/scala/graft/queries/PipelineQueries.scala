@@ -471,5 +471,61 @@ object PipelineQueries {
         |FROM islands""".stripMargin) { (s, dir) =>
       R.scd2(Tables(s, dir, "events"), "user_id", "event_type", "ts", "event_id")
     },
+
+    // Ordered-funnel report (view → click → purchase, 24h completion
+    // window): per step, how many users' EARLIEST funnel reaches it.
+    // All time math in exact integer micros; the oracle replays the
+    // same greedy-earliest recurrence step by step.
+    Q("q120_event_funnel",
+      """WITH e AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS tm FROM events),
+        |s1 AS (SELECT u, MIN(tm) AS t1 FROM e WHERE et = 'view' GROUP BY u),
+        |s2 AS (SELECT e.u, MIN(s1.t1) AS t1, MIN(e.tm) AS tp
+        |       FROM e JOIN s1 ON e.u = s1.u
+        |       WHERE e.et = 'click' AND e.tm > s1.t1
+        |         AND e.tm <= s1.t1 + 86400000000
+        |       GROUP BY e.u),
+        |s3 AS (SELECT e.u FROM e JOIN s2 ON e.u = s2.u
+        |       WHERE e.et = 'purchase' AND e.tm > s2.tp
+        |         AND e.tm <= s2.t1 + 86400000000
+        |       GROUP BY e.u)
+        |SELECT 1 AS step, 'view' AS event_type,
+        |       (SELECT COUNT(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)""".stripMargin) {
+      (s, dir) =>
+      graft.operators.EventAnalytics.funnelReport(
+        Tables(s, dir, "events"), "user_id", "event_type", "ts",
+        steps = Seq("view", "click", "purchase"), windowSec = 86400L)
+    },
+
+    // Cohort retention matrix: users cohorted by first-active UTC day;
+    // each (cohort_day, week_offset) cell counts that cohort's distinct
+    // users active in that week.
+    Q("q121_cohort_retention",
+      """WITH a AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT u, MIN(d) AS cohort_day FROM a GROUP BY u)
+        |SELECT c.cohort_day,
+        |       CAST((a.d - c.cohort_day) // 7 AS BIGINT) AS week_offset,
+        |       COUNT(DISTINCT a.u) AS n_active
+        |FROM a JOIN c ON a.u = c.u
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.operators.EventAnalytics.cohortRetention(
+        Tables(s, dir, "events"), "user_id", "ts")
+    },
+
+    // Per-type daily counts with a trailing 7-day moving sum (RANGE
+    // frame over day numbers — calendar gaps need no scaffold table).
+    Q("q122_daily_moving",
+      """WITH daily AS (
+        |  SELECT event_type AS et, CAST(ts AS DATE) AS d, COUNT(*) AS n,
+        |         (CAST(ts AS DATE) - DATE '1970-01-01') AS dnum
+        |  FROM events GROUP BY 1, 2, 4)
+        |SELECT et, d, n,
+        |  CAST(SUM(n) OVER (PARTITION BY et ORDER BY dnum
+        |       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+        |FROM daily""".stripMargin) { (s, dir) =>
+      graft.operators.EventAnalytics.dailyTypeCounts(
+        Tables(s, dir, "events"), "event_type", "ts")
+    },
   )
 }
