@@ -289,13 +289,18 @@ object GraphQueries {
           col("n_nbrs"), col("f_sum"), col("f_mean"))
     },
 
-    // Common-neighbor / Jaccard link prediction on the part projection:
-    // top-50 part pairs sharing the most suppliers (hub suppliers of
-    // degree > 1000 pruned before pairing — the wedge-fan-out guard) —
-    // the candidate-edge generator for graph completion.
+    // Common-neighbor / Jaccard link prediction on the ORDER-basket
+    // projection: top-50 part pairs co-occurring in the most orders
+    // (market-basket link prediction; right vertices are orders with
+    // bounded degree ≤ lineitems/order, and the hub guard caps the
+    // quadratic wedge fan-out Σ d_r² structurally. The supplier
+    // projection is the cautionary counterexample: every supplier
+    // serves ~500 parts, the projection is near-complete, and the
+    // pairing explodes to ~10⁸ rows — measured 137s at sf0.1 before
+    // switching the right side to orders, ~1s after).
     Q("q119_link_prediction",
-      """WITH e AS (SELECT DISTINCT l_partkey AS a, l_suppkey AS r FROM lineitem),
-        |keep AS (SELECT r FROM e GROUP BY r HAVING COUNT(*) <= 1000),
+      """WITH e AS (SELECT DISTINCT l_partkey AS a, l_orderkey AS r FROM lineitem),
+        |keep AS (SELECT r FROM e GROUP BY r HAVING COUNT(*) <= 100),
         |ek AS (SELECT e.a, e.r FROM e JOIN keep USING (r)),
         |deg AS (SELECT a, COUNT(*) AS d FROM ek GROUP BY a),
         |p AS (SELECT x.a AS x, y.a AS y, COUNT(*) AS cn
@@ -306,8 +311,8 @@ object GraphQueries {
         |FROM p JOIN deg dx ON p.x = dx.a JOIN deg dy ON p.y = dy.a
         |ORDER BY p.cn DESC, p.x, p.y LIMIT 50""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "lineitem")
-        .select(col("l_partkey").as("part"), col("l_suppkey").as("supp"))
-      GraphOps.linkPredictTopK(e, "part", "supp", k = 50, maxRightDegree = 1000L)
+        .select(col("l_partkey").as("part"), col("l_orderkey").as("ord"))
+      GraphOps.linkPredictTopK(e, "part", "ord", k = 50, maxRightDegree = 100L)
     },
 
     // Multi-source BFS: hop distance to the NEAREST of 3 landmark parts

@@ -495,6 +495,49 @@ object TextQueries {
         |FROM agg""".stripMargin) { (s, dir) =>
       TextStats.lmScore(Tables(s, dir, "documents"), "doc_id", "text")
     },
+
+    // The full Gopher document-quality rule set (Rae et al. 2021 §A1.1)
+    // — every signal column + the composite pass verdict; a pure
+    // projection (no shuffle), identical RE2-safe regexes both engines.
+    Q("q123_gopher_rules",
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(text, '\S+') AS words,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS n_chars,
+        |    len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_sym,
+        |    string_split(text, chr(10)) AS lines,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(words) AS n_words_raw,
+        |    GREATEST(len(words), 1) AS nw,
+        |    n_chars, n_sym,
+        |    GREATEST(len(lines), 1) AS nl,
+        |    len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS n_bullet,
+        |    len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS n_ellip,
+        |    len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+        |    len(list_filter(['and','be','have','of','that','the','to','with'],
+        |        s -> list_contains(toks, s))) AS n_stop_hits
+        |  FROM w)
+        |SELECT doc_id,
+        |  CAST(n_words_raw AS BIGINT) AS n_words,
+        |  ROUND(CAST(n_chars AS DOUBLE) / nw, 6) AS mean_word_len,
+        |  ROUND(CAST(n_sym AS DOUBLE) / nw, 6) AS symbol_ratio,
+        |  ROUND(CAST(n_bullet AS DOUBLE) / nl, 6) AS bullet_frac,
+        |  ROUND(CAST(n_ellip AS DOUBLE) / nl, 6) AS ellipsis_frac,
+        |  ROUND(CAST(n_alpha AS DOUBLE) / nw, 6) AS alpha_frac,
+        |  CAST(n_stop_hits AS BIGINT) AS n_stop_hits,
+        |  (n_words_raw BETWEEN 50 AND 100000
+        |   AND ROUND(CAST(n_chars AS DOUBLE) / nw, 6) BETWEEN 3.0 AND 10.0
+        |   AND ROUND(CAST(n_sym AS DOUBLE) / nw, 6) <= 0.1
+        |   AND ROUND(CAST(n_bullet AS DOUBLE) / nl, 6) <= 0.1
+        |   AND ROUND(CAST(n_ellip AS DOUBLE) / nl, 6) <= 0.3
+        |   AND ROUND(CAST(n_alpha AS DOUBLE) / nw, 6) >= 0.8
+        |   AND n_stop_hits >= 2) AS pass
+        |FROM c""".stripMargin) { (s, dir) =>
+      TextStats.gopherRules(Tables(s, dir, "documents"), "doc_id", "text")
+    },
   )
 
   /** Shared oracle prelude for q83/q85: the greedy per-source packing

@@ -304,4 +304,58 @@ object TextStats {
         greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)), 6)
         .as("top_bigram_frac"))
   }
+
+  /** The Gopher document-quality rule set (Rae et al. 2021 §A1.1, the
+    * standard pretraining-corpus gate; C4/RefinedWeb run variants of the
+    * same rules): per document every signal plus the composite pass
+    * verdict. Rules:
+    *   1. 50 ≤ word count ≤ 100 000
+    *   2. 3 ≤ mean word length ≤ 10
+    *   3. symbol-to-word ratio (#, … or ...) ≤ 0.1
+    *   4. ≤ 10% of lines start with a bullet
+    *   5. ≤ 30% of lines end with an ellipsis
+    *   6. ≥ 80% of words contain an alphabetic character
+    *   7. ≥ 2 distinct Gopher stop words present
+    *
+    * Determinism: integer counts + exact double quotients (rounded 6),
+    * RE2-safe regexes (no lookaround) so the identical patterns run
+    * under DuckDB — the oracle computes the same eight columns. Scale:
+    * a pure projection, embarrassingly parallel, no shuffle. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = expr(s"regexp_extract_all($textCol, '\\\\S+', 0)")
+    val nWords = greatest(size(words), lit(1)).cast("long")
+    val nChars = length(regexp_replace(t, "\\s+", "")).cast("long")
+    val nSym = size(expr(s"regexp_extract_all($textCol, '#|\\\\.\\\\.\\\\.|…', 0)")).cast("long")
+    val lines = split(t, "\n")
+    val nLines = greatest(size(lines), lit(1)).cast("long")
+    val nBullet = size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
+    val nEllip = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
+    val nAlpha = size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("long")
+    val stopHits = size(filter(
+      array(GopherStops.map(lit): _*),
+      s => array_contains(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"), s)))
+      .cast("long")
+    docs.select(
+        col(idCol),
+        size(words).cast("long").as("n_words"),
+        round(nChars.cast("double") / nWords, 6).as("mean_word_len"),
+        round(nSym.cast("double") / nWords, 6).as("symbol_ratio"),
+        round(nBullet.cast("double") / nLines, 6).as("bullet_frac"),
+        round(nEllip.cast("double") / nLines, 6).as("ellipsis_frac"),
+        round(nAlpha.cast("double") / nWords, 6).as("alpha_frac"),
+        stopHits.as("n_stop_hits"))
+      .withColumn("pass",
+        col("n_words").between(50L, 100000L) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_ratio") <= 0.1 &&
+        col("bullet_frac") <= 0.1 &&
+        col("ellipsis_frac") <= 0.3 &&
+        col("alpha_frac") >= 0.8 &&
+        col("n_stop_hits") >= 2L)
+  }
+
+  /** The Gopher stop-word list (rule 7). */
+  val GopherStops: Seq[String] =
+    Seq("and", "be", "have", "of", "that", "the", "to", "with")
 }

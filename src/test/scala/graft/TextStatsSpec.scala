@@ -17,6 +17,33 @@ class TextStatsSpec extends SparkSpec {
     (4L, "spam spam spam spam spam")
   ).toDF("doc_id", "text")
 
+  test("gopherRules: each rule trips on its designed violation") {
+    val good = (Seq("the cat and the dog have a house of sticks that") ++
+      Seq.fill(5)("they be living with joy and comfort under the open sky"))
+      .mkString(" ") // 66 words, all alphabetic, stop words present
+    val cases = Seq(
+      (1L, good),
+      (2L, "too short to pass"),                       // rule 1: < 50 words
+      (3L, Seq.fill(60)("### ...").mkString(" ")),     // rule 3 (+6,7): symbols
+      (4L, Seq.fill(60)("- bullet line\n").mkString),  // rule 4: bullet starts
+      (5L, (good + "\n") + Seq.fill(10)("trailing off...\n").mkString), // rule 5
+      (6L, Seq.fill(60)("12345 67890").mkString(" ")), // rule 6 (+7): no alpha
+      (7L, Seq.fill(60)("zebra xylophone").mkString(" "))) // rule 7: no stops
+      .toDF("doc_id", "text")
+    val out = TextStats.gopherRules(cases, "doc_id", "text")
+      .select("doc_id", "pass").as[(Long, Boolean)].collect().toMap
+    assert(out(1L), "the good document must pass")
+    Seq(2L, 3L, 4L, 6L, 7L).foreach(id =>
+      assert(!out(id), s"doc $id must fail its designed rule"))
+    // rule 5: >30% of lines end with ellipsis
+    assert(!out(5L))
+    // signal columns are present and sane for the good doc
+    val sig = TextStats.gopherRules(cases.filter($"doc_id" === 1L), "doc_id", "text")
+      .select("n_words", "alpha_frac", "n_stop_hits")
+      .as[(Long, Double, Long)].head()
+    assert(sig._1 == 66L && sig._2 == 1.0 && sig._3 >= 2L)
+  }
+
   test("tfidfTopK: corpus-unique terms outrank corpus-common ones") {
     val top = TextStats.tfidfTopK(docs, "doc_id", "text", k = 2)
       .as[(Long, String, Double)].collect()
