@@ -513,6 +513,22 @@ object PipelineQueries {
         Tables(s, dir, "events"), "user_id", "ts")
     },
 
+    // Z-order (Morton) clustering key over (part, supplier) — the
+    // multi-dimensional layout key for file-level data skipping (see
+    // Sinks.writeZOrdered). Pure 64-bit shift/mask arithmetic; the
+    // oracle SQL is GENERATED from the same spread constants.
+    Q("q124_zorder_key",
+      s"""SELECT l_partkey, l_suppkey,
+         |  ${graft.functions.ZOrder.zValueSql("l_partkey", "l_suppkey")} AS z
+         |FROM lineitem
+         |ORDER BY z, l_partkey, l_suppkey LIMIT 200""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          graft.functions.ZOrder.zValue(col("l_partkey"), col("l_suppkey")).as("z"))
+        .orderBy(col("z"), col("l_partkey"), col("l_suppkey"))
+        .limit(200)
+    },
+
     // Per-type daily counts with a trailing 7-day moving sum (RANGE
     // frame over day numbers — calendar gaps need no scaffold table).
     Q("q122_daily_moving",

@@ -43,6 +43,24 @@ object Sinks {
       .partitionBy(partitionCol)
       .parquet(path)
 
+  /** Z-ORDERED parquet layout: range-partition on the Morton code of
+    * two clustering keys and sort within partitions, so each output
+    * file covers a compact z-range — and therefore a compact range in
+    * BOTH key dimensions. Parquet min/max stats on the keys then let
+    * range predicates on EITHER column prune most files (the Delta
+    * `OPTIMIZE ZORDER BY` idea as a plain writer). The `_z` helper
+    * column is dropped before writing; `buckets` sizes the file count
+    * (≈ one file per range bucket). */
+  def writeZOrdered(
+      df: DataFrame, xCol: String, yCol: String, path: String,
+      buckets: Int): Unit =
+    df.withColumn("_z",
+        graft.functions.ZOrder.zValue(col(xCol), col(yCol)))
+      .repartitionByRange(buckets, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+
   /** K2 sibling: CSV sink with header — the interchange format the
     * reference's Parquet/JSONL pair doesn't cover but any engine a user
     * "switches to" must speak. Distributed write (one file per

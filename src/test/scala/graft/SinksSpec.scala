@@ -79,6 +79,53 @@ class SinksSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("zValue: known Morton codes, bijectivity, locality ordering") {
+    val z = Seq((0, 0), (1, 0), (0, 1), (1, 1), (3, 5), (12345, 67890))
+      .toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.functions.ZOrder.zValue(col("x"), col("y")).as("z"))
+      .as[(Int, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // interleave: x on even bits, y on odd bits
+    assert(z((0, 0)) == 0L && z((1, 0)) == 1L && z((0, 1)) == 2L && z((1, 1)) == 3L)
+    assert(z((3, 5)) == 39L) // spread(3)=0b0101, spread(5)=0b010001 → 5 | 34
+    // bijective on a grid: no two (x,y) collide
+    val grid = (for { x <- 0 until 32; y <- 0 until 32 } yield (x, y)).toDF("x", "y")
+      .select(graft.functions.ZOrder.zValue(col("x"), col("y")).as("z"))
+      .as[Long].collect()
+    assert(grid.distinct.length == 1024)
+  }
+
+  test("writeZOrdered: output files cover disjoint z-ranges (skipping layout)") {
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    val data = (for { x <- 0 until 64; y <- 0 until 64 } yield (x, y))
+      .toDF("x", "y")
+    Sinks.writeZOrdered(data, "x", "y", dir, buckets = 8)
+    // per-file (min,max) of the recomputed z must not overlap across files
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length >= 2)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .select(graft.functions.ZOrder.zValue(col("x"), col("y")).as("z"))
+        .agg(min("z"), max("z")).as[(Long, Long)].head()
+      r
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi < lo, s"file z-ranges overlap: $hi >= $lo")
+    }
+    // locality: MOST files narrow the x range (a sampled range boundary
+    // that straddles a z-quad edge can leave individual files wide, but
+    // the curve keeps the bulk compact — that's what min/max skipping
+    // prunes on)
+    val widths = files.map { f =>
+      val (lo, hi) = spark.read.parquet(f).agg(min("x"), max("x"))
+        .as[(Int, Int)].head()
+      hi - lo
+    }
+    assert(widths.count(_ <= 32) >= files.length / 2,
+      s"most z-clustered files must narrow the x range, got ${widths.toSeq}")
+  }
+
   test("multimodal: binary plumbing + partition-batched stub decode") {
     val docs = Seq((5L, "hello world")).toDF("doc_id", "text")
     val meta = Multimodal.extractMeta(Multimodal.asBinary(docs)).collect()(0)
