@@ -450,6 +450,122 @@ class AlgoRandomSpec extends SparkSpec {
     }
   }
 
+  test("funnelReport equals a scalar greedy-earliest replay on random event logs") {
+    for (seed <- Seq(29, 83, 149)) {
+      val rnd = new Random(seed)
+      val types = Vector("A", "B", "C", "X")
+      val rows = (1 to 400).map { i =>
+        (rnd.nextInt(25).toLong, types(rnd.nextInt(types.size)),
+          new Timestamp(1700000000000L + rnd.nextInt(7200) * 1000L))
+      }
+      val steps = Seq("A", "B", "C")
+      val wSec = 1800L
+      val got = graft.operators.EventAnalytics.funnelReport(
+          rows.toDF("user_id", "event_type", "ts"),
+          "user_id", "event_type", "ts", steps, wSec)
+        .as[(Int, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      // scalar: per user, greedy earliest chain in micros
+      val byUser = rows.groupBy(_._1)
+      val wMicros = wSec * 1000000L
+      val counts = Array.fill(steps.size)(0L)
+      for ((_, evs) <- byUser) {
+        val byType = evs.groupBy(_._2)
+          .view.mapValues(_.map(_._3.getTime * 1000L).sorted).toMap
+        byType.get(steps.head).map(_.head) match {
+          case Some(t1) =>
+            counts(0) += 1
+            var tp = t1
+            var depth = 1
+            var stop = false
+            for (st <- steps.tail if !stop) {
+              byType.getOrElse(st, Seq.empty)
+                .find(t => t > tp && t <= t1 + wMicros) match {
+                case Some(t) => counts(depth) += 1; tp = t; depth += 1
+                case None => stop = true
+              }
+            }
+          case None => ()
+        }
+      }
+      steps.zipWithIndex.foreach { case (st, i) =>
+        assert(got((i + 1, st)) == counts(i),
+          s"funnel mismatch seed $seed step $st")
+      }
+    }
+  }
+
+  test("neighborhoodAgg equals exact scalar decimal sums on random graphs") {
+    for (seed <- Seq(31, 73, 139)) {
+      val rnd = new Random(seed)
+      val n = 15
+      val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val feats = (0 until n).map(i =>
+        i.toLong -> BigDecimal(rnd.nextInt(200000) - 100000, 2))
+      val got = GraphOps.neighborhoodAgg(
+          edges.toDF("src", "dst"),
+          "src", "dst",
+          feats.map { case (i, f) => (i, f.toDouble) }.toDF("id", "f"),
+          "id", "f")
+        .select("id", "n_nbrs", "f_sum")
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      val fmap = feats.toMap
+      val und = edges ++ edges.map(_.swap)
+      for ((v, nbrs) <- und.groupBy(_._1)) {
+        val want = nbrs.map(e => fmap(e._2)).sum
+        assert(got(v) == ((nbrs.size.toLong, want.toDouble)),
+          s"neighborhoodAgg mismatch seed $seed vertex $v")
+      }
+    }
+  }
+
+  test("linkPredictTopK equals a scalar pair enumeration on random bipartite graphs") {
+    for (seed <- Seq(43, 89, 151)) {
+      val rnd = new Random(seed)
+      val edges = Seq.fill(60)((rnd.nextInt(12).toLong, rnd.nextInt(8).toLong))
+        .distinct
+      val cap = 5L
+      val k = 10
+      val got = GraphOps.linkPredictTopK(
+          edges.toDF("a", "r"), "a", "r", k, maxRightDegree = cap)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      // scalar replay with the same hub guard + rounding
+      val rDeg = edges.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val kept = edges.filter(e => rDeg(e._2) <= cap)
+      val lNbrs = kept.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val pairs = for {
+        (x, nx) <- lNbrs.toSeq; (y, ny) <- lNbrs.toSeq if x < y
+        cn = (nx & ny).size if cn > 0
+      } yield {
+        val j = BigDecimal(cn.toDouble / (nx.size + ny.size - cn))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (x, y, cn.toLong, j)
+      }
+      val want = pairs.sortBy(p => (-p._3, p._1, p._2)).take(k)
+      assert(got == want, s"linkPredict mismatch seed $seed")
+    }
+  }
+
+  test("zValue equals a scalar bit interleave on random keys") {
+    for (seed <- Seq(47, 97, 157)) {
+      val rnd = new Random(seed)
+      val keys = Seq.fill(100)(
+        (rnd.nextInt(Int.MaxValue), rnd.nextInt(Int.MaxValue)))
+      val got = keys.toDF("x", "y")
+        .select(col("x"), col("y"),
+          graft.functions.ZOrder.zValue(col("x"), col("y")).as("z"))
+        .as[(Int, Int, Long)].collect()
+      got.foreach { case (x, y, z) =>
+        var want = 0L
+        for (b <- 0 until 31) {
+          want |= ((x.toLong >> b) & 1L) << (2 * b)
+          want |= ((y.toLong >> b) & 1L) << (2 * b + 1)
+        }
+        assert(z == want, s"zValue mismatch seed $seed ($x, $y)")
+      }
+    }
+  }
+
   test("lmScore equals a scalar term-sorted fold on random corpora") {
     for (seed <- Seq(37, 71, 131)) {
       val rnd = new Random(seed)
