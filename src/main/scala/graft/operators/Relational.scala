@@ -306,4 +306,30 @@ object Relational {
         col(attrCol), col("valid_from_us"), col("valid_to_us"),
         col("n_events"))
   }
+
+  /** MERGEABLE aggregation state — the incremental-pipeline foundation:
+    * per key, (n, s, mn, mx) where the sum is held in exact
+    * DECIMAL(18,2) so states from ANY batch split merge associatively
+    * to exactly the full recompute (double partials would drift with
+    * the split). `aggState` builds a state from one batch;
+    * `mergeAggStates` folds two states (count-sum, decimal sum-sum,
+    * min/max-of-min/max); `finishAggState` converts to the reporting
+    * row (double sum, the dsum convention). This is the batch analog of
+    * a streaming partial-agg checkpoint: process each new partition of
+    * a 100 TB table once, merge O(keys)-sized states, never recompute
+    * history. */
+  def aggState(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast(DecimalType(18, 2))).as("s"),
+        min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
+
+  def mergeAggStates(a: DataFrame, b: DataFrame, keyCol: String): DataFrame =
+    a.unionByName(b).groupBy(col(keyCol))
+      .agg(sum(col("n")).as("n"), sum(col("s")).cast(DecimalType(18, 2)).as("s"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+
+  def finishAggState(state: DataFrame, keyCol: String): DataFrame =
+    state.select(col(keyCol), col("n"), col("s").cast(DoubleType).as("s"),
+      col("mn"), col("mx"))
 }

@@ -567,5 +567,26 @@ object RelationalQueries {
         round(percent_rank().over(w), 6).as("pr"),
         round(cume_dist().over(w), 6).as("cd"))
     },
+
+    // Mergeable aggregation states: build per-batch (n, decimal-sum,
+    // min, max) states from a parity SPLIT of lineitem, merge them, and
+    // finish — the oracle is the FULL single-pass aggregation, proving
+    // state merge ≡ recompute exactly (the incremental-pipeline
+    // contract: process each new partition once, merge O(keys) states,
+    // never recompute history).
+    Q("q125_incremental_merge",
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |  MIN(l_quantity) AS mn, MAX(l_quantity) AS mx
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val even = R.aggState(
+        li.filter(pmod(col("l_orderkey"), lit(2)) === 0), "l_returnflag", "l_quantity")
+      val odd = R.aggState(
+        li.filter(pmod(col("l_orderkey"), lit(2)) === 1), "l_returnflag", "l_quantity")
+      R.finishAggState(
+        R.mergeAggStates(even, odd, "l_returnflag"), "l_returnflag")
+    },
   )
 }

@@ -143,6 +143,25 @@ class RelationalSpec extends SparkSpec {
     assert(ab.filter(col("id") === 2).select("only_a").collect()(0).isNullAt(0))
   }
 
+  test("aggState merge over ANY split equals the full recompute, exactly") {
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(300)(
+      (s"k${rnd.nextInt(5)}", BigDecimal(rnd.nextInt(20000) - 10000, 2).toDouble))
+    val df = rows.toDF("k", "v")
+    val direct = R.finishAggState(R.aggState(df, "k", "v"), "k")
+      .as[(String, Long, Double, Double, Double)].collect().toSet
+    // three different splits, including an empty side
+    for (splitAt <- Seq(0, 77, 300)) {
+      val (a, b) = rows.splitAt(splitAt)
+      val merged = R.finishAggState(
+        R.mergeAggStates(
+          R.aggState(a.toDF("k", "v"), "k", "v"),
+          R.aggState(b.toDF("k", "v"), "k", "v"), "k"), "k")
+        .as[(String, Long, Double, Double, Double)].collect().toSet
+      assert(merged == direct, s"state merge drifted for split at $splitAt")
+    }
+  }
+
   test("saltedSumCount equals direct groupBy and aggregates in two phases") {
     val df = Seq(("a", 1.5), ("a", 2.5), ("b", 10.0), ("a", 0.25))
       .toDF("k", "v")
