@@ -717,7 +717,14 @@ object GraphOps {
       .agg(count(lit(1)).as("n_nbrs"),
         graft.operators.Relational.dsum(col("f")).as("f_sum"))
       .select(col("id"), col("n_nbrs"), col("f_sum"),
-        round(col("f_sum") / col("n_nbrs"), 6).as("f_mean"))
+        // floor-based 6-digit mean, NOT round(): divisors like 32 make
+        // the quotient an exact 7-decimal value ending in 5, and Spark
+        // rounds the SHORTEST decimal repr where other engines round
+        // the binary double — a systematic half-boundary disagreement
+        // (bit at sf0.1, round 5). floor() is defined on the binary
+        // value identically everywhere.
+        (floor(col("f_sum") / col("n_nbrs") * lit(1000000.0)).cast("double")
+          / lit(1000000.0)).as("f_mean"))
   }
 
   /** Common-neighbor / Jaccard link prediction over a bipartite graph's
@@ -781,9 +788,11 @@ object GraphOps {
         col("deg_sum"),
         (coalesce(col("e_within"), lit(0L)) * col("m2") -
           col("deg_sum") * col("deg_sum")).as("q_num"),
-        round((coalesce(col("e_within"), lit(0L)) * col("m2") -
+        // + 0.0 normalizes IEEE negative zero: a tiny negative quotient
+        // rounds to -0.0, whose rendering differs across engines
+        (round((coalesce(col("e_within"), lit(0L)) * col("m2") -
           col("deg_sum") * col("deg_sum")).cast("double") /
-          (col("m2") * col("m2")).cast("double"), 9).as("contrib"))
+          (col("m2") * col("m2")).cast("double"), 9) + lit(0.0)).as("contrib"))
     val persisted = out.persist()
     persisted.count()
     lab.unpersist(blocking = false)

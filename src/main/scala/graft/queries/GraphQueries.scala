@@ -274,7 +274,7 @@ object GraphQueries {
         |        FROM und u JOIN f ON u.dst = f.id GROUP BY u.src)
         |SELECT CASE WHEN id % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
         |       id // 2 AS key, n_nbrs, f_sum,
-        |       ROUND(f_sum / n_nbrs, 6) AS f_mean
+        |       CAST(floor(f_sum / n_nbrs * 1000000.0) AS DOUBLE) / 1000000.0 AS f_mean
         |FROM agg""".stripMargin) { (s, dir) =>
       val feats = Tables(s, dir, "part")
         .select((col("p_partkey") * 2).cast("long").as("id"),
@@ -517,7 +517,7 @@ object GraphQueries {
        |SELECT d.community, COALESCE(w.e_within, 0) AS e_within, d.deg_sum,
        |  COALESCE(w.e_within, 0) * m2t.m2 - d.deg_sum * d.deg_sum AS q_num,
        |  ROUND(CAST(COALESCE(w.e_within, 0) * m2t.m2 - d.deg_sum * d.deg_sum AS DOUBLE)
-       |        / CAST(m2t.m2 * m2t.m2 AS DOUBLE), 9) AS contrib
+       |        / CAST(m2t.m2 * m2t.m2 AS DOUBLE), 9) + 0.0 AS contrib
        |FROM d LEFT JOIN w USING (community), m2t""".stripMargin
 
   /** Unrolled multi-source BFS: per hop, (dst → min frontier landmark),
