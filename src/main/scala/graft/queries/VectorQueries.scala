@@ -381,6 +381,10 @@ object VectorQueries {
     // Symmetric int8 quantization — the 4× vector-store compression step.
     // Every op is IEEE-exact (no transcendentals, floor not round), so
     // the quantized codes hash-match across engines element for element.
+    // The library op (Similarity.quantizeInt8) returns the real
+    // array<int> codes; the query surface joins them to one CSV string
+    // because the correctness harness cannot sort/hash raw array cells
+    // (round-5 lesson) — same information, comparator-safe shape.
     Q("q113_embedding_quantize",
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -394,11 +398,14 @@ object VectorQueries {
         |         ELSE list_transform(v, x -> CAST(floor(x * 127.0 / amax + 0.5) AS INT))
         |    END AS q
         |  FROM a)
-        |SELECT vec_id, n_dims, amax, q,
+        |SELECT vec_id, n_dims, amax,
+        |  array_to_string(q, ',') AS q_codes,
         |  CAST(list_reduce(list_transform(q, x -> CAST(x AS BIGINT)), (a, b) -> a + b)
         |    AS BIGINT) AS sum_q
         |FROM qt""".stripMargin) { (s, dir) =>
       Similarity.quantizeInt8(Tables(s, dir, "embeddings"), "vec_id", "embedding")
+        .withColumn("q_codes", array_join(col("q"), ","))
+        .drop("q")
     },
   )
 
