@@ -5,7 +5,7 @@ import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** V2 hot path (the reference's cosine retrieval, chroma_helpers.py:58-60
   * via /root/reference, and every similarity-graph operator built on it):
@@ -24,13 +24,24 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * implementation and the DuckDB oracles' `list_reduce` replay — the
   * cross-engine determinism contract (SURVEY §5.2) is preserved.
   *
-  * Null semantics: null if either array is null or lengths differ.
-  * Array ELEMENTS must be non-null (embedding vectors are); a null slot
-  * reads as its primitive default rather than poisoning the sum the way
-  * the HOF form did. */
+  * Null semantics: null if either array is null, lengths differ, or any
+  * ELEMENT is null (matching the HOF form's null-poisoning). The
+  * per-element isNullAt guard is emitted only when the STATIC schema
+  * says elements can be null (`containsNull` — true for parquet-loaded
+  * embeddings); a containsNull=false schema keeps the unguarded tight
+  * loop. Round-5 advice: the previous unguarded read returned primitive
+  * defaults under UnsafeArrayData but NPE'd on GenericArrayData — same
+  * expression, storage-format-dependent behavior. */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+
+  private def elementsNullable: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    }
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -38,9 +49,14 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     val n = x.numElements()
     if (n != y.numElements()) null
     else {
+      val guard = elementsNullable
       var s = 0.0
       var i = 0
-      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      while (i < n) {
+        if (guard && (x.isNullAt(i) || y.isNullAt(i))) return null
+        s += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
       java.lang.Double.valueOf(s)
     }
   }
@@ -50,6 +66,10 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val nullGuard =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -57,9 +77,10 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
          |} else {
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
          |    $s += $a.getDouble($i) * $b.getDouble($i);
          |  }
-         |  ${ev.value} = $s;
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
        """.stripMargin
     })

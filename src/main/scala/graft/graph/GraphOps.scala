@@ -107,7 +107,28 @@ object GraphOps {
     * iteration count. */
   private val SuperstepBlock = 4
 
-  def lpaEdges(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int): DataFrame = {
+  /** Join-side wrapper for the vertex-sized per-iteration state of the
+    * Catalyst graph loops. `bc = true` (default) pins a broadcast hint —
+    * exchange-free supersteps over the pre-partitioned edge cache, the
+    * right plan while the state fits in executor/driver memory. The hint
+    * bypasses autoBroadcastJoinThreshold, so at vertex counts beyond
+    * memory it would OOM rather than degrade (round-5 advice): pass
+    * `broadcastState = false` there and the planner/AQE picks a shuffle
+    * join from runtime stats — the edge side then pays one exchange per
+    * superstep, the standard distributed cost when state outgrows
+    * broadcast. */
+  private def stateSide(df: DataFrame, bc: Boolean): DataFrame =
+    if (bc) broadcast(df) else df
+
+  /** True when the caller handed us an already-persisted frame: derive
+    * from their cache instead of re-persisting the directed edge list
+    * (the union below scans its input TWICE — uncached, an expensive
+    * upstream derivation would compute twice inside the setup job). */
+  private def callerCached(df: DataFrame): Boolean =
+    df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+
+  def lpaEdges(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int,
+      broadcastState: Boolean = true): DataFrame = {
     // The undirected expansion is cached PRE-PARTITIONED ON src — the
     // superstep aggregation key. Each superstep joins on dst against the
     // vertex-sized label state as a BROADCAST (hinted), so the cached
@@ -120,7 +141,9 @@ object GraphOps {
     // superstep; the edge side never re-shuffles. (Callers that persisted
     // `edges` still avoid re-deriving it: the setup shuffle scans their
     // cache once.)
-    val pre = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val pre0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val ownPre = !callerCached(edges)
+    val pre = if (ownPre) pre0.persist() else pre0
     val und = pre.union(pre.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
       .persist()
@@ -149,7 +172,7 @@ object GraphOps {
         // every superstep outweighs the saved per-partition sort of the
         // already-aggregated message table. Keep the struct form.)
         val msgs = und
-          .join(broadcast(labels.withColumnRenamed("id", "nbr")),
+          .join(stateSide(labels.withColumnRenamed("id", "nbr"), broadcastState),
             col("dst") === col("nbr"))
           .groupBy(col("src").as("id"), col("label"))
           .agg(count(lit(1)).as("cnt"))
@@ -166,6 +189,7 @@ object GraphOps {
       done += steps
     }
     und.unpersist(blocking = false)
+    if (ownPre) pre.unpersist(blocking = false)
     labels
   }
 
@@ -175,9 +199,12 @@ object GraphOps {
     * graphs pipelines build; GraphX's Pregel CC stays alongside as the
     * RDD-idiomatic form). Convergence-checked at block boundaries (see
     * SuperstepBlock), `maxIter` bounds pathological chains. */
-  def ccEdges(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 20): DataFrame = {
-    val und0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+  def ccEdges(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 20,
+      broadcastState: Boolean = true): DataFrame = {
+    val pre0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val ownPre = !callerCached(edges)
+    val pre = if (ownPre) pre0.persist() else pre0
+    val und0 = pre.union(pre.select(col("dst").as("src"), col("src").as("dst")))
     // Self-loops make the superstep a pure aggregation over the static
     // edge table — new label = min over (self ∪ neighbors) — so the
     // previous state is referenced exactly ONCE per superstep and a
@@ -209,7 +236,7 @@ object GraphOps {
       val steps = math.min(SuperstepBlock, maxIter - iter)
       for (_ <- 1 to steps) {
         labels = und
-          .join(broadcast(labels.withColumnRenamed("id", "nbr")),
+          .join(stateSide(labels.withColumnRenamed("id", "nbr"), broadcastState),
             col("dst") === col("nbr"))
           .groupBy(col("src").as("id"))
           .agg(min(col("label")).as("label"))
@@ -229,6 +256,7 @@ object GraphOps {
       iter += steps
     }
     und.unpersist(blocking = false)
+    if (ownPre) pre.unpersist(blocking = false)
     labels.withColumnRenamed("label", "component")
   }
 
@@ -311,7 +339,8 @@ object GraphOps {
   def pageRankFixedPoint(
       edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, dampingPct: Long = 85L,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      broadcastState: Boolean = true): DataFrame = {
     // The undirected expansion is cached PRE-PARTITIONED ON dst — the
     // per-iteration aggregation key. Each iteration joins the edge list
     // on src against the vertex-sized state as a BROADCAST (hinted), so
@@ -350,8 +379,9 @@ object GraphOps {
       val steps = math.min(2 * SuperstepBlock, iters - done)
       for (_ <- 1 to steps) {
         val incoming = und
-          .join(broadcast(
-            st.select(col("id").as("src"), expr("pr div deg").as("share"))), "src")
+          .join(stateSide(
+            st.select(col("id").as("src"), expr("pr div deg").as("share")),
+            broadcastState), "src")
           .groupBy(col("dst").as("id"))
           .agg(sum(col("share")).as("s"))
         // left join keeps isolated-in-degree vertices (none in an
@@ -389,7 +419,8 @@ object GraphOps {
   def personalizedPageRankFixedPoint(
       edges: DataFrame, srcCol: String, dstCol: String, anchor: DataFrame,
       iters: Int, dampingPct: Long = 85L,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      broadcastState: Boolean = true): DataFrame = {
     // dst-partitioned undirected cache + broadcast state joins — the
     // exchange-free iteration discipline; see pageRankFixedPoint
     val pre = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -405,8 +436,12 @@ object GraphOps {
       return deg.select(col("id"), lit(0L).as("pr"))
     }
     val base = ((100L - dampingPct) * scale) / 100L
+    // min(id), not limit(1): an unordered limit over a multi-row anchor
+    // frame is nondeterministic (round-5 advice) — the walk must be a
+    // pure function of the input.
     val a = broadcast(anchor
-      .select(col(anchor.columns.head).as("id")).limit(1)
+      .agg(min(col(anchor.columns.head)).as("id"))
+      .filter(col("id").isNotNull)
       .withColumn("isa", lit(1L)))
     // STATIC (id, deg, isa) frame cached once — each iteration rebuilds
     // the state from it and references the previous state exactly once
@@ -422,8 +457,9 @@ object GraphOps {
       val steps = math.min(2 * SuperstepBlock, iters - done)
       for (_ <- 1 to steps) {
         val incoming = und
-          .join(broadcast(
-            st.select(col("id").as("src"), expr("pr div deg").as("share"))), "src")
+          .join(stateSide(
+            st.select(col("id").as("src"), expr("pr div deg").as("share")),
+            broadcastState), "src")
           .groupBy(col("dst").as("id"))
           .agg(sum(col("share")).as("s"))
         st = degA
@@ -467,7 +503,8 @@ object GraphOps {
   def weightedPageRankFixedPoint(
       edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
       iters: Int, dampingPct: Long = 85L,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      broadcastState: Boolean = true): DataFrame = {
     val pre = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(weightCol).cast("long").as("w"))
     val und = pre
@@ -495,8 +532,8 @@ object GraphOps {
       val steps = math.min(2 * SuperstepBlock, iters - done)
       for (_ <- 1 to steps) {
         val incoming = und
-          .join(broadcast(st.select(col("id").as("src"), col("pr"), col("wdeg"))),
-            "src")
+          .join(stateSide(st.select(col("id").as("src"), col("pr"), col("wdeg")),
+            broadcastState), "src")
           .groupBy(col("dst").as("id"))
           .agg(sum(expr("(pr * w) div wdeg")).as("s"))
         st = deg
@@ -525,7 +562,8 @@ object GraphOps {
     * whole graph. */
   def bfsLevels(
       edges: DataFrame, srcCol: String, dstCol: String,
-      anchor: DataFrame, maxHops: Int): DataFrame = {
+      anchor: DataFrame, maxHops: Int,
+      broadcastState: Boolean = true): DataFrame = {
     // The undirected expansion is cached PRE-PARTITIONED ON dst — the
     // per-hop dedup key. Each hop joins on src against the (small)
     // frontier as a BROADCAST and anti-joins the visited union the same
@@ -538,7 +576,9 @@ object GraphOps {
     // layer subtrees and ReuseExchange does not collapse the duplicated
     // cache-scan+join work. Frontier BFS keeps each hop's work linear
     // precisely because the layers are materialized.)
-    val pre = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val pre0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val ownPre = !callerCached(edges)
+    val pre = if (ownPre) pre0.persist() else pre0
     val und = pre.union(pre.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("dst"))
       .persist()
@@ -558,9 +598,10 @@ object GraphOps {
     while (h <= maxHops && !exhausted) {
       val seen = layers.map(_.select("id")).reduce(_ unionByName _)
       val next = und
-        .join(broadcast(frontier.select(col("id").as("src"))), "src")
+        .join(stateSide(frontier.select(col("id").as("src")), broadcastState),
+          "src")
         .select(col("dst").as("id")).distinct()
-        .join(broadcast(seen), Seq("id"), "left_anti")
+        .join(stateSide(seen, broadcastState), Seq("id"), "left_anti")
         .withColumn("level", lit(h))
         .persist()
       if (next.count() == 0) { next.unpersist(blocking = false); exhausted = true }
@@ -573,6 +614,7 @@ object GraphOps {
     // unpersisting it would uncache the value being returned
     layers.filterNot(_ eq out).foreach(_.unpersist(blocking = false))
     und.unpersist(blocking = false)
+    if (ownPre) pre.unpersist(blocking = false)
     out
   }
 
@@ -595,7 +637,11 @@ object GraphOps {
     * no driver collect. */
   def hitsFixedPoint(
       edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, scale: Long = 1000000000L): DataFrame = {
+      iters: Int, scale: Long = 1000000000L,
+      broadcastState: Boolean = true): DataFrame = {
+    // iters = 0 would leave `auth` null and NPE in the final union
+    // (round-5 advice); a HITS run needs at least one power step
+    require(iters >= 1, s"hitsFixedPoint needs iters >= 1, got $iters")
     // TWO partitioned caches of the directed edge list — the auth step
     // aggregates on dst (eByDst), the hub step on src (eBySrc); with the
     // vertex-sized state broadcast into each join, both per-half-step
@@ -626,36 +672,42 @@ object GraphOps {
     // the rescaled state again — without materialization the lazy
     // subtree doubles 4× per iteration and the plan re-executes the
     // whole prefix exponentially (measured 72s for 2 iterations at
-    // sf0.1; persisted: ~2s). The rescaled states are LOCALLY
-    // CHECKPOINTED (eager, lineage-truncating), not just persisted:
-    // persisted frames keep their full logical lineage, and because each
-    // state nests the previous state's cached subtree, the PLAN STRING
-    // Spark renders per action (explainString for the UI/listeners)
-    // grows exponentially in the iteration count — at 4+ iterations the
-    // tree-string rendering alone OOMed an 8 GB driver (round 5,
-    // AlgoRandomSpec). Checkpointed states start a fresh lineage, so
-    // every plan stays O(1) per iteration. The raw-sum frames are
-    // persist-only (both consumers run inside the checkpoint job) and
-    // released as soon as their state is materialized.
-    var toRelease = List.empty[DataFrame]
+    // sf0.1; persisted: ~2s). Two round-6 trims (the round-5 verdict's
+    // "4 materializations per iteration" item):
+    //  - the Σraw total is a 1-row driver probe (the convergence-probe
+    //    convention) whose job doubles as the raw-cache fill; the exact
+    //    integer total is then INLINED as a literal in the rescale
+    //    projection — no crossJoin, no broadcast-exchange job per
+    //    half-step, and the recurrence (hence the oracle hash) is
+    //    byte-identical.
+    //  - only `hub` is localCheckpoint-ed (lineage truncation ONCE per
+    //    full iteration — enough to keep plan strings O(1), the round-5
+    //    8 GB-driver-OOM lesson); `auth` is persist-only and its one-hop
+    //    lineage (agg over cached raw) hangs off the previous hub's
+    //    LogicalRDD leaf.
+    var cpRelease = List.empty[DataFrame]
+    var pRelease = List.empty[DataFrame]
     for (_ <- 1 to iters) {
       val authRaw = eByDst
-        .join(broadcast(hub.select(col("id").as("src"), col("h"))), "src")
+        .join(stateSide(hub.select(col("id").as("src"), col("h")),
+          broadcastState), "src")
         .groupBy(col("dst").as("id")).agg(sum(col("h")).as("raw")).persist()
-      val aTot = authRaw.agg(sum("raw").as("tot"))
-      auth = authRaw.crossJoin(broadcast(aTot))
-        .select(col("id"), expr(s"(raw * ${scale}L) div tot").as("a"))
+      val aTot = authRaw.agg(sum("raw")).head().getLong(0)
+      auth = authRaw
+        .select(col("id"), expr(s"(raw * ${scale}L) div ${aTot}L").as("a"))
+        .persist()
+      val hubRaw = eBySrc
+        .join(stateSide(auth.select(col("id").as("dst"), col("a")),
+          broadcastState), "dst")
+        .groupBy(col("src").as("id")).agg(sum(col("a")).as("raw")).persist()
+      val hTot = hubRaw.agg(sum("raw")).head().getLong(0)
+      hub = hubRaw
+        .select(col("id"), expr(s"(raw * ${scale}L) div ${hTot}L").as("h"))
         .localCheckpoint()
       authRaw.unpersist(blocking = false)
-      val hubRaw = eBySrc
-        .join(broadcast(auth.select(col("id").as("dst"), col("a"))), "dst")
-        .groupBy(col("src").as("id")).agg(sum(col("a")).as("raw")).persist()
-      val hTot = hubRaw.agg(sum("raw").as("tot"))
-      hub = hubRaw.crossJoin(broadcast(hTot))
-        .select(col("id"), expr(s"(raw * ${scale}L) div tot").as("h"))
-        .localCheckpoint()
       hubRaw.unpersist(blocking = false)
-      toRelease = auth :: hub :: toRelease
+      cpRelease = hub :: cpRelease
+      pRelease = auth :: pRelease
     }
     val out = hub.select(col("id"), col("h").as("hub"), lit(null).cast("long").as("auth"))
       .unionByName(auth.select(col("id"), lit(null).cast("long").as("hub"),
@@ -666,7 +718,8 @@ object GraphOps {
     persisted.count()
     eByDst.unpersist(blocking = false)
     eBySrc.unpersist(blocking = false)
-    toRelease.foreach(releaseLocalCheckpoint)
+    cpRelease.foreach(releaseLocalCheckpoint(_))
+    pRelease.foreach(_.unpersist(blocking = false))
     persisted
   }
 
@@ -766,6 +819,132 @@ object GraphOps {
       .limit(k)
   }
 
+  /** Louvain-style modularity REFINEMENT of an existing community
+    * assignment (typically [[lpaEdges]]'s output) — the
+    * modularity-OPTIMIZING local-move pass the reference's Leiden run
+    * performs inside leidenalg (neo4j_helpers.py:237-268 via
+    * /root/reference; LPA approximates the partition, this closes the
+    * quality gap). Per round, every vertex synchronously evaluates
+    * moving to each neighboring community (or staying) by the standard
+    * Louvain gain, in EXACT integer arithmetic:
+    *
+    *   score(v, c) = m2·k_{v→c} − k_v·(D_c − [c = c_v]·k_v)
+    *
+    * (m2 = directed row count of the undirected expansion = 2m,
+    * k_{v→c} = edges from v into c, k_v = deg(v), D_c = Σ degrees in c;
+    * the [c = c_v] term is the remove-v-first convention, so staying and
+    * moving are scored on equal footing). argmax per vertex, ties →
+    * smallest community label — a total order, so the round is a pure
+    * function of the input. Because the moves are synchronous (not
+    * Louvain's sequential sweep — that's inherently serial), a round is
+    * ACCEPTED only if the exact integer modularity numerator
+    * Q_num = m2·W − Σ_c D_c²  (W = within-community directed rows;
+    * Q = Q_num / m2²) strictly improves; otherwise the pass stops. This
+    * gives deterministic, bounded, monotonically non-decreasing
+    * modularity — and an unrollable SQL oracle.
+    *
+    * Scale shape: the move kernel is the lpaEdges superstep (one
+    * exchange-free agg over the src-partitioned edge cache with the
+    * vertex-sized state on the [[stateSide]] join side), plus two
+    * community-sized aggs (D_c, W) and a scalar gate probe per round —
+    * no driver collect beyond 1-row scalars, no pairwise blowup.
+    * Overflow: every term ≤ m2², exact in Long to ~3e9 directed edges
+    * (the modularityOf bound).
+    *
+    * Returns (id, label) for every vertex of `assignment`; vertices with
+    * no edges keep their input label. */
+  def louvainRefine(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      assignment: DataFrame, idCol: String, labelCol: String,
+      rounds: Int, broadcastState: Boolean = true): DataFrame = {
+    require(rounds >= 1, s"louvainRefine needs rounds >= 1, got $rounds")
+    val pre0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val ownPre = !callerCached(edges)
+    val pre = if (ownPre) pre0.persist() else pre0
+    val und = pre.union(pre.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .persist()
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("kv"))
+      .persist()
+    val m2 = und.count() // also materializes und (and fills deg lazily)
+    if (m2 == 0) {
+      und.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
+      if (ownPre) pre.unpersist(blocking = false)
+      return assignment.select(col(idCol).as("id"), col(labelCol).as("label"))
+    }
+    // exact integer modularity numerator of an assignment: m2·W − Σ D_c²
+    def qNum(asg: DataFrame): Long = {
+      val sc = asg.select(col("id").as("src"), col("c").as("sc"))
+      val dc = asg.select(col("id").as("dst"), col("c").as("dc"))
+      val w = und.join(stateSide(sc, broadcastState), "src")
+        .join(stateSide(dc, broadcastState), "dst")
+        .filter(col("sc") === col("dc"))
+        .count()
+      val sumD2 = asg.join(deg, "id")
+        .groupBy("c").agg(sum(col("kv")).as("d"))
+        .agg(sum(col("d") * col("d"))).head().getLong(0)
+      m2 * w - sumD2
+    }
+    var asg = assignment
+      .select(col(idCol).as("id"), col(labelCol).as("c"))
+      .join(deg.select("id"), "id") // edge-incident vertices only
+      .persist()
+    var qCur = qNum(asg)
+    var r = 0
+    var improved = true
+    var prev: DataFrame = asg
+    while (r < rounds && improved) {
+      val dC = asg.join(deg, "id").groupBy("c").agg(sum(col("kv")).as("dc"))
+      // k_{v→c}: the LPA message kernel — exchange-free over the cached
+      // src-partitioned expansion
+      val k = und
+        .join(stateSide(asg.select(col("id").as("dst"), col("c")),
+          broadcastState), "dst")
+        .groupBy(col("src").as("id"), col("c"))
+        .agg(count(lit(1)).as("kvc"))
+      // own community is always a candidate (kvc = 0 when v has no
+      // intra-community neighbor); max() folds the duplicate away
+      val cand = k.unionByName(asg.select(col("id"), col("c"),
+          lit(0L).as("kvc")))
+        .groupBy("id", "c").agg(max(col("kvc")).as("kvc"))
+      val moved = cand
+        .join(asg.select(col("id"), col("c").as("cv")), "id")
+        .join(deg, "id")
+        .join(stateSide(dC, broadcastState), "c")
+        .select(col("id"), col("c"),
+          (lit(m2) * col("kvc") - col("kv") *
+            (col("dc") - when(col("c") === col("cv"), col("kv"))
+              .otherwise(lit(0L)))).as("score"))
+        .groupBy("id")
+        .agg(max(struct(col("score"), (-col("c")).as("nc"))).as("best"))
+        .select(col("id"), (-col("best.nc")).as("c"))
+        .persist()
+      val qNew = qNum(moved)
+      if (qNew > qCur) {
+        prev.unpersist(blocking = false)
+        prev = moved
+        asg = moved
+        qCur = qNew
+      } else {
+        moved.unpersist(blocking = false)
+        improved = false
+      }
+      r += 1
+    }
+    val out = assignment
+      .select(col(idCol).as("id"), col(labelCol).as("label"))
+      .join(asg.select(col("id"), col("c")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("c"), col("label")).as("label"))
+      .persist()
+    out.count()
+    prev.unpersist(blocking = false)
+    und.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    if (ownPre) pre.unpersist(blocking = false)
+    out
+  }
+
   def modularityOf(
       edges: DataFrame, srcCol: String, dstCol: String,
       assignment: DataFrame, idCol: String, labelCol: String): DataFrame = {
@@ -809,7 +988,8 @@ object GraphOps {
     * frontier's edge neighborhood, not the whole graph. */
   def multiSourceBfs(
       edges: DataFrame, srcCol: String, dstCol: String,
-      anchors: DataFrame, maxHops: Int): DataFrame = {
+      anchors: DataFrame, maxHops: Int,
+      broadcastState: Boolean = true): DataFrame = {
     // dst-partitioned undirected cache + broadcast frontier/seen — the
     // exchange-free hop discipline (see bfsLevels)
     val pre = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -829,9 +1009,10 @@ object GraphOps {
     while (h <= maxHops && !exhausted) {
       val seen = layers.map(_.select("id")).reduce(_ unionByName _)
       val next = und
-        .join(broadcast(frontier.select(col("id").as("src"), col("landmark"))), "src")
+        .join(stateSide(frontier.select(col("id").as("src"), col("landmark")),
+          broadcastState), "src")
         .groupBy(col("dst").as("id")).agg(min(col("landmark")).as("landmark"))
-        .join(broadcast(seen), Seq("id"), "left_anti")
+        .join(stateSide(seen, broadcastState), Seq("id"), "left_anti")
         .withColumn("level", lit(h))
         .persist()
       if (next.count() == 0) { next.unpersist(blocking = false); exhausted = true }
@@ -956,7 +1137,8 @@ object GraphOps {
     * edges, the standard distributed peeling shape. */
   def kCorePeel(
       edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, rounds: Int): DataFrame = {
+      k: Int, rounds: Int,
+      broadcastState: Boolean = true): DataFrame = {
     // canonical distinct set expanded and LOCALLY CHECKPOINTED: the
     // peeling rounds re-reference the edge list ~2× per round, and a
     // checkpoint materializes the (possibly expensive — q102's cosine
@@ -985,8 +1167,8 @@ object GraphOps {
       // bounds plan growth for deep cascades
       if (r % 3 == 0 && r < rounds) surv = surv.localCheckpoint()
       degS = und
-        .join(broadcast(surv.select(col("id").as("src"))), "src")
-        .join(broadcast(surv.select(col("id").as("dst"))), "dst")
+        .join(stateSide(surv.select(col("id").as("src")), broadcastState), "src")
+        .join(stateSide(surv.select(col("id").as("dst")), broadcastState), "dst")
         .groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
     }
     val out = allV

@@ -48,11 +48,22 @@ object EventAnalytics {
         .filter(col("tm") > col("tp") && col("tm") <= col("t1") + wMicros)
         .groupBy("u").agg(min("t1").as("t1"), min("tm").as("tp"))
     }
-    chain.zipWithIndex.map { case (f, i) =>
+    // Every chain frame but the last is consumed TWICE (step i+1's join
+    // and its own count row); uncached, step k's plan re-executed steps
+    // 1..k-1's event-log scans — O(k²) passes over the raw log (round-5
+    // verdict). Persist the (user-sized, shrinking) frames, materialize
+    // the k-row report, then release them — k linear passes total. The
+    // report stays persisted (the materializeAndRelease convention): its
+    // lineage is gone once the chain caches drop.
+    chain.foreach(_.persist())
+    val report = chain.zipWithIndex.map { case (f, i) =>
       f.agg(count(lit(1)).as("n_users"))
         .select(lit(i + 1).as("step"), lit(steps(i)).as("event_type"),
           col("n_users"))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _).persist()
+    report.count()
+    chain.foreach(_.unpersist(blocking = false))
+    report
   }
 
   /** Cohort retention matrix: users are cohorted by FIRST-ACTIVE day;

@@ -488,11 +488,18 @@ object RelationalQueries {
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
         |             * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s2
         |  FROM lineitem GROUP BY l_returnflag),
+        |sg AS (
+        |  SELECT l_returnflag, s1 / n AS mu,
+        |    sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS sigma
+        |  FROM st),
         |z AS (
+        |  -- σ=0 group → NULL z, mirroring the engine's when(σ>0)
+        |  -- convention (round-5 advice: a bare divide would give ±inf/NaN
+        |  -- here but NULL in Spark — a latent cross-engine divergence)
         |  SELECT l.l_returnflag,
-        |    (l.l_quantity - st.s1 / st.n)
-        |      / sqrt(greatest(st.s2 / st.n - (st.s1 / st.n) * (st.s1 / st.n), 0.0)) AS z
-        |  FROM lineitem l JOIN st USING (l_returnflag))
+        |    CASE WHEN sg.sigma > 0
+        |         THEN (l.l_quantity - sg.mu) / sg.sigma END AS z
+        |  FROM lineitem l JOIN sg USING (l_returnflag))
         |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
         |  ROUND(MIN(z), 6) AS min_z, ROUND(MAX(z), 6) AS max_z,
         |  CAST(SUM(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
