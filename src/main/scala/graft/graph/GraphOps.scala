@@ -886,14 +886,18 @@ object GraphOps {
         .agg(sum(col("d") * col("d"))).head().getLong(0)
       m2 * w - sumD2
     }
+    // The state is referenced ~7× per round (gate ×2, D_c, k, candidate
+    // union, score join ×2): localCheckpoint, not persist, or the nested
+    // per-round plan STRINGS grow geometrically (the HITS 8 GB-driver
+    // lesson; persisted-only, round 6 measured a 2.5 MB truncated plan
+    // at just rounds = 2).
     var asg = assignment
       .select(col(idCol).as("id"), col(labelCol).as("c"))
       .join(deg.select("id"), "id") // edge-incident vertices only
-      .persist()
+      .localCheckpoint()
     var qCur = qNum(asg)
     var r = 0
     var improved = true
-    var prev: DataFrame = asg
     while (r < rounds && improved) {
       val dC = asg.join(deg, "id").groupBy("c").agg(sum(col("kv")).as("dc"))
       // k_{v→c}: the LPA message kernel — exchange-free over the cached
@@ -919,15 +923,14 @@ object GraphOps {
         .groupBy("id")
         .agg(max(struct(col("score"), (-col("c")).as("nc"))).as("best"))
         .select(col("id"), (-col("best.nc")).as("c"))
-        .persist()
+        .localCheckpoint()
       val qNew = qNum(moved)
       if (qNew > qCur) {
-        prev.unpersist(blocking = false)
-        prev = moved
+        releaseLocalCheckpoint(asg)
         asg = moved
         qCur = qNew
       } else {
-        moved.unpersist(blocking = false)
+        releaseLocalCheckpoint(moved)
         improved = false
       }
       r += 1
@@ -938,7 +941,7 @@ object GraphOps {
       .select(col("id"), coalesce(col("c"), col("label")).as("label"))
       .persist()
     out.count()
-    prev.unpersist(blocking = false)
+    releaseLocalCheckpoint(asg)
     und.unpersist(blocking = false)
     deg.unpersist(blocking = false)
     if (ownPre) pre.unpersist(blocking = false)

@@ -95,6 +95,23 @@ object GraphQueries {
         col("label"))
     },
 
+    // G2 quality refinement: Louvain-style synchronous local-move pass
+    // over the LPA assignment, each round gated by the exact integer
+    // modularity numerator (accept only if Q strictly improves) — the
+    // modularity-OPTIMIZING step the reference's Leiden run performs
+    // that plain LPA lacks. All-integer scores + (score desc, c asc)
+    // argmax + the integer gate make the whole pass a pure function of
+    // the input; the oracle replays LPA AND both refine rounds unrolled.
+    Q("q126_louvain_refine", louvainOracle(lpaIters = 3, rounds = 2)) { (s, dir) =>
+      val e = bipartite(s, dir).persist()
+      val lpa = GraphOps.lpaEdges(e, "src", "dst", maxIter = 3)
+      GraphOps.louvainRefine(e, "src", "dst", lpa, "id", "label", rounds = 2)
+        .select(
+          when(pmod(col("id"), lit(2)) === 0, "part").otherwise("supplier").as("kind"),
+          shiftright(col("id"), 1).as("key"),
+          col("label"))
+    },
+
     // G2 multi-resolution: the 3-level community ladder (fine LPA →
     // contracted LPA → components), the reference's resolution stack
     // [2.0, 0.5, 0.1]. Oracle = unrolled LPA at both levels + a recursive
@@ -438,6 +455,56 @@ object GraphQueries {
          |  FROM ${p}m$i) t WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     s"$init,\n$steps"
+  }
+
+  /** Unrolled Louvain refinement: LPA prelude, then per round —
+    * community degree sums D_c, neighbor-community edge counts k_{v→c},
+    * own-community candidate union, integer-score argmax
+    * (m2·k_{v→c} − k_v·(D_c − [c=c_v]·k_v); ties → smallest c), and the
+    * exact-integer acceptance gate Q_num = m2·W − Σ D_c² (reject ⇒ the
+    * assignment carries forward unchanged, which fixed-points the
+    * remaining rounds — bit-identical to the engine's early stop). */
+  private def louvainOracle(lpaIters: Int, rounds: Int): String = {
+    def qnumSql(asg: String): String =
+      s"""(SELECT m2 FROM mm) *
+         |  (SELECT COUNT(*) FROM und u
+         |   JOIN $asg x ON u.src = x.id JOIN $asg y ON u.dst = y.id
+         |   WHERE x.c = y.c)
+         |- (SELECT SUM(dd.d * dd.d) FROM
+         |   (SELECT SUM(kv) AS d FROM $asg JOIN deg USING (id) GROUP BY c) dd)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""dc$i AS (SELECT c, SUM(kv) AS dc FROM a$p JOIN deg USING (id) GROUP BY c),
+         |k$i AS (SELECT u.src AS id, a.c, COUNT(*) AS kvc
+         |        FROM und u JOIN a$p a ON u.dst = a.id GROUP BY u.src, a.c),
+         |cand$i AS (SELECT id, c, MAX(kvc) AS kvc FROM (
+         |  SELECT id, c, kvc FROM k$i
+         |  UNION ALL SELECT id, c, 0 AS kvc FROM a$p) t GROUP BY id, c),
+         |mv$i AS (SELECT id, c FROM (
+         |  SELECT n.id, n.c, ROW_NUMBER() OVER (PARTITION BY n.id ORDER BY
+         |    ((SELECT m2 FROM mm) * n.kvc
+         |     - d.kv * (dc$i.dc - CASE WHEN n.c = a.c THEN d.kv ELSE 0 END)) DESC,
+         |    n.c) AS rn
+         |  FROM cand$i n
+         |  JOIN a$p a ON n.id = a.id
+         |  JOIN deg d ON n.id = d.id
+         |  JOIN dc$i ON n.c = dc$i.c) t WHERE rn = 1),
+         |qm$i AS (SELECT ${qnumSql(s"mv$i")} AS qn),
+         |acc$i AS (SELECT (SELECT qn FROM qm$i) > (SELECT qn FROM q$p) AS ok),
+         |a$i AS (SELECT a.id,
+         |  CASE WHEN (SELECT ok FROM acc$i) THEN m.c ELSE a.c END AS c
+         |  FROM a$p a JOIN mv$i m USING (id)),
+         |q$i AS (SELECT CASE WHEN (SELECT ok FROM acc$i)
+         |  THEN (SELECT qn FROM qm$i) ELSE (SELECT qn FROM q$p) END AS qn)""".stripMargin
+    }.mkString(",\n")
+    s"""$graphPrelude,
+       |${lpaSteps("und", "l", lpaIters)},
+       |deg AS (SELECT src AS id, COUNT(*) AS kv FROM und GROUP BY src),
+       |mm AS (SELECT COUNT(*) AS m2 FROM und),
+       |a0 AS (SELECT id, label AS c FROM l$lpaIters),
+       |q0 AS (SELECT ${qnumSql("a0")} AS qn),
+       |$steps
+       |SELECT $kindKey, c AS label FROM a$rounds""".stripMargin
   }
 
   private def lpaOracle(iters: Int): String =

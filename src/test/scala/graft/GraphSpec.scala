@@ -314,6 +314,43 @@ class GraphSpec extends SparkSpec {
     assert(q0 == 0L)
   }
 
+  test("louvainRefine: improves a bad split, never decreases modularity, deterministic") {
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    // two 4-cliques + one weak bridge; a deliberately BAD assignment that
+    // puts one vertex of each clique on the wrong side
+    val e = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(11L, 12L, 13L, 14L)) ++
+      Seq((4L, 11L))).toDF("src", "dst")
+    val bad = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L,
+      11L -> 1L, 12L -> 2L, 13L -> 2L, 14L -> 2L).toDF("id", "label")
+    def qTot(asg: org.apache.spark.sql.DataFrame): Long =
+      GraphOps.modularityOf(e, "src", "dst", asg, "id", "label")
+        .agg(sum("q_num")).as[Long].head()
+    val refined = GraphOps.louvainRefine(e, "src", "dst", bad, "id", "label",
+      rounds = 3)
+    assert(qTot(refined) > qTot(bad)) // strictly better than the bad split
+    // the two clique cores end up together
+    val m = refined.as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(m).distinct.size == 1)
+    assert(Seq(11L, 12L, 13L, 14L).map(m).distinct.size == 1)
+    assert(m(1L) != m(11L))
+    // deterministic: a second run is bit-identical
+    val again = GraphOps.louvainRefine(e, "src", "dst", bad, "id", "label",
+      rounds = 3).as[(Long, Long)].collect().toMap
+    assert(again == m)
+    // non-decrease also holds starting from LPA's (already good) output
+    // — the acceptance gate keeps the LPA partition if no move helps
+    val lpa = GraphOps.lpaEdges(e, "src", "dst", 8)
+    val rl = GraphOps.louvainRefine(e, "src", "dst", lpa, "id", "label",
+      rounds = 2)
+    assert(qTot(rl) >= qTot(lpa))
+    // vertices with no edges pass through unchanged
+    val withIso = bad.unionByName(Seq(99L -> 7L).toDF("id", "label"))
+    val iso = GraphOps.louvainRefine(e, "src", "dst", withIso, "id", "label",
+      rounds = 1).as[(Long, Long)].collect().toMap
+    assert(iso(99L) == 7L)
+  }
+
   test("multiSourceBfs: nearest landmark with smallest-id tie-break") {
     // path 1-2-3-4-5 with landmarks {1, 5}: 2→1, 4→5, 3 ties → 1
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
