@@ -14,6 +14,75 @@ object TextKernels {
     UTF8String.fromString(
       java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFKC))
 
+  /** cp1252 codepoint → byte for the 27 printable characters windows-1252
+    * places in the 0x80–0x9F range (the "sloppy" superset of latin-1 that
+    * encoding-repair needs: mojibake produced by a cp1252 mis-decode shows
+    * € „ " etc. where latin-1 would show C1 controls). */
+  private val Cp1252Rev: java.util.HashMap[Character, java.lang.Byte] = {
+    val m = new java.util.HashMap[Character, java.lang.Byte]()
+    val pairs = Seq(
+      '€' -> 0x80, '‚' -> 0x82, 'ƒ' -> 0x83, '„' -> 0x84,
+      '…' -> 0x85, '†' -> 0x86, '‡' -> 0x87, 'ˆ' -> 0x88,
+      '‰' -> 0x89, 'Š' -> 0x8A, '‹' -> 0x8B, 'Œ' -> 0x8C,
+      'Ž' -> 0x8E, '‘' -> 0x91, '’' -> 0x92, '“' -> 0x93,
+      '”' -> 0x94, '•' -> 0x95, '–' -> 0x96, '—' -> 0x97,
+      '˜' -> 0x98, '™' -> 0x99, 'š' -> 0x9A, '›' -> 0x9B,
+      'œ' -> 0x9C, 'ž' -> 0x9E, 'Ÿ' -> 0x9F)
+    pairs.foreach { case (c, b) => m.put(c, b.toByte) }
+    m
+  }
+
+  /** One round of encoding repair (the ftfy core move, reimplemented from
+    * the published algorithm idea — fix UTF-8 text that was mis-decoded as
+    * latin-1/windows-1252): re-encode every char back to the byte it came
+    * from (identity below 0x100, the cp1252 table above it) and strictly
+    * re-decode as UTF-8. Returns null when the text cannot be pure
+    * mojibake — any char outside the byte-mapped set, no high bytes at
+    * all, or an invalid UTF-8 byte sequence — in which case the input is
+    * left untouched (conservative: mixed legit-accented + mojibake text is
+    * not repaired, unlike ftfy's per-segment pass; documented deviation). */
+  private def fixOnce(str: String): String = {
+    val n = str.length
+    val bytes = new Array[Byte](n)
+    var hasHigh = false
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      if (c < 0x100) bytes(i) = c.toByte
+      else {
+        val b = Cp1252Rev.get(c)
+        if (b == null) return null
+        bytes(i) = b.byteValue()
+      }
+      if ((bytes(i) & 0x80) != 0) hasHigh = true
+      i += 1
+    }
+    if (!hasHigh) return null
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try {
+      val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      if (out == str) null else out
+    } catch { case _: java.nio.charset.CharacterCodingException => null }
+  }
+
+  /** Mojibake repair: apply [[fixOnce]] up to `passes` times (doubly
+    * mis-decoded text needs two). A pass that finds nothing to fix (or
+    * that would corrupt) stops the loop and the last good form is kept. */
+  def fixMojibake(s: UTF8String, passes: Int): UTF8String = {
+    var cur: String = null
+    var base = s.toString
+    var p = 0
+    var go = true
+    while (p < passes && go) {
+      val next = fixOnce(if (cur == null) base else cur)
+      if (next == null) go = false else cur = next
+      p += 1
+    }
+    if (cur == null) s else UTF8String.fromString(cur)
+  }
+
   /** 64-bit polynomial rolling hash (Karp-Rabin style, base 31) over UTF-8
     * bytes — the document-fingerprint primitive (reference uses SHA-256 hex
     * keys, io_helpers.py:105-115; a rolling hash is the scale-path variant:
@@ -44,6 +113,23 @@ case class NfkcNormalize(child: Expression) extends UnaryExpression {
   override def prettyName: String = "nfkc_normalize"
 }
 
+/** T1 fidelity (data_transformation_helpers.py:20-42 via /root/reference —
+  * the `ftfy.fix_text` step): encoding-confusion repair as a native
+  * codegen'd expression; see TextKernels.fixMojibake for the algorithm
+  * and its conservative whole-string deviation from ftfy. */
+case class FixMojibake(child: Expression, passes: Int) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.fixMojibake(input.asInstanceOf[UTF8String], passes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.fixMojibake($c, $passes)")
+  override protected def withNewChildInternal(newChild: Expression): FixMojibake =
+    copy(child = newChild)
+  override def prettyName: String = "fix_mojibake"
+}
+
 /** Rolling-hash fingerprint expression (codegen-friendly, see
   * TextKernels.rollingHash). */
 case class RollingHash(child: Expression) extends UnaryExpression {
@@ -61,6 +147,8 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 object TextExpressions {
   def nfkc(c: Column): Column =
     GraftSqlBridge.column(NfkcNormalize(GraftSqlBridge.expression(c)))
+  def fixMojibake(c: Column, passes: Int = 2): Column =
+    GraftSqlBridge.column(FixMojibake(GraftSqlBridge.expression(c), passes))
   def rollingHash(c: Column): Column =
     GraftSqlBridge.column(RollingHash(GraftSqlBridge.expression(c)))
 }

@@ -9,15 +9,18 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** T1 (data_transformation_helpers.py:20-86): repair + normalize text.
-    * NFKC (custom expression) → unescape quotes → collapse newlines →
-    * collapse whitespace → trim. ftfy's mojibake repair has no JVM
-    * equivalent; NFKC + the quote unescapes approximate it (documented
-    * deviation, SURVEY §7.5). */
+  /** T1 (data_transformation_helpers.py:20-86): repair + normalize text,
+    * the reference's ftfy → NFKC → sanitize order. Mojibake repair is the
+    * algorithmic cp1252/latin-1 round-trip (TextKernels.fixMojibake,
+    * round-6 addition closing the ftfy fidelity gap; whole-string
+    * conservative — see its doc); then NFKC (custom expression) →
+    * unescape quotes → collapse newlines → collapse whitespace → trim.
+    * All codegen'd. */
   def normalizeText(c: Column): Column =
     trim(regexp_replace(
       regexp_replace(
-        regexp_replace(TextExpressions.nfkc(c), "\\\\\"", "\""),
+        regexp_replace(
+          TextExpressions.nfkc(TextExpressions.fixMojibake(c)), "\\\\\"", "\""),
         "[\\n\\r]+", " "),
       "\\s+", " "))
 

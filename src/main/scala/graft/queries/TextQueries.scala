@@ -72,6 +72,29 @@ object TextQueries {
         .withColumn("digest", sha2(col("clean"), 256))
     },
 
+    // T1 fidelity — mojibake repair (the ftfy step). The corpus is ASCII,
+    // so the query CONSTRUCTS real mojibake: decorate the cleaned text
+    // with non-ASCII punctuation/accents (same literal both engines),
+    // mis-decode it UTF-8→latin-1 engine-side (decode∘encode), then run
+    // the repair expression. Repair provably inverts the mis-decode in
+    // one pass, so the oracle simply emits the decorated clean text —
+    // any repair bug hash-mismatches. n_ghost_chars asserts the damage
+    // was non-trivial (every multi-byte char gained ghost chars).
+    Q("q127_mojibake_repair",
+      """SELECT doc_id,
+        |  '« ' || trim(regexp_replace(regexp_replace(regexp_replace(text, '\\"', '"', 'g'),
+        |       '[\n\r]+', ' ', 'g'), '\s+', ' ', 'g')) || ' — café™ Ÿ»' AS repaired,
+        |  CAST(8 AS BIGINT) AS n_ghost_chars
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val clean = T.normalizeText(col("text"))
+      val decorated = concat(lit("« "), clean, lit(" — café™ Ÿ»"))
+      val damaged = decode(encode(decorated, "UTF-8"), "ISO-8859-1")
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        TextExpressions.fixMojibake(damaged, passes = 1).as("repaired"),
+        (length(damaged) - length(decorated)).cast("long").as("n_ghost_chars"))
+    },
+
     // Quality scoring: stopword ratio + punctuation ratio composite.
     Q("q26_quality_score",
       """SELECT doc_id, ROUND(

@@ -71,6 +71,41 @@ class TextSpec extends SparkSpec {
     assert(out == "fine \"quoted\" and more spaced") // ﬁ→fi (NFKC), quotes unescaped, ws collapsed
   }
 
+  test("fixMojibake: repairs classic ftfy cases, leaves sane text alone") {
+    import graft.functions.TextExpressions
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    def damage(s: String): String = new String(s.getBytes(UTF_8), ISO_8859_1)
+    def fix(s: String, passes: Int = 2): String =
+      Seq(s).toDF("t")
+        .select(TextExpressions.fixMojibake(col("t"), passes)).as[String].head()
+    // the classic single mis-decodes (ftfy's published examples' shape):
+    // latin letters, curly quotes (incl. the cp1252-undefined 0x9D
+    // mapped through the C1 control), dashes, ellipsis, currency
+    assert(fix("Ã©") == "é")
+    assert(fix("Ã¼ber naÃ¯ve") == "über naïve")
+    assert(fix("â€œquotedâ€") == "“quoted”")
+    assert(fix("donâ€™t â€” ever") == "don’t — ever")
+    assert(fix("â€¦ â‚¬99") == "… €99")
+    // round-trips: damage is exactly inverted, doubly-damaged needs 2 passes
+    val s = "« Smörgåsbord — ﬁne™ Ÿ »"
+    assert(fix(damage(s), passes = 1) == s)
+    assert(fix(damage(damage(s)), passes = 2) == s)
+    // non-Latin scripts round-trip too (all UTF-8 bytes are latin-1-
+    // representable, so the mis-decode is always invertible)
+    for (t <- Seq("Беларусь", "日本語テキスト", "مرحبا", "🎵 notes"))
+      assert(fix(damage(t), passes = 1) == t, s"round-trip $t")
+    // conservative non-repairs: correct text, truncated mojibake (invalid
+    // UTF-8), and MIXED legit+mojibake stay untouched (whole-string
+    // deviation from ftfy's per-segment pass)
+    assert(fix("café") == "café")
+    assert(fix("plain ascii") == "plain ascii")
+    assert(fix("Ã") == "Ã")
+    assert(fix("naïve Ã©") == "naïve Ã©")
+    // normalizeText runs repair before NFKC + sanitize
+    assert(Seq("Ã©tÃ©  \n x").toDF("t")
+      .select(T.normalizeText(col("t"))).as[String].head() == "été x")
+  }
+
   test("langId: stopword argmax with und fallback") {
     val df = Seq(
       ("the cat sat on the mat and it is that for", "en"),
