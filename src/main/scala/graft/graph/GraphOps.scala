@@ -873,19 +873,6 @@ object GraphOps {
       if (ownPre) pre.unpersist(blocking = false)
       return assignment.select(col(idCol).as("id"), col(labelCol).as("label"))
     }
-    // exact integer modularity numerator of an assignment: m2·W − Σ D_c²
-    def qNum(asg: DataFrame): Long = {
-      val sc = asg.select(col("id").as("src"), col("c").as("sc"))
-      val dc = asg.select(col("id").as("dst"), col("c").as("dc"))
-      val w = und.join(stateSide(sc, broadcastState), "src")
-        .join(stateSide(dc, broadcastState), "dst")
-        .filter(col("sc") === col("dc"))
-        .count()
-      val sumD2 = asg.join(deg, "id")
-        .groupBy("c").agg(sum(col("kv")).as("d"))
-        .agg(sum(col("d") * col("d"))).head().getLong(0)
-      m2 * w - sumD2
-    }
     // The state is referenced ~7× per round (gate ×2, D_c, k, candidate
     // union, score join ×2): localCheckpoint, not persist, or the nested
     // per-round plan STRINGS grow geometrically (the HITS 8 GB-driver
@@ -895,18 +882,42 @@ object GraphOps {
       .select(col(idCol).as("id"), col(labelCol).as("c"))
       .join(deg.select("id"), "id") // edge-incident vertices only
       .localCheckpoint()
-    var qCur = qNum(asg)
-    var r = 0
-    var improved = true
-    while (r < rounds && improved) {
-      val dC = asg.join(deg, "id").groupBy("c").agg(sum(col("kv")).as("dc"))
-      // k_{v→c}: the LPA message kernel — exchange-free over the cached
-      // src-partitioned expansion
+    // Per-assignment frames (k_{v→c} and D_c) serve DOUBLE duty: they
+    // drive the move scores of the round AND yield that assignment's own
+    // Q_num without touching the edge list again (W = Σ_v k_{v→c_v},
+    // Σ D_c² from dC — k is counted against the same labels). So each
+    // round costs exactly ONE pass over the edges (the k aggregation,
+    // the exchange-free LPA message kernel); the gate for `moved` is
+    // evaluated by building the NEXT round's frames on it, which the
+    // accepted path then reuses. (The first cut re-counted W via an
+    // edges⋈asg⋈asg pass per gate — 2 edge passes/round, measured ~6.2 s
+    // for q126 at sf0.1.)
+    def frames(a: DataFrame): (DataFrame, DataFrame) = {
+      val dC = a.join(deg, "id").groupBy("c").agg(sum(col("kv")).as("dc"))
+        .persist()
       val k = und
-        .join(stateSide(asg.select(col("id").as("dst"), col("c")),
+        .join(stateSide(a.select(col("id").as("dst"), col("c")),
           broadcastState), "dst")
         .groupBy(col("src").as("id"), col("c"))
         .agg(count(lit(1)).as("kvc"))
+        .persist()
+      (dC, k)
+    }
+    def qNumOf(a: DataFrame, dC: DataFrame, k: DataFrame): Long = {
+      // one scalar job, not two: the 1-row W and ΣD² aggs cross-joined
+      val row = k.join(a.withColumnRenamed("c", "cv"), "id")
+        .filter(col("c") === col("cv"))
+        .agg(coalesce(sum(col("kvc")), lit(0L)).as("w"))
+        .crossJoin(
+          dC.agg(coalesce(sum(col("dc") * col("dc")), lit(0L)).as("d2")))
+        .head()
+      m2 * row.getLong(0) - row.getLong(1)
+    }
+    var (dC, k) = frames(asg)
+    var qCur = qNumOf(asg, dC, k)
+    var r = 0
+    var improved = true
+    while (r < rounds && improved) {
       // own community is always a candidate (kvc = 0 when v has no
       // intra-community neighbor); max() folds the duplicate away
       val cand = k.unionByName(asg.select(col("id"), col("c"),
@@ -924,17 +935,24 @@ object GraphOps {
         .agg(max(struct(col("score"), (-col("c")).as("nc"))).as("best"))
         .select(col("id"), (-col("best.nc")).as("c"))
         .localCheckpoint()
-      val qNew = qNum(moved)
+      val (dC2, k2) = frames(moved)
+      val qNew = qNumOf(moved, dC2, k2)
       if (qNew > qCur) {
         releaseLocalCheckpoint(asg)
-        asg = moved
+        dC.unpersist(blocking = false)
+        k.unpersist(blocking = false)
+        asg = moved; dC = dC2; k = k2
         qCur = qNew
       } else {
         releaseLocalCheckpoint(moved)
+        dC2.unpersist(blocking = false)
+        k2.unpersist(blocking = false)
         improved = false
       }
       r += 1
     }
+    dC.unpersist(blocking = false)
+    k.unpersist(blocking = false)
     val out = assignment
       .select(col(idCol).as("id"), col(labelCol).as("label"))
       .join(asg.select(col("id"), col("c")), Seq("id"), "left")
