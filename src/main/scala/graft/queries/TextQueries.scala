@@ -494,6 +494,38 @@ object TextQueries {
         minWords = 8, badwords = Seq("dup"))
     },
 
+    // C4 corpus-LEVEL line dedup (vs q98's doc-local pass): boilerplate
+    // lines repeated across documents keep only their global first
+    // occurrence (min (doc, idx) — a total order both engines replay).
+    // Same derived 8-word lines as q98.
+    Q("q128_corpus_line_dedup",
+      """WITH nl AS (
+        |  SELECT doc_id, regexp_replace(text,
+        |    '(\S+ \S+ \S+ \S+ \S+ \S+ \S+ \S+) ', '\1' || chr(10), 'g') AS t
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM nl),
+        |lines AS (
+        |  SELECT doc_id, s.i AS i, s.line AS line FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(l)),
+        |      i -> {'i': i, 'line': l[i]})) AS s
+        |    FROM ls)),
+        |f AS (
+        |  SELECT doc_id, i, line,
+        |    (COUNT(*) OVER (PARTITION BY line) < 2
+        |     OR row_number() OVER (PARTITION BY line ORDER BY doc_id, i) = 1)
+        |      AS keep
+        |  FROM lines)
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_lines,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept,
+        |  COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY i), '')
+        |    AS clean_text
+        |FROM f GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val withLines = Tables(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(col("text"),
+          "(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ", "$1\n").as("text"))
+      TextStats.corpusLineDedup(withLines, "doc_id", "text", minCount = 2)
+    },
+
     // Unigram LM quality score: mean negative log₂-probability per token
     // under the corpus's own unigram distribution — the perplexity-style
     // filter (CCNet/Gopher shape) without an external model. Per-term

@@ -272,6 +272,48 @@ object TextStats {
           "\n").as("clean_text"))
   }
 
+  /** C4-style CORPUS-level line deduplication (Raffel et al. 2020 §2.2 —
+    * "we discarded all but one of any three-sentence span occurring more
+    * than once", operationalized per line as the public C4 reproductions
+    * do): a line whose GLOBAL frequency reaches `minCount` keeps only its
+    * first occurrence — smallest (doc, index), a total order — and every
+    * other instance is dropped; rare lines pass through. Per-doc text is
+    * reassembled in original order. Complements [[lineFilter]], which is
+    * doc-LOCAL: boilerplate repeated ACROSS documents (cookie banners,
+    * license headers) is exactly what this pass removes from a pretraining
+    * corpus.
+    *
+    * Scale shape: one posexplode (no shuffle) → one groupBy(line) agg
+    * (count + min(struct(doc, i)), both partial-aggregated map-side so
+    * hot boilerplate lines collapse before the exchange) → a line-keyed
+    * equi-join back (each instance matches exactly one freq row; AQE
+    * skew-join splits hot keys) → one per-doc hash agg to reassemble.
+    * Never a doc×doc or line×line product; no driver collect. */
+  def corpusLineDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long): DataFrame = {
+    val lines = docs.select(col(idCol).as("__d"),
+      posexplode(split(col(textCol), "\n")).as(Seq("i", "line")))
+    val freq = lines.groupBy("line").agg(
+      count(lit(1)).as("__n"),
+      min(struct(col("__d"), col("i"))).as("__first"))
+    lines.join(freq, "line")
+      .withColumn("keep",
+        col("__n") < minCount ||
+          (col("__first.__d") === col("__d") && col("__first.i") === col("i")))
+      .groupBy(col("__d"))
+      .agg(
+        count(lit(1)).cast("int").as("n_lines"),
+        coalesce(sum(when(col("keep"), 1)), lit(0)).cast("int").as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("i").as("i"), col("line").as("line"))))),
+            x => x.getField("line")),
+          "\n").as("clean_text"))
+      .withColumnRenamed("__d", idCol)
+  }
+
   /** Word-level repetition signals per document (the Gopher quality
     * filters' lexical core): distinct-token ratio, most-frequent-token
     * fraction, most-frequent-bigram fraction. All ratios are exact

@@ -235,6 +235,26 @@ class TextStatsSpec extends SparkSpec {
     assert(out(2L)._2 == 1 && out(2L)._3 == 1 && out(2L)._4 == "only one short line")
   }
 
+  test("corpusLineDedup: cross-doc boilerplate keeps only the global first occurrence") {
+    val banner = "accept all cookies to continue reading"
+    val d = Seq(
+      (3L, s"unique text of document three\n$banner"),
+      (1L, s"$banner\nfirst document body text"),
+      (2L, s"second document body text\n$banner\n$banner"))
+      .toDF("doc_id", "text")
+    val out = TextStats.corpusLineDedup(d, "doc_id", "text", minCount = 2)
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    // the banner appears 4× corpus-wide → only (doc 1, i=0), the global
+    // minimum (doc, idx), survives; unique lines all pass
+    assert(out(1L) == ((1L, 2, 2, s"$banner\nfirst document body text")))
+    assert(out(2L) == ((2L, 3, 1, "second document body text")))
+    assert(out(3L) == ((3L, 2, 1, "unique text of document three")))
+    // below-threshold duplicates pass: same corpus, minCount = 5
+    val loose = TextStats.corpusLineDedup(d, "doc_id", "text", minCount = 5)
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(loose(2L)._3 == 3)
+  }
+
   test("lmScore: common-token docs score lower than rare-token docs") {
     // corpus: 'the' appears 8×, 'xyzzy' once → p(the) >> p(xyzzy)
     val d = Seq(
