@@ -378,6 +378,66 @@ object VectorQueries {
         k = 8, iters = 3)
     },
 
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical top-20
+    // (q93's scoring, documents) and the cosine vector top-20 (q37's
+    // anchor query, embeddings) — the standard RAG combiner over
+    // uncalibrated retriever scores. Both input rankings and the fusion
+    // fold are total-ordered, so the oracle replays list selection
+    // (by raw score), in-fusion ranks (by rounded score, id) and the
+    // source-ordered 1/(60+r) sum exactly.
+    Q("q129_rrf_hybrid",
+      s"""$normCte,
+         |toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+         |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM lens),
+         |tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest(t) AS term FROM toks)
+         |  WHERE term IN ('spark', 'window', 'dup') GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |scored AS (
+         |  SELECT doc_id, term,
+         |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl
+         |          / (CAST(sum_dl AS DOUBLE) / n_docs))) AS s
+         |  FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats),
+         |bagg AS (
+         |  SELECT doc_id, list_reduce(array_agg(s ORDER BY term), (a, b) -> a + b) AS raw
+         |  FROM scored GROUP BY doc_id),
+         |rb AS (SELECT doc_id AS id, ROUND(raw, 6) AS score
+         |       FROM bagg ORDER BY raw DESC, doc_id LIMIT 20),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n ORDER BY vec_id LIMIT 1),
+         |rv AS (
+         |  SELECT a.vec_id AS id,
+         |    ROUND(list_reduce(list_transform(generate_series(1, 64), k -> a.v[k] * q.qv[k]),
+         |          (x, y) -> x + y) / (a.nrm * q.qn), 6) AS score
+         |  FROM n a CROSS JOIN q
+         |  WHERE a.vec_id <> q.q_id
+         |  ORDER BY list_reduce(list_transform(generate_series(1, 64), k -> a.v[k] * q.qv[k]),
+         |          (x, y) -> x + y) / (a.nrm * q.qn) DESC, a.vec_id
+         |  LIMIT 20),
+         |rb2 AS (SELECT id, 0 AS src, row_number() OVER (ORDER BY score DESC, id) AS r FROM rb),
+         |rv2 AS (SELECT id, 1 AS src, row_number() OVER (ORDER BY score DESC, id) AS r FROM rv),
+         |u AS (SELECT * FROM rb2 UNION ALL SELECT * FROM rv2),
+         |f AS (
+         |  SELECT id, CAST(COUNT(*) AS INT) AS n_lists,
+         |    list_reduce(list_transform(array_agg({'s': src, 'r': r} ORDER BY src),
+         |      x -> 1.0 / (60 + x.r)), (a, b) -> a + b) AS raw
+         |  FROM u GROUP BY id)
+         |SELECT id, n_lists, ROUND(raw, 9) AS rrf
+         |FROM f ORDER BY raw DESC, id LIMIT 10""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val emb = Tables(s, dir, "embeddings")
+      val lexical = graft.text.TextStats.bm25TopK(docs, "doc_id", "text",
+          terms = Seq("spark", "window", "dup"), k = 20)
+        .select(col("doc_id").as("id"), col("bm25").as("score"))
+      val dense = Similarity.knnBrute(emb, "vec_id", "embedding",
+          query = emb.orderBy("vec_id").limit(1), k = 20)
+        .select(col("vec_id").as("id"), round(col("cos_raw"), 6).as("score"))
+      Similarity.rrfFuse(Seq(lexical, dense), "id", "score", topK = 10)
+    },
+
     // Symmetric int8 quantization — the 4× vector-store compression step.
     // Every op is IEEE-exact (no transcendentals, floor not round), so
     // the quantized codes hash-match across engines element for element.

@@ -212,6 +212,47 @@ object Similarity {
     * as a ONE-ROW collected-struct broadcast (never a candidate×selected
     * join — no cartesian shape anywhere), and the penalty is an
     * array-fold over ≤k entries. Returns (rank, id, qsim). */
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) — the standard
+    * hybrid-retrieval combiner a RAG stack puts over its lexical (BM25)
+    * and vector (cosine) rankings: score(d) = Σ_lists 1/(kRrf + rank_d),
+    * rewarding documents that rank well in ANY list without score
+    * calibration across retrievers.
+    *
+    * Determinism: each input list is ranked by (its score desc, id asc) —
+    * a total order — and the per-document fusion sum folds left-to-right
+    * over the source-sorted rank list (the bm25TopK discipline), so the
+    * result is a pure function of the inputs and a SQL oracle replays it.
+    *
+    * Scale shape: inputs are BOUNDED top-K retrieval outputs (that is the
+    * contract — rank them with their own distributed top-K first), so the
+    * per-list row_number window over one partition touches ≤k rows; the
+    * fusion itself is one hash agg over Σ|lists| rows. */
+  def rrfFuse(
+      rankings: Seq[DataFrame], idCol: String, scoreCol: String,
+      topK: Int, kRrf: Long = 60L): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = rankings.zipWithIndex.map { case (df, i) =>
+      val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
+      df.select(col(idCol), col(scoreCol))
+        .withColumn("r", row_number().over(w).cast("long"))
+        .select(col(idCol).as("id"), col("r"), lit(i).as("src"))
+    }
+    ranked.reduce(_ unionByName _)
+      .groupBy("id")
+      .agg(count(lit(1)).cast("int").as("n_lists"),
+        aggregate(
+          transform(
+            sort_array(collect_list(struct(col("src").as("s"), col("r").as("r")))),
+            x => lit(1.0) / (lit(kRrf).cast("double") + x.getField("r").cast("double"))),
+          lit(0.0), _ + _).as("raw"))
+      .select(col("id"), col("n_lists"), round(col("raw"), 9).as("rrf"),
+        col("raw"))
+      .orderBy(col("raw").desc, col("id").asc)
+      .limit(topK)
+      .drop("raw")
+  }
+
   def mmrRerank(
       emb: DataFrame, idCol: String, vecCol: String,
       query: DataFrame, k: Int, lambdaPct: Long = 70L,

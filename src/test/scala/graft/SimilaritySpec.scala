@@ -108,6 +108,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out == again) // deterministic end-to-end
   }
 
+  test("rrfFuse: both-list docs outrank single-list, hand-computed scores, deterministic") {
+    // list A ranks: 10 (1st), 20 (2nd), 30 (3rd); list B: 20 (1st), 40 (2nd)
+    val a = Seq((10L, 0.9), (20L, 0.8), (30L, 0.7)).toDF("id", "score")
+    val b = Seq((20L, 0.95), (40L, 0.5)).toDF("id", "score")
+    val out = Similarity.rrfFuse(Seq(a, b), "id", "score", topK = 10)
+      .as[(Long, Int, Double)].collect()
+    val m = out.map(r => r._1 -> r).toMap
+    // 20 is in both lists: 1/62 + 1/61 — the top fusion score
+    assert(out.head._1 == 20L && m(20L)._2 == 2)
+    assert(m(20L)._3 == BigDecimal(1.0 / 62 + 1.0 / 61)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(m(10L)._3 == BigDecimal(1.0 / 61)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // single-list docs ordered by their rank; ties impossible here
+    assert(out.map(_._1).toSeq == Seq(20L, 10L, 40L, 30L))
+    // topK truncates by fused score
+    assert(Similarity.rrfFuse(Seq(a, b), "id", "score", topK = 2)
+      .as[(Long, Int, Double)].collect().map(_._1).toSeq == Seq(20L, 10L))
+  }
+
   test("quantizeInt8: codes, negatives, ties round half-up, zero vector") {
     val df = Seq(
       (1L, Array(1.0f, -1.0f, 0.5f, 0.0f)),  // amax 1: ±127, 64 (63.5+0.5→64), 0
