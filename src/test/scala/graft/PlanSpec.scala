@@ -68,9 +68,11 @@ class PlanSpec extends SparkSpec {
       "q88_vocabulary",   // broadcast 1-row corpus-token-total scalar
       "q93_bm25",         // broadcast 1-row (n_docs, sum_dl) scalar
       "q97_kmeans",       // broadcast k-row centroid table per iteration
-      "q108_hits",        // broadcast 1-row Σraw rescale scalar per iteration
+      // q108_hits left the list in round 6: the Σraw rescale scalar is a
+      // driver probe inlined as a literal now — no crossJoin in its plan
       "q109_modularity",  // broadcast 1-row m2 (2m edge count) scalar
-      "q111_lm_score")    // broadcast 1-row corpus-token-total scalar
+      "q111_lm_score",    // broadcast 1-row corpus-token-total scalar
+      "q129_rrf_hybrid")  // inherits q37's query-vector + q93's stats BNLJs
     // Known blind spot: the iterative queries (q42/q60/q80/q81) run
     // their superstep jobs eagerly inside fn, so only their FINAL frame
     // is inspected here; the supersteps' own plan shapes are covered by
