@@ -463,46 +463,62 @@ object GraphQueries {
     * (m2·k_{v→c} − k_v·(D_c − [c=c_v]·k_v); ties → smallest c), and the
     * exact-integer acceptance gate Q_num = m2·W − Σ D_c² (reject ⇒ the
     * assignment carries forward unchanged, which fixed-points the
-    * remaining rounds — bit-identical to the engine's early stop). */
+    * remaining rounds — bit-identical to the engine's early stop).
+    *
+    * DuckDB-performance shape (round-6 lesson): every multiply-referenced
+    * CTE is `AS MATERIALIZED` and the m2 scalar rides in via CROSS JOIN —
+    * DuckDB 1.0 INLINES plain CTEs per reference, and a scalar subquery
+    * inside the argmax window's ORDER BY made one round's `mv` take 155 s
+    * + 11 GB of spill at sf0.1 (0.5 s materialized+hoisted); with the
+    * rounds chained, the inlined tree re-expanded geometrically and the
+    * full oracle ran the sf0.1 sweep's disk dry. */
   private def louvainOracle(lpaIters: Int, rounds: Int): String = {
-    def qnumSql(asg: String): String =
-      s"""(SELECT m2 FROM mm) *
-         |  (SELECT COUNT(*) FROM und u
-         |   JOIN $asg x ON u.src = x.id JOIN $asg y ON u.dst = y.id
-         |   WHERE x.c = y.c)
-         |- (SELECT SUM(dd.d * dd.d) FROM
-         |   (SELECT SUM(kv) AS d FROM $asg JOIN deg USING (id) GROUP BY c) dd)""".stripMargin
+    def qnumCte(name: String, asg: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT mm.m2 * w.w - d2.d2 AS qn FROM mm
+         |  CROSS JOIN (SELECT COUNT(*) AS w FROM und u
+         |    JOIN $asg x ON u.src = x.id JOIN $asg y ON u.dst = y.id
+         |    WHERE x.c = y.c) w
+         |  CROSS JOIN (SELECT SUM(dd.d * dd.d) AS d2 FROM
+         |    (SELECT SUM(kv) AS d FROM $asg JOIN deg USING (id) GROUP BY c) dd) d2)""".stripMargin
     val steps = (1 to rounds).map { i =>
       val p = i - 1
-      s"""dc$i AS (SELECT c, SUM(kv) AS dc FROM a$p JOIN deg USING (id) GROUP BY c),
-         |k$i AS (SELECT u.src AS id, a.c, COUNT(*) AS kvc
-         |        FROM und u JOIN a$p a ON u.dst = a.id GROUP BY u.src, a.c),
-         |cand$i AS (SELECT id, c, MAX(kvc) AS kvc FROM (
+      s"""dc$i AS MATERIALIZED (
+         |  SELECT c, SUM(kv) AS dc FROM a$p JOIN deg USING (id) GROUP BY c),
+         |k$i AS MATERIALIZED (
+         |  SELECT u.src AS id, a.c, COUNT(*) AS kvc
+         |  FROM und u JOIN a$p a ON u.dst = a.id GROUP BY u.src, a.c),
+         |cand$i AS MATERIALIZED (SELECT id, c, MAX(kvc) AS kvc FROM (
          |  SELECT id, c, kvc FROM k$i
          |  UNION ALL SELECT id, c, 0 AS kvc FROM a$p) t GROUP BY id, c),
-         |mv$i AS (SELECT id, c FROM (
+         |mv$i AS MATERIALIZED (SELECT id, c FROM (
          |  SELECT n.id, n.c, ROW_NUMBER() OVER (PARTITION BY n.id ORDER BY
-         |    ((SELECT m2 FROM mm) * n.kvc
+         |    (mm.m2 * n.kvc
          |     - d.kv * (dc$i.dc - CASE WHEN n.c = a.c THEN d.kv ELSE 0 END)) DESC,
          |    n.c) AS rn
          |  FROM cand$i n
          |  JOIN a$p a ON n.id = a.id
          |  JOIN deg d ON n.id = d.id
-         |  JOIN dc$i ON n.c = dc$i.c) t WHERE rn = 1),
-         |qm$i AS (SELECT ${qnumSql(s"mv$i")} AS qn),
-         |acc$i AS (SELECT (SELECT qn FROM qm$i) > (SELECT qn FROM q$p) AS ok),
-         |a$i AS (SELECT a.id,
-         |  CASE WHEN (SELECT ok FROM acc$i) THEN m.c ELSE a.c END AS c
-         |  FROM a$p a JOIN mv$i m USING (id)),
-         |q$i AS (SELECT CASE WHEN (SELECT ok FROM acc$i)
-         |  THEN (SELECT qn FROM qm$i) ELSE (SELECT qn FROM q$p) END AS qn)""".stripMargin
+         |  JOIN dc$i ON n.c = dc$i.c
+         |  CROSS JOIN mm) t WHERE rn = 1),
+         |${qnumCte(s"qm$i", s"mv$i")},
+         |acc$i AS MATERIALIZED (
+         |  SELECT qm$i.qn > q$p.qn AS ok FROM qm$i, q$p),
+         |a$i AS MATERIALIZED (SELECT a.id,
+         |  CASE WHEN acc$i.ok THEN m.c ELSE a.c END AS c
+         |  FROM a$p a JOIN mv$i m USING (id) CROSS JOIN acc$i),
+         |q$i AS MATERIALIZED (SELECT CASE WHEN acc$i.ok
+         |  THEN qm$i.qn ELSE q$p.qn END AS qn FROM acc$i, qm$i, q$p)""".stripMargin
     }.mkString(",\n")
-    s"""$graphPrelude,
+    s"""WITH e AS (SELECT DISTINCT CAST(l_partkey*2 AS BIGINT) AS src,
+       |                           CAST(l_suppkey*2+1 AS BIGINT) AS dst FROM lineitem),
+       |und AS MATERIALIZED (
+       |  SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
        |${lpaSteps("und", "l", lpaIters)},
-       |deg AS (SELECT src AS id, COUNT(*) AS kv FROM und GROUP BY src),
-       |mm AS (SELECT COUNT(*) AS m2 FROM und),
-       |a0 AS (SELECT id, label AS c FROM l$lpaIters),
-       |q0 AS (SELECT ${qnumSql("a0")} AS qn),
+       |deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS kv FROM und GROUP BY src),
+       |mm AS MATERIALIZED (SELECT COUNT(*) AS m2 FROM und),
+       |a0 AS MATERIALIZED (SELECT id, label AS c FROM l$lpaIters),
+       |${qnumCte("q0", "a0")},
        |$steps
        |SELECT $kindKey, c AS label FROM a$rounds""".stripMargin
   }
