@@ -337,6 +337,23 @@ object Dedup {
         (coalesce(col("component"), col(idCol)) === col(idCol)).as("keep"))
   }
 
+  /** Leakage-safe dataset split: assign near-duplicate CLUSTERS
+    * ([[fuzzyDedup]]'s connected components), not individual documents,
+    * to train/val/test via [[hashSplit3]] on the cluster id. A doc-keyed
+    * split lets two near-identical documents straddle the train/test
+    * boundary — the quiet contamination mode that inflates eval numbers;
+    * splitting on the cluster key makes that impossible by construction
+    * (every member shares the cluster's hash). Same scale shape as
+    * fuzzyDedup (LSH banding, never all-pairs) plus one split projection. */
+  def leakageSafeSplit(
+      spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      jaccNum: Int = 1, jaccDen: Int = 2): DataFrame =
+    fuzzyDedup(spark, docs, idCol, textCol, shingleN, numHashes, bands,
+        jaccNum, jaccDen)
+      .select(col(idCol), col("cluster"),
+        hashSplit3(col("cluster")).as("split"))
+
   /** Test-set decontamination (the C4/Dolma preprocessing step): flag
     * every document sharing at least one word n-gram with the test
     * subset. One explode per side into (id, n-gram) rows, distinct

@@ -355,6 +355,74 @@ object DedupQueries {
         shingleN = 3, numHashes = 16, bands = 4, jaccNum = 1, jaccDen = 2)
     },
 
+    // Leakage-safe split: near-dup CLUSTERS (q91's components), not
+    // documents, are hash-assigned to train/val/test — near-identical
+    // docs can never straddle the boundary (the contamination mode a
+    // doc-keyed split like q73 permits). Oracle = q91's banding +
+    // recursive-CC chain + the q73 md5-byte split on the cluster id.
+    Q("q130_leakage_safe_split",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(t) - 2),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |    FROM toks WHERE len(t) >= 3)),
+        |hh AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(generate_series(1, 12),
+        |      i -> CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS h1,
+        |    list_reduce(list_transform(generate_series(13, 24),
+        |      i -> CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) * 2 + 1 AS h2
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, i, MIN((h1 + i * h2) % 281474976710656) AS mh
+        |  FROM hh CROSS JOIN range(16) r(i) GROUP BY doc_id, i),
+        |bk AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS band_key
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id < b.doc_id),
+        |ssize AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |ins AS (
+        |  SELECT c.id_a, c.id_b, COUNT(*) AS i
+        |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+        |              JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+        |  GROUP BY c.id_a, c.id_b),
+        |ver AS (
+        |  SELECT ins.id_a, ins.id_b
+        |  FROM ins JOIN ssize sa ON sa.doc_id = ins.id_a
+        |           JOIN ssize sb ON sb.doc_id = ins.id_b
+        |  WHERE ins.i * 2 >= (sa.n + sb.n - ins.i) * 1),
+        |und AS (SELECT id_a AS s, id_b AS d FROM ver
+        |        UNION ALL SELECT id_b AS s, id_a AS d FROM ver),
+        |reach AS (SELECT s AS id, s AS comp FROM und
+        |          UNION
+        |          SELECT u.s AS id, r.comp FROM und u JOIN reach r ON u.d = r.id),
+        |cc AS (SELECT id, MIN(comp) AS cluster FROM reach GROUP BY id),
+        |asg AS (
+        |  SELECT d.doc_id, COALESCE(cc.cluster, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id)
+        |SELECT doc_id, cluster,
+        |  CASE WHEN
+        |    (CAST(strpos('0123456789abcdef', substr(md5(CAST(cluster AS VARCHAR)), 1, 1)) - 1 AS INT) * 16
+        |     + CAST(strpos('0123456789abcdef', substr(md5(CAST(cluster AS VARCHAR)), 2, 1)) - 1 AS INT)) < 205
+        |    THEN 'train'
+        |  WHEN
+        |    (CAST(strpos('0123456789abcdef', substr(md5(CAST(cluster AS VARCHAR)), 1, 1)) - 1 AS INT) * 16
+        |     + CAST(strpos('0123456789abcdef', substr(md5(CAST(cluster AS VARCHAR)), 2, 1)) - 1 AS INT)) < 230
+        |    THEN 'val' ELSE 'test' END AS split
+        |FROM asg""".stripMargin) { (s, dir) =>
+      Dedup.leakageSafeSplit(s, Tables(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, jaccNum = 1, jaccDen = 2)
+    },
+
     // End-to-end curation funnel — the module kernels composed the way a
     // production pretraining pipeline chains them, reported as per-stage
     // survivor counts: language+quality gate → exact dedup →

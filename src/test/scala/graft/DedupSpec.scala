@@ -167,4 +167,29 @@ class DedupSpec extends SparkSpec {
     assert(cluster(30L) == 30L) // singleton keeps itself
     assert(keep.filter(_._2).keySet == Set(10L, 20L, 30L)) // one canonical each
   }
+
+  test("leakageSafeSplit: near-dup cluster members always share a split") {
+    val a = base
+    val b = base.replace("small dimension", "compact dimension")
+    val c = b.replace("columnar parquet", "vectorized parquet")
+    val corpus = Seq(
+      (10L, a), (11L, b), (12L, c), (20L, unrelated), (21L, unrelated),
+      (30L, "short text only")).toDF("doc_id", "text")
+    val out = Dedup.leakageSafeSplit(spark, corpus, "doc_id", "text", bands = 8)
+      .as[(Long, Long, String)].collect()
+    val bySplit = out.map(r => r._1 -> r._3).toMap
+    // whole near-dup chain rides one split; exact-dup pair likewise —
+    // no pair of near-identical docs can straddle train/test
+    assert(Seq(10L, 11L, 12L).map(bySplit).distinct.size == 1)
+    assert(bySplit(20L) == bySplit(21L))
+    // split label equals the doc-keyed hashSplit3 of the CLUSTER id
+    val expected = Seq((10L, 10L), (20L, 20L), (30L, 30L)).toDF("doc_id", "k")
+      .select(col("doc_id"), Dedup.hashSplit3(col("k")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(bySplit(12L) == expected(10L) && bySplit(30L) == expected(30L))
+    // deterministic across runs
+    val again = Dedup.leakageSafeSplit(spark, corpus, "doc_id", "text", bands = 8)
+      .as[(Long, Long, String)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }
