@@ -337,6 +337,46 @@ object Dedup {
         (coalesce(col("component"), col(idCol)) === col(idCol)).as("keep"))
   }
 
+  /** Incremental near-dup check of a NEW batch against an EXISTING corpus
+    * — the daily-ingest shape: band keys of the batch equi-join the
+    * (precomputable, appendable) band index of the corpus, candidate
+    * pairs are verified with the exact shingle-Jaccard test, and each new
+    * doc reports whether it near-dups something already ingested (and
+    * the smallest such id). Asymmetric by construction: never new×new or
+    * index×index — the join cost tracks the BATCH size, not the corpus,
+    * which is what makes per-increment dedup affordable against a 100 TB
+    * accumulated index. Within-batch duplicates are [[fuzzyDedup]]'s job
+    * on the batch alone.
+    *
+    * Returns one row per new doc: (id, is_dup, dup_of — null when clean). */
+  def incrementalNearDup(
+      newDocs: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      jaccNum: Int = 1, jaccDen: Int = 2): DataFrame = {
+    val nb = minhashBands(newDocs, idCol, textCol, shingleN, numHashes, bands)
+      .select(col(idCol).as("new_id"), col("band"), col("band_key"))
+    val cb = minhashBands(corpus, idCol, textCol, shingleN, numHashes, bands)
+      .select(col(idCol).as("old_id"), col("band"), col("band_key"))
+    val cand = nb.join(cb, Seq("band", "band_key"))
+      .select("new_id", "old_id").distinct()
+    def shingleSets(df: DataFrame, as: String) = {
+      val toks = wordTokens(col(textCol))
+      df.filter(size(toks) >= shingleN)
+        .select(col(idCol).as(as), wordShingles(toks, shingleN).as(s"sh_$as"))
+    }
+    val inter = size(array_intersect(col("sh_new_id"), col("sh_old_id")))
+    val uni = size(col("sh_new_id")) + size(col("sh_old_id")) - inter
+    val dups = cand
+      .join(shingleSets(newDocs, "new_id"), "new_id")
+      .join(shingleSets(corpus, "old_id"), "old_id")
+      .filter(inter * jaccDen >= uni * jaccNum)
+      .groupBy(col("new_id"))
+      .agg(min(col("old_id")).as("dup_of"))
+    newDocs.select(col(idCol))
+      .join(dups.select(col("new_id").as(idCol), col("dup_of")), Seq(idCol), "left")
+      .select(col(idCol), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+  }
+
   /** Leakage-safe dataset split: assign near-duplicate CLUSTERS
     * ([[fuzzyDedup]]'s connected components), not individual documents,
     * to train/val/test via [[hashSplit3]] on the cluster id. A doc-keyed

@@ -423,6 +423,62 @@ object DedupQueries {
         shingleN = 3, numHashes = 16, bands = 4, jaccNum = 1, jaccDen = 2)
     },
 
+    // Incremental ingest dedup: the doc_id%10=0 "daily batch" checked
+    // against the rest of the corpus as the accumulated index — band
+    // equi-join (batch-sized cost), exact-Jaccard verify, smallest
+    // existing dup id per new doc. Never batch×batch or index×index.
+    Q("q132_incremental_neardup",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(t) - 2),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |    FROM toks WHERE len(t) >= 3)),
+        |hh AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(generate_series(1, 12),
+        |      i -> CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS h1,
+        |    list_reduce(list_transform(generate_series(13, 24),
+        |      i -> CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) * 2 + 1 AS h2
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, i, MIN((h1 + i * h2) % 281474976710656) AS mh
+        |  FROM hh CROSS JOIN range(16) r(i) GROUP BY doc_id, i),
+        |bk AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS band_key
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+        |ssize AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |ins AS (
+        |  SELECT c.new_id, c.old_id, COUNT(*) AS i
+        |  FROM cand c JOIN sh a ON a.doc_id = c.new_id
+        |              JOIN sh b ON b.doc_id = c.old_id AND b.s = a.s
+        |  GROUP BY c.new_id, c.old_id),
+        |dup AS (
+        |  SELECT ins.new_id, MIN(ins.old_id) AS dup_of
+        |  FROM ins JOIN ssize sa ON sa.doc_id = ins.new_id
+        |           JOIN ssize sb ON sb.doc_id = ins.old_id
+        |  WHERE ins.i * 2 >= (sa.n + sb.n - ins.i) * 1
+        |  GROUP BY ins.new_id)
+        |SELECT d.doc_id, dup.dup_of IS NOT NULL AS is_dup, dup.dup_of
+        |FROM documents d LEFT JOIN dup ON d.doc_id = dup.new_id
+        |WHERE d.doc_id % 10 = 0""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Dedup.incrementalNearDup(
+        newDocs = docs.filter(col("doc_id") % 10 === 0),
+        corpus = docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, jaccNum = 1, jaccDen = 2)
+    },
+
     // End-to-end curation funnel — the module kernels composed the way a
     // production pretraining pipeline chains them, reported as per-stage
     // survivor counts: language+quality gate → exact dedup →

@@ -378,6 +378,42 @@ object VectorQueries {
         k = 8, iters = 3)
     },
 
+    // Matryoshka truncation curve: top-10 overlap between each prefix-d
+    // cosine ranking and the full 64-dim ranking — the dims-vs-recall
+    // trade that sizes a truncated vector index. Prefix cosine is the
+    // same left-to-right fold over the slice in both engines.
+    Q("q131_matryoshka_recall", {
+      val dims = Seq(8, 16, 32, 64)
+      val perD = dims.map { d =>
+        val dotD = s"list_reduce(list_transform(generate_series(1, $d), k -> a.v[k] * qf.qv[k]), (x, y) -> x + y)"
+        val naD = s"sqrt(list_reduce(list_transform(generate_series(1, $d), k -> a.v[k] * a.v[k]), (x, y) -> x + y))"
+        val nqD = s"sqrt(list_reduce(list_transform(generate_series(1, $d), k -> qf.qv[k] * qf.qv[k]), (x, y) -> x + y))"
+        s"""r$d AS (
+           |  SELECT a.vec_id FROM e a CROSS JOIN qf
+           |  WHERE a.vec_id <> qf.q_id
+           |  ORDER BY $dotD / ($naD * $nqD) DESC, a.vec_id
+           |  LIMIT 10),
+           |o$d AS (SELECT $d AS dims, CAST(COUNT(*) AS BIGINT) AS n_hits,
+           |        ROUND(COUNT(*) / 10.0, 6) AS recall
+           |        FROM r$d JOIN full10 USING (vec_id))""".stripMargin
+      }.mkString(",\n")
+      s"""$normCte,
+         |qf AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n ORDER BY vec_id LIMIT 1),
+         |full10 AS (
+         |  SELECT a.vec_id FROM n a CROSS JOIN qf
+         |  WHERE a.vec_id <> qf.q_id
+         |  ORDER BY list_reduce(list_transform(generate_series(1, 64), k -> a.v[k] * qf.qv[k]),
+         |        (x, y) -> x + y) / (a.nrm * qf.qn) DESC, a.vec_id
+         |  LIMIT 10),
+         |$perD
+         |${dims.map(d => s"SELECT * FROM o$d").mkString("\nUNION ALL ")}""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.matryoshkaRecall(emb, "vec_id", "embedding",
+        query = emb.orderBy("vec_id").limit(1), k = 10,
+        dimsList = Seq(8, 16, 32, 64))
+    },
+
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical top-20
     // (q93's scoring, documents) and the cosine vector top-20 (q37's
     // anchor query, embeddings) — the standard RAG combiner over

@@ -212,6 +212,41 @@ object Similarity {
     * as a ONE-ROW collected-struct broadcast (never a candidate×selected
     * join — no cartesian shape anywhere), and the penalty is an
     * array-fold over ≤k entries. Returns (rank, id, qsim). */
+  /** Matryoshka-style truncation evaluation (Kusupati et al. 2022's MRL
+    * usage pattern): for each prefix length d, rank the corpus by cosine
+    * over the FIRST d dimensions and report top-k overlap with the
+    * full-dimension ranking — the dimension-vs-recall curve that decides
+    * how far stored vectors can be truncated (a 4× index-size lever at
+    * corpus scale). Prefix cosine = the same left-to-right fold over
+    * `slice(v, 1, d)`, so a SQL oracle replays each curve point exactly.
+    *
+    * Scale shape: one [[knnBrute]] scan per requested d (broadcast query,
+    * TakeOrdered) + a k-row overlap join — linear passes, no pairwise
+    * product. Returns one row per d: (dims, n_hits, recall). */
+  def matryoshkaRecall(
+      emb: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, k: Int, dimsList: Seq[Int]): DataFrame = {
+    require(dimsList.nonEmpty, "matryoshkaRecall needs at least one dim")
+    val full = knnBrute(emb, idCol, vecCol, query, k)
+      .select(col(idCol)).persist()
+    val rows = dimsList.map { d =>
+      val sliced = emb.select(col(idCol),
+        slice(col(vecCol), 1, d).as(vecCol))
+      val slicedQ = query.select(col(idCol),
+        slice(col(vecCol), 1, d).as(vecCol))
+      knnBrute(sliced, idCol, vecCol, slicedQ, k)
+        .select(col(idCol))
+        .join(full, idCol)
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(d).as("dims"), col("n_hits"),
+          round(col("n_hits").cast("double") / k, 6).as("recall"))
+    }
+    val out = rows.reduce(_ unionByName _).persist()
+    out.count()
+    full.unpersist(blocking = false)
+    out
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) — the standard
     * hybrid-retrieval combiner a RAG stack puts over its lexical (BM25)
     * and vector (cosine) rankings: score(d) = Σ_lists 1/(kRrf + rank_d),

@@ -168,6 +168,25 @@ class DedupSpec extends SparkSpec {
     assert(keep.filter(_._2).keySet == Set(10L, 20L, 30L)) // one canonical each
   }
 
+  test("incrementalNearDup: batch flagged against corpus only, smallest dup id, clean docs pass") {
+    val a = base
+    val b = base.replace("small dimension", "compact dimension")
+    val corpus = Seq((1L, a), (2L, unrelated)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, b),                       // near-dups corpus doc 1
+      (11L, unrelated),               // exact-dups corpus doc 2
+      (12L, "totally novel content about streaming watermarks and state"),
+      (13L, b))                       // also near-dups doc 1 — but NOT 10
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDup(batch, corpus, "doc_id", "text", bands = 8)
+      .as[(Long, Boolean, Option[Long])].collect().map(r => r._1 -> r).toMap
+    assert(out(10L) == ((10L, true, Some(1L))))
+    assert(out(11L) == ((11L, true, Some(2L))))
+    assert(out(12L) == ((12L, false, None)))
+    // 13 matches the CORPUS doc, not its batch-mate 10 (asymmetry)
+    assert(out(13L) == ((13L, true, Some(1L))))
+  }
+
   test("leakageSafeSplit: near-dup cluster members always share a split") {
     val a = base
     val b = base.replace("small dimension", "compact dimension")

@@ -108,6 +108,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out == again) // deterministic end-to-end
   }
 
+  test("matryoshkaRecall: full-dim recall is 1, prefix recall in [0,1], monotone-ish fixture") {
+    // 4-dim vectors where the FIRST dimension alone misranks: prefix-1
+    // ranking differs from full ranking by construction
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // query anchor
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.95f, -0.9f, 0.0f, 0.0f)),
+      (4L, Array(0.1f, 0.99f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.matryoshkaRecall(emb, "vec_id", "embedding",
+      query = emb.orderBy("vec_id").limit(1), k = 2, dimsList = Seq(1, 2, 4))
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(4) == ((4, 2L, 1.0)))              // full dims: exact overlap
+    assert(out(1)._2 <= 2 && out(2)._2 <= 2)      // prefixes: bounded
+    // prefix-1 ranks 3 above 2 (0.95 > 0.9) but full ranks 2 first
+    // (3's second dim points away) — recall@2 still 1 here only if both
+    // survive; assert the known fixture value instead of guessing
+    assert(out(2)._2 == 2L)                       // 2 dims recover the order
+  }
+
   test("rrfFuse: both-list docs outrank single-list, hand-computed scores, deterministic") {
     // list A ranks: 10 (1st), 20 (2nd), 30 (3rd); list B: 20 (1st), 40 (2nd)
     val a = Seq((10L, 0.9), (20L, 0.8), (30L, 0.7)).toDF("id", "score")
