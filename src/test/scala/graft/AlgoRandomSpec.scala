@@ -384,6 +384,54 @@ class AlgoRandomSpec extends SparkSpec {
     }
   }
 
+  test("louvainRefine equals a scalar gated local-move replay on random graphs") {
+    for (seed <- Seq(11, 42, 99)) {
+      val rnd = new Random(seed)
+      val n = 14
+      val edges = Seq.fill(22)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val allIds = (0L until n.toLong)
+      val init = allIds.map(v => (v, v % 4)) // deliberately coarse start
+      val rounds = 3
+      val got = GraphOps.louvainRefine(
+        edges.toDF("src", "dst"), "src", "dst",
+        init.toDF("id", "label"), "id", "label", rounds = rounds)
+        .as[(Long, Long)].collect().toMap
+      // scalar replay of the synchronous gated local-move recurrence
+      val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val verts = und.map(_._1).distinct.sorted
+      val deg = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val m2 = und.size.toLong
+      def qnum(a: Map[Long, Long]): Long = {
+        val w = und.count { case (u, v) => a(u) == a(v) }.toLong
+        val d2 = verts.groupBy(a).values
+          .map(vs => vs.map(deg).sum).map(d => d * d).sum
+        m2 * w - d2
+      }
+      var asg = verts.map(v => v -> init.toMap.apply(v)).toMap
+      var qCur = qnum(asg)
+      var done = false
+      for (_ <- 1 to rounds if !done) {
+        val dC = verts.groupBy(asg).view.mapValues(_.map(deg).sum).toMap
+        val moved = verts.map { v =>
+          val k = und.filter(_._1 == v).groupBy(e => asg(e._2))
+            .view.mapValues(_.size.toLong).toMap
+          val cands = k.keySet + asg(v)
+          val best = cands.map { c =>
+            val kvc = k.getOrElse(c, 0L)
+            val own = if (c == asg(v)) deg(v) else 0L
+            (m2 * kvc - deg(v) * (dC(c) - own), -c)
+          }.max
+          v -> -best._2
+        }.toMap
+        val qNew = qnum(moved)
+        if (qNew > qCur) { asg = moved; qCur = qNew } else done = true
+      }
+      val want = allIds.map(v => v -> asg.getOrElse(v, v % 4)).toMap
+      assert(got == want, s"louvainRefine mismatch for seed $seed")
+    }
+  }
+
   test("modularityOf equals the scalar Newman formula on random partitions") {
     for (seed <- Seq(29, 61, 107)) {
       val rnd = new Random(seed)
