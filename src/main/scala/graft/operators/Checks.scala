@@ -44,4 +44,59 @@ object Checks {
         max(col("sz")).as("largest"),
         min(col("sz")).as("smallest"),
         round(avg(col("sz")), 6).as("mean_size"))
+
+  /** Key-skew diagnostics — the pre-flight report that decides whether a
+    * join/aggregation on `key` needs salting or AQE skew handling at
+    * scale: per-key count distribution (EXACT p50/p90/p99 via
+    * count-of-counts — the percentile runs over the tiny distinct-size
+    * domain, never a single-partition sort of the key space), the
+    * max/mean skew factor, and the top-N heaviest keys as an ordered
+    * readable string.
+    *
+    * Scale shape: one groupBy(key) shuffle (map-side combined), one
+    * groupBy(count) over key-cardinality rows, a window over the BOUNDED
+    * distinct-size domain, and a TakeOrdered for the top-N — no
+    * key-cardinality sort, no driver collect. Returns one row. */
+  def skewReport(df: DataFrame, key: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(key).cast("string").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    // count-of-counts: (cnt, #keys with that cnt), cumulated in cnt order
+    val hist = counts.groupBy("cnt").agg(count(lit(1)).as("nk"))
+    val cum = hist.withColumn("cum",
+      sum(col("nk")).over(Window.orderBy(col("cnt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"))
+    // exact percentile = smallest cnt whose cumulative key count reaches
+    // ceil(q·K); integer position arithmetic both engines replay
+    def pct(q: Int): Column =
+      min(when(col("cum") * 100 >= col("n_keys") * q, col("cnt")))
+    val stats = cum.crossJoin(broadcast(tot))
+      .agg(
+        first(col("n_keys")).as("n_keys"),
+        first(col("n_rows")).as("n_rows"),
+        first(col("max_cnt")).as("max_cnt"),
+        pct(50).as("p50_cnt"), pct(90).as("p90_cnt"), pct(99).as("p99_cnt"))
+      .withColumn("mean_cnt",
+        round(col("n_rows").cast("double") / col("n_keys"), 6))
+      .withColumn("skew_factor",
+        round(col("max_cnt").cast("double") * col("n_keys") / col("n_rows"), 6))
+    val top = counts
+      .orderBy(col("cnt").desc, col("k").asc)
+      .limit(topN)
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct((-col("cnt")).as("nc"), col("k")))),
+          x => concat(x.getField("k"), lit(":"),
+            (-x.getField("nc")).cast("string"))),
+        ", ").as("top_keys"))
+    val out = stats.crossJoin(top).persist()
+    out.count()
+    counts.unpersist(blocking = false)
+    out
+  }
 }

@@ -276,6 +276,38 @@ object RelationalQueries {
       Checks.groupSizeStats(Tables(s, dir, "orders"), "o_custkey")
     },
 
+    // Key-skew pre-flight report: exact per-key count percentiles via
+    // count-of-counts (the percentile window runs over the bounded
+    // distinct-size domain, never a key-space sort), max/mean skew
+    // factor, top-5 heavy keys — the diagnostic that decides whether a
+    // join on this key needs salting/AQE skew handling at scale.
+    Q("q133_skew_report",
+      """WITH counts AS (
+        |  SELECT CAST(o_custkey AS VARCHAR) AS k, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1),
+        |hist AS (SELECT cnt, COUNT(*) AS nk FROM counts GROUP BY cnt),
+        |cum AS (SELECT cnt, SUM(nk) OVER (ORDER BY cnt ROWS UNBOUNDED PRECEDING) AS cum
+        |        FROM hist),
+        |tot AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |               MAX(cnt) AS max_cnt FROM counts),
+        |st AS (
+        |  SELECT tot.n_keys, tot.n_rows, tot.max_cnt,
+        |    MIN(CASE WHEN cum.cum * 100 >= tot.n_keys * 50 THEN cum.cnt END) AS p50_cnt,
+        |    MIN(CASE WHEN cum.cum * 100 >= tot.n_keys * 90 THEN cum.cnt END) AS p90_cnt,
+        |    MIN(CASE WHEN cum.cum * 100 >= tot.n_keys * 99 THEN cum.cnt END) AS p99_cnt
+        |  FROM cum CROSS JOIN tot GROUP BY tot.n_keys, tot.n_rows, tot.max_cnt),
+        |top AS (
+        |  SELECT string_agg(k || ':' || CAST(cnt AS VARCHAR), ', '
+        |                    ORDER BY cnt DESC, k) AS top_keys
+        |  FROM (SELECT k, cnt FROM counts ORDER BY cnt DESC, k LIMIT 5))
+        |SELECT n_keys, n_rows, max_cnt, p50_cnt, p90_cnt, p99_cnt,
+        |  ROUND(CAST(n_rows AS DOUBLE) / n_keys, 6) AS mean_cnt,
+        |  ROUND(CAST(max_cnt AS DOUBLE) * n_keys / n_rows, 6) AS skew_factor,
+        |  top_keys
+        |FROM st CROSS JOIN top""".stripMargin) { (s, dir) =>
+      Checks.skewReport(Tables(s, dir, "orders"), "o_custkey", topN = 5)
+    },
+
     // O4: multi-key priority "best release" (musicbrainz_helpers.py:280-308):
     // prefer status 'F', then earliest date, deterministic tiebreak.
     Q("q19_best_per_group",

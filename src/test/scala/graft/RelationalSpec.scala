@@ -184,6 +184,20 @@ class RelationalSpec extends SparkSpec {
     assert(dups.getLong(0) == 2 && dups.getLong(1) == 1)
   }
 
+  test("skewReport: exact count-of-counts percentiles, skew factor, ordered top keys") {
+    // key counts: a→6, b→2, c→1, d→1 → K=4 keys, 10 rows
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "v")
+    val r = Checks.skewReport(df, "k", topN = 3).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 10L && r.getLong(2) == 6L)
+    // sorted counts [1,1,2,6]: p50 = count at cum≥2 → 1; p90 = cum≥3.6→4 → 6;
+    // p99 likewise 6
+    assert(r.getLong(3) == 1L && r.getLong(4) == 6L && r.getLong(5) == 6L)
+    assert(r.getDouble(6) == 2.5)       // mean = 10/4
+    assert(r.getDouble(7) == 2.4)       // skew = 6/2.5
+    assert(r.getString(8) == "a:6, b:2, c:1")  // count desc, key asc
+  }
+
   test("saltedJoin ≡ plain join, multiplicities preserved") {
     // hot key 1 on the left (5 rows), dup right rows to check multiplicity
     val left = Seq((1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"), (1L, "e"),
