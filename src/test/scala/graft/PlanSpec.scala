@@ -72,7 +72,9 @@ class PlanSpec extends SparkSpec {
       // driver probe inlined as a literal now — no crossJoin in its plan
       "q109_modularity",  // broadcast 1-row m2 (2m edge count) scalar
       "q111_lm_score",    // broadcast 1-row corpus-token-total scalar
-      "q129_rrf_hybrid")  // inherits q37's query-vector + q93's stats BNLJs
+      "q129_rrf_hybrid",  // inherits q37's query-vector + q93's stats BNLJs
+      "q131_matryoshka_recall", // broadcast query vector per prefix length
+      "q133_skew_report") // broadcast 1-row totals + 1-row top-keys string
     // Known blind spot: the iterative queries (q42/q60/q80/q81) run
     // their superstep jobs eagerly inside fn, so only their FINAL frame
     // is inspected here; the supersteps' own plan shapes are covered by
