@@ -97,4 +97,42 @@ object KernelProps extends Properties("kernels") {
         bin == prevBin || fills(prevBin) + tok > budget
       }
     }
+
+  // Unicode strings incl. non-BMP (surrogate PAIRS only — lone
+  // surrogates are not valid strings and UTF-8 encoding replaces them)
+  private val uniGen: Gen[String] = for {
+    n <- Gen.choose(0, 200)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      (10, Gen.alphaNumChar.map(_.toString)), (2, Gen.const(" ")),
+      (3, Gen.oneOf("é", "ü", "ß", "–", "—", "“", "”", "€", "™", "…")),
+      (2, Gen.oneOf("中", "語", "б", "م")),
+      (1, Gen.oneOf("🎵", "🚀"))))
+  } yield cs.mkString
+
+  private def fix(s: String, passes: Int): String =
+    TextKernels.fixMojibake(UTF8String.fromString(s), passes).toString
+
+  property("fixMojibake inverts a UTF-8→latin-1 mis-decode for ANY string") =
+    Prop.forAll(uniGen) { s =>
+      val damaged = new String(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      fix(damaged, 1) == s
+    }
+
+  property("fixMojibake inverts a double mis-decode in two passes") =
+    Prop.forAll(uniGen) { s =>
+      def dmg(x: String) = new String(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      fix(dmg(dmg(s)), 2) == s
+    }
+
+  property("fixMojibake leaves already-sane text unchanged") =
+    Prop.forAll(uniGen) { s =>
+      // sane = contains a non-latin1 char (CJK/emoji make a cp1252
+      // re-encode impossible) or is pure ASCII (nothing to repair)
+      val sane = s.forall(_ < 0x80) || s.exists(_ > 0x2122)
+      !sane || fix(s, 2) == s
+    }
 }
