@@ -48,12 +48,20 @@ object Bench {
       try fn(spark, warm).count() catch { case _: Throwable => () }
       clearCaches()
     }
+    // A failed query must be unmistakable in the artifact: it reports time
+    // -1 (never a plausible duration), lands in the "errors" list, and is
+    // excluded from the total — a fail-fast exception can't pad the bench
+    // as a ~0.06s "success" (round-6 verdict item 3).
     val results = queries.map { case (name, fn) =>
       clearCaches()
       System.gc() // pay prior queries' garbage outside the timed window
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     // The driver keeps only the LAST 2000 chars of the run log and parses
     // the JSON line out of that tail (BENCH_r02/r03 "parsed":null — the
@@ -63,8 +71,10 @@ object Bench {
     def ms(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k.split("_")(0) + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, v) if v < 0 => "\"" + k.split("_")(0) + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,12 +19,14 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // dev-only filter: SPARK_GRAFT_ONLY=q114,q115 to verify a subset
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    var failed = List.empty[String]
     SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.exists(n.startsWith))
     }.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // free per-query caches (persisted results, localCheckpoint RDDs) —
@@ -49,5 +51,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // A query that threw produced no parquet — the driver would record it
+    // as silently MISSING (round 6: five queries vanished from
+    // CORRECTNESS with exit 0). Fail loudly instead.
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] ${failed.size} queries failed: ${failed.reverse.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }
