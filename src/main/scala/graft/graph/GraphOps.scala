@@ -128,7 +128,7 @@ object GraphOps {
     df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
 
   def lpaEdges(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int,
-      broadcastState: Boolean = true): DataFrame = {
+      broadcastState: Boolean = true, numPartitions: Option[Int] = None): DataFrame = {
     // The undirected expansion is cached PRE-PARTITIONED ON src — the
     // superstep aggregation key. Each superstep joins on dst against the
     // vertex-sized label state as a BROADCAST (hinted), so the cached
@@ -144,8 +144,15 @@ object GraphOps {
     val pre0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val ownPre = !callerCached(edges)
     val pre = if (ownPre) pre0.persist() else pre0
-    val und = pre.union(pre.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
+    // numPartitions: callers that KNOW the edge set is small (e.g. a
+    // community-contracted graph — always ≪ the original by construction)
+    // pass an explicit low count; 32 near-empty tasks per superstep
+    // otherwise cost more scheduling than the data (measured ~25% of the
+    // contracted-LPA stage at sf0.1). Default = session shuffle
+    // partitions, the cluster-scale path.
+    val base = pre.union(pre.select(col("dst").as("src"), col("src").as("dst")))
+    val und = numPartitions.fold(base.repartition(col("src")))(
+        n => base.repartition(n, col("src")))
       .persist()
     // callers that BRANCH on the result (e.g. communityLevels) must
     // localCheckpoint it, or the shared subtree re-prints/re-optimizes
@@ -227,8 +234,6 @@ object GraphOps {
     // ⇔ no label moved anywhere in the block ⇔ fixed point (extra
     // supersteps inside a converged block are idempotent). Decimal sum:
     // exact at any vertex count, no wraparound false-convergence.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var iter = 0
@@ -242,8 +247,11 @@ object GraphOps {
           .agg(min(col("label")).as("label"))
       }
       val snap = labels.persist()
-      snap.count()
-      val s = labelSum(snap)
+      // ONE action materializes the snapshot AND reads the convergence
+      // sum (the first action on a persisted frame populates the cache
+      // while computing the agg) — previously a count job THEN a sum job,
+      // i.e. two driver round-trips per block (round-6 verdict item 5).
+      val s = snap.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
       // null sum = zero vertices: nothing can ever move — converged.
       // Cost note: a populated graph pays one extra (tiny, converged)
       // block to observe the unchanged sum — the price of keeping the
@@ -295,18 +303,32 @@ object GraphOps {
       .distinct()
       .localCheckpoint() // eager: e's last consumer — safe to release below
     e.unpersist(blocking = false)
-    // L1: LPA over the contracted graph with self-loops (self-votes)
+    // L1: LPA over the contracted graph with self-loops (self-votes).
+    // The contracted edge set is ALWAYS ≪ the original (distinct
+    // community pairs); counting it is ~free (ce is checkpointed) and
+    // sizing the superstep partitions to the data — ~100k edges per
+    // partition, min 1 — drops the near-empty-task scheduling overhead
+    // that otherwise dominates this stage (~25% at sf0.1). A contracted
+    // graph that is still huge keeps the session default.
+    val ceRows = ce.count()
+    val defaultParts = spark.sessionState.conf.numShufflePartitions
+    val l1Parts = math.min(defaultParts, (ceRows / 100000L + 1).toInt)
     val withSelf = ce.union(
       ce.select(col("src").as("v")).union(ce.select(col("dst").as("v")))
         .distinct().select(col("v").as("src"), col("v").as("dst")))
-    val l1 = lpaEdges(withSelf, "src", "dst", iterPerLevel) // (c0 -> c1)
+    val l1 = lpaEdges(withSelf, "src", "dst", iterPerLevel,
+      numPartitions = Some(l1Parts)) // (c0 -> c1)
     // L2: coarsest = connected components of the contracted graph.
     // GraphX CC here: on the small contracted graph its in-process Pregel
     // convergence beats the Catalyst ccEdges loop even in block-lazy form
     // (re-measured round 4: 7.2s vs 11.1s end-to-end at sf0.1 — the
     // convergence-probe jobs per block dominate on a tiny graph); ccEdges
     // remains the scale path when the contracted graph is itself huge.
-    val l2 = connectedComponentsDF(spark, fromEdges(spark, ce, "src", "dst"))
+    // same data-sized parallelism for the Pregel CC: 32 near-empty RDD
+    // partitions per superstep cost more scheduling than the tiny
+    // contracted graph's compute (coalesce is narrow — no shuffle)
+    val l2 = connectedComponentsDF(spark,
+      fromEdges(spark, ce.coalesce(l1Parts), "src", "dst"))
     val lvl0 = asg0.select(col("id"), lit(0).as("level"), col("c0").as("community"))
     val lvl1 = asg0.join(l1.select(col("id").as("c0"), col("label").as("c1")), "c0")
       .select(col("id"), lit(1).as("level"), col("c1").as("community"))
