@@ -882,7 +882,15 @@ object GraphOps {
     * moving to each neighboring community (or staying) by the standard
     * Louvain gain, in EXACT integer arithmetic:
     *
-    *   score(v, c) = m2·k_{v→c} − k_v·(D_c − [c = c_v]·k_v)
+    *   score(v, c) = q·m2·k_{v→c} − p·k_v·(D_c − [c = c_v]·k_v)
+    *
+    * where p/q is the gcd-reduced form of gammaPct/100 — the
+    * resolution parameter γ of RB-configuration modularity
+    * (Q_γ = W/m2 − γ·ΣD²/m2²; the reference's Leiden ladder runs
+    * resolutions [2.0, 0.5, 0.1], neo4j_helpers.py:237-268 via
+    * /root/reference). gammaPct = 100 reduces to p = q = 1: classic
+    * modularity, bit-identical to the γ-less form. Larger γ penalizes
+    * the degree term harder → finer communities; smaller γ → coarser.
     *
     * (m2 = directed row count of the undirected expansion = 2m,
     * k_{v→c} = edges from v into c, k_v = deg(v), D_c = Σ degrees in c;
@@ -892,27 +900,59 @@ object GraphOps {
     * function of the input. Because the moves are synchronous (not
     * Louvain's sequential sweep — that's inherently serial), a round is
     * ACCEPTED only if the exact integer modularity numerator
-    * Q_num = m2·W − Σ_c D_c²  (W = within-community directed rows;
-    * Q = Q_num / m2²) strictly improves; otherwise the pass stops. This
-    * gives deterministic, bounded, monotonically non-decreasing
-    * modularity — and an unrollable SQL oracle.
+    * Q_num = q·m2·W − p·Σ_c D_c²  (W = within-community directed rows;
+    * Q_γ = Q_num / (q·m2²)) strictly improves; otherwise the pass stops.
+    * This gives deterministic, bounded, monotonically non-decreasing
+    * γ-modularity — and an unrollable SQL oracle.
     *
     * Scale shape: the move kernel is the lpaEdges superstep (one
     * exchange-free agg over the src-partitioned edge cache with the
     * vertex-sized state on the [[stateSide]] join side), plus two
     * community-sized aggs (D_c, W) and a scalar gate probe per round —
     * no driver collect beyond 1-row scalars, no pairwise blowup.
-    * Overflow: every term ≤ m2², exact in Long to ~3e9 directed edges
-    * (the modularityOf bound).
+    * Overflow: every term ≤ max(p,q)·m2², exact in Long to ~3e9
+    * directed edges at γ = 1 (the modularityOf bound), shrinking by
+    * √max(p,q) for fractional resolutions (γ = 0.1 ⇒ p/q = 1/10 ⇒
+    * ~9.6e8 — still far beyond any contracted community graph).
     *
     * Returns (id, label) for every vertex of `assignment`; vertices with
     * no edges keep their input label. */
   def louvainRefine(
       edges: DataFrame, srcCol: String, dstCol: String,
       assignment: DataFrame, idCol: String, labelCol: String,
-      rounds: Int, broadcastState: Option[Boolean] = None): DataFrame = {
+      rounds: Int, broadcastState: Option[Boolean] = None,
+      gammaPct: Long = 100L): DataFrame =
+    louvainRefineMulti(edges, srcCol, dstCol, assignment, idCol, labelCol,
+      rounds, Seq(gammaPct), broadcastState)
+      .select(col("id"), col("label"))
+
+  /** Multi-resolution form of [[louvainRefine]]: run the gated
+    * local-move loop once per γ over ONE shared setup — the undirected
+    * cache, degrees, m2, AND the γ-independent pieces of the starting
+    * state (initial frames D_c / k_{v→c} and the (W, ΣD²) scalar pair
+    * feed every resolution's gate; only the per-γ combination
+    * q·m2·W − p·ΣD² differs). The reference runs its Leiden ladder at
+    * resolutions [2.0, 0.5, 0.1] over one graph the same way
+    * (neo4j_helpers.py:237-268 via /root/reference); re-deriving the
+    * setup per γ tripled the multi-resolution query's cost.
+    * Returns (gamma_pct, id, label). */
+  def louvainRefineMulti(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      assignment: DataFrame, idCol: String, labelCol: String,
+      rounds: Int, gammaPcts: Seq[Long],
+      broadcastState: Option[Boolean] = None): DataFrame = {
     val bc = resolveBroadcastState(broadcastState, edges)
     require(rounds >= 1, s"louvainRefine needs rounds >= 1, got $rounds")
+    require(gammaPcts.nonEmpty && gammaPcts.forall(_ >= 1),
+      s"louvainRefine needs gammaPct >= 1, got $gammaPcts")
+    // γ = gammaPct/100 as the reduced rational p/q — all scoring stays
+    // exact-integer; γ = 1 reduces to p = q = 1, bit-identical to the
+    // γ-less gain.
+    def reduced(g: Long): (Long, Long) = {
+      val gcd = java.math.BigInteger.valueOf(g)
+        .gcd(java.math.BigInteger.valueOf(100L)).longValueExact()
+      (g / gcd, 100L / gcd)
+    }
     val pre0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val ownPre = !callerCached(edges)
     val pre = if (ownPre) pre0.persist() else pre0
@@ -926,14 +966,15 @@ object GraphOps {
       und.unpersist(blocking = false)
       deg.unpersist(blocking = false)
       if (ownPre) pre.unpersist(blocking = false)
-      return assignment.select(col(idCol).as("id"), col(labelCol).as("label"))
+      return gammaPcts.map(g => assignment.select(lit(g).as("gamma_pct"),
+        col(idCol).as("id"), col(labelCol).as("label"))).reduce(_ unionByName _)
     }
     // The state is referenced ~7× per round (gate ×2, D_c, k, candidate
     // union, score join ×2): localCheckpoint, not persist, or the nested
     // per-round plan STRINGS grow geometrically (the HITS 8 GB-driver
     // lesson; persisted-only, round 6 measured a 2.5 MB truncated plan
     // at just rounds = 2).
-    var asg = assignment
+    val asg0 = assignment
       .select(col(idCol).as("id"), col(labelCol).as("c"))
       .join(deg.select("id"), "id") // edge-incident vertices only
       .localCheckpoint()
@@ -958,63 +999,87 @@ object GraphOps {
         .persist()
       (dC, k)
     }
-    def qNumOf(a: DataFrame, dC: DataFrame, k: DataFrame): Long = {
-      // one scalar job, not two: the 1-row W and ΣD² aggs cross-joined
+    // one scalar job, not two: the 1-row W and ΣD² aggs cross-joined;
+    // γ-independent — every resolution combines the same pair as
+    // q·m2·W − p·ΣD²
+    def wd2Of(a: DataFrame, dC: DataFrame, k: DataFrame): (Long, Long) = {
       val row = k.join(a.withColumnRenamed("c", "cv"), "id")
         .filter(col("c") === col("cv"))
         .agg(coalesce(sum(col("kvc")), lit(0L)).as("w"))
         .crossJoin(
           dC.agg(coalesce(sum(col("dc") * col("dc")), lit(0L)).as("d2")))
         .head()
-      m2 * row.getLong(0) - row.getLong(1)
+      (row.getLong(0), row.getLong(1))
     }
-    var (dC, k) = frames(asg)
-    var qCur = qNumOf(asg, dC, k)
-    var r = 0
-    var improved = true
-    while (r < rounds && improved) {
-      // own community is always a candidate (kvc = 0 when v has no
-      // intra-community neighbor); max() folds the duplicate away
-      val cand = k.unionByName(asg.select(col("id"), col("c"),
-          lit(0L).as("kvc")))
-        .groupBy("id", "c").agg(max(col("kvc")).as("kvc"))
-      val moved = cand
-        .join(asg.select(col("id"), col("c").as("cv")), "id")
-        .join(deg, "id")
-        .join(stateSide(dC, bc), "c")
-        .select(col("id"), col("c"),
-          (lit(m2) * col("kvc") - col("kv") *
-            (col("dc") - when(col("c") === col("cv"), col("kv"))
-              .otherwise(lit(0L)))).as("score"))
-        .groupBy("id")
-        .agg(max(struct(col("score"), (-col("c")).as("nc"))).as("best"))
-        .select(col("id"), (-col("best.nc")).as("c"))
-        .localCheckpoint()
-      val (dC2, k2) = frames(moved)
-      val qNew = qNumOf(moved, dC2, k2)
-      if (qNew > qCur) {
-        releaseLocalCheckpoint(asg)
+    val (dC0, k0) = frames(asg0)
+    val (w0, d20) = wd2Of(asg0, dC0, k0)
+    // per-γ gated local-move loops over the shared start state; `own`
+    // tracks whether (asg, dC, k) are this γ's private frames (safe to
+    // release) or the shared ones (released once, after all γ)
+    val finals = gammaPcts.map { g =>
+      val (gp, gq) = reduced(g)
+      var asg = asg0; var dC = dC0; var k = k0
+      var own = false
+      var qCur = gq * m2 * w0 - gp * d20
+      var r = 0
+      var improved = true
+      while (r < rounds && improved) {
+        // own community is always a candidate (kvc = 0 when v has no
+        // intra-community neighbor); max() folds the duplicate away
+        val cand = k.unionByName(asg.select(col("id"), col("c"),
+            lit(0L).as("kvc")))
+          .groupBy("id", "c").agg(max(col("kvc")).as("kvc"))
+        val moved = cand
+          .join(asg.select(col("id"), col("c").as("cv")), "id")
+          .join(deg, "id")
+          .join(stateSide(dC, bc), "c")
+          .select(col("id"), col("c"),
+            (lit(gq * m2) * col("kvc") - lit(gp) * col("kv") *
+              (col("dc") - when(col("c") === col("cv"), col("kv"))
+                .otherwise(lit(0L)))).as("score"))
+          .groupBy("id")
+          .agg(max(struct(col("score"), (-col("c")).as("nc"))).as("best"))
+          .select(col("id"), (-col("best.nc")).as("c"))
+          .localCheckpoint()
+        val (dC2, k2) = frames(moved)
+        val (w2, d22) = wd2Of(moved, dC2, k2)
+        val qNew = gq * m2 * w2 - gp * d22
+        if (qNew > qCur) {
+          if (own) {
+            releaseLocalCheckpoint(asg)
+            dC.unpersist(blocking = false)
+            k.unpersist(blocking = false)
+          }
+          asg = moved; dC = dC2; k = k2; own = true
+          qCur = qNew
+        } else {
+          releaseLocalCheckpoint(moved)
+          dC2.unpersist(blocking = false)
+          k2.unpersist(blocking = false)
+          improved = false
+        }
+        r += 1
+      }
+      if (own) {
         dC.unpersist(blocking = false)
         k.unpersist(blocking = false)
-        asg = moved; dC = dC2; k = k2
-        qCur = qNew
-      } else {
-        releaseLocalCheckpoint(moved)
-        dC2.unpersist(blocking = false)
-        k2.unpersist(blocking = false)
-        improved = false
       }
-      r += 1
+      (g, asg, own)
     }
-    dC.unpersist(blocking = false)
-    k.unpersist(blocking = false)
-    val out = assignment
-      .select(col(idCol).as("id"), col(labelCol).as("label"))
-      .join(asg.select(col("id"), col("c")), Seq("id"), "left")
-      .select(col("id"), coalesce(col("c"), col("label")).as("label"))
-      .persist()
+    val out = finals.map { case (g, asg, _) =>
+      assignment
+        .select(col(idCol).as("id"), col(labelCol).as("label"))
+        .join(asg.select(col("id"), col("c")), Seq("id"), "left")
+        .select(lit(g).as("gamma_pct"), col("id"),
+          coalesce(col("c"), col("label")).as("label"))
+    }.reduce(_ unionByName _).persist()
     out.count()
-    releaseLocalCheckpoint(asg)
+    finals.foreach { case (_, asg, own) =>
+      if (own) releaseLocalCheckpoint(asg)
+    }
+    releaseLocalCheckpoint(asg0)
+    dC0.unpersist(blocking = false)
+    k0.unpersist(blocking = false)
     und.unpersist(blocking = false)
     deg.unpersist(blocking = false)
     if (ownPre) pre.unpersist(blocking = false)

@@ -112,6 +112,26 @@ object GraphQueries {
           col("label"))
     },
 
+    // G2 resolution-parameter parity: the reference's Leiden ladder runs
+    // RB-configuration modularity at resolutions [2.0, 0.5, 0.1]
+    // (neo4j_helpers.py:237-268 via /root/reference); here the same three
+    // γ values drive the gated local-move refinement over ONE shared LPA
+    // assignment — γ is an exact reduced rational in the integer gain, so
+    // every resolution's rounds replay unrolled in the oracle.
+    Q("q134_louvain_multires",
+      louvainGammaOracle(lpaIters = 3, rounds = 1, Seq(200L, 50L, 10L))) { (s, dir) =>
+      val e = bipartite(s, dir).persist()
+      // the refines branch on the assignment → checkpoint it (lpaEdges
+      // lineage note)
+      val lpa = GraphOps.lpaEdges(e, "src", "dst", maxIter = 3).localCheckpoint()
+      GraphOps.louvainRefineMulti(e, "src", "dst", lpa, "id", "label",
+          rounds = 1, gammaPcts = Seq(200L, 50L, 10L))
+        .select(col("gamma_pct"),
+          when(pmod(col("id"), lit(2)) === 0, "part").otherwise("supplier").as("kind"),
+          shiftright(col("id"), 1).as("key"),
+          col("label"))
+    },
+
     // G2 multi-resolution: the 3-level community ladder (fine LPA →
     // contracted LPA → components), the reference's resolution stack
     // [2.0, 0.5, 0.1]. Oracle = unrolled LPA at both levels + a recursive
@@ -472,44 +492,59 @@ object GraphQueries {
     * + 11 GB of spill at sf0.1 (0.5 s materialized+hoisted); with the
     * rounds chained, the inlined tree re-expanded geometrically and the
     * full oracle ran the sf0.1 sweep's disk dry. */
-  private def louvainOracle(lpaIters: Int, rounds: Int): String = {
+  /** Per-round refine CTEs for one resolution: all CTE names carry `sfx`
+    * so several resolutions can share one prelude (und/lpa/deg/mm). The
+    * γ-gain and gate use the reduced rational γ = gp/gq exactly as
+    * GraphOps.louvainRefine does; gp = gq = 1 is classic modularity. */
+  private def louvainSteps(sfx: String, a0: String, rounds: Int,
+      gp: Long, gq: Long): String = {
     def qnumCte(name: String, asg: String): String =
       s"""$name AS MATERIALIZED (
-         |  SELECT mm.m2 * w.w - d2.d2 AS qn FROM mm
+         |  SELECT $gq * mm.m2 * w.w - $gp * d2.d2 AS qn FROM mm
          |  CROSS JOIN (SELECT COUNT(*) AS w FROM und u
          |    JOIN $asg x ON u.src = x.id JOIN $asg y ON u.dst = y.id
          |    WHERE x.c = y.c) w
          |  CROSS JOIN (SELECT SUM(dd.d * dd.d) AS d2 FROM
          |    (SELECT SUM(kv) AS d FROM $asg JOIN deg USING (id) GROUP BY c) dd) d2)""".stripMargin
+    val init =
+      s"""a${sfx}0 AS MATERIALIZED (SELECT id, c FROM $a0),
+         |${qnumCte(s"q${sfx}0", s"a${sfx}0")}""".stripMargin
     val steps = (1 to rounds).map { i =>
       val p = i - 1
-      s"""dc$i AS MATERIALIZED (
-         |  SELECT c, SUM(kv) AS dc FROM a$p JOIN deg USING (id) GROUP BY c),
-         |k$i AS MATERIALIZED (
+      s"""dc$sfx$i AS MATERIALIZED (
+         |  SELECT c, SUM(kv) AS dc FROM a$sfx$p JOIN deg USING (id) GROUP BY c),
+         |k$sfx$i AS MATERIALIZED (
          |  SELECT u.src AS id, a.c, COUNT(*) AS kvc
-         |  FROM und u JOIN a$p a ON u.dst = a.id GROUP BY u.src, a.c),
-         |cand$i AS MATERIALIZED (SELECT id, c, MAX(kvc) AS kvc FROM (
-         |  SELECT id, c, kvc FROM k$i
-         |  UNION ALL SELECT id, c, 0 AS kvc FROM a$p) t GROUP BY id, c),
-         |mv$i AS MATERIALIZED (SELECT id, c FROM (
+         |  FROM und u JOIN a$sfx$p a ON u.dst = a.id GROUP BY u.src, a.c),
+         |cand$sfx$i AS MATERIALIZED (SELECT id, c, MAX(kvc) AS kvc FROM (
+         |  SELECT id, c, kvc FROM k$sfx$i
+         |  UNION ALL SELECT id, c, 0 AS kvc FROM a$sfx$p) t GROUP BY id, c),
+         |mv$sfx$i AS MATERIALIZED (SELECT id, c FROM (
          |  SELECT n.id, n.c, ROW_NUMBER() OVER (PARTITION BY n.id ORDER BY
-         |    (mm.m2 * n.kvc
-         |     - d.kv * (dc$i.dc - CASE WHEN n.c = a.c THEN d.kv ELSE 0 END)) DESC,
+         |    ($gq * mm.m2 * n.kvc
+         |     - $gp * d.kv * (dc$sfx$i.dc - CASE WHEN n.c = a.c THEN d.kv ELSE 0 END)) DESC,
          |    n.c) AS rn
-         |  FROM cand$i n
-         |  JOIN a$p a ON n.id = a.id
+         |  FROM cand$sfx$i n
+         |  JOIN a$sfx$p a ON n.id = a.id
          |  JOIN deg d ON n.id = d.id
-         |  JOIN dc$i ON n.c = dc$i.c
+         |  JOIN dc$sfx$i ON n.c = dc$sfx$i.c
          |  CROSS JOIN mm) t WHERE rn = 1),
-         |${qnumCte(s"qm$i", s"mv$i")},
-         |acc$i AS MATERIALIZED (
-         |  SELECT qm$i.qn > q$p.qn AS ok FROM qm$i, q$p),
-         |a$i AS MATERIALIZED (SELECT a.id,
-         |  CASE WHEN acc$i.ok THEN m.c ELSE a.c END AS c
-         |  FROM a$p a JOIN mv$i m USING (id) CROSS JOIN acc$i),
-         |q$i AS MATERIALIZED (SELECT CASE WHEN acc$i.ok
-         |  THEN qm$i.qn ELSE q$p.qn END AS qn FROM acc$i, qm$i, q$p)""".stripMargin
+         |${qnumCte(s"qm$sfx$i", s"mv$sfx$i")},
+         |acc$sfx$i AS MATERIALIZED (
+         |  SELECT qm$sfx$i.qn > q$sfx$p.qn AS ok FROM qm$sfx$i, q$sfx$p),
+         |a$sfx$i AS MATERIALIZED (SELECT a.id,
+         |  CASE WHEN acc$sfx$i.ok THEN m.c ELSE a.c END AS c
+         |  FROM a$sfx$p a JOIN mv$sfx$i m USING (id) CROSS JOIN acc$sfx$i),
+         |q$sfx$i AS MATERIALIZED (SELECT CASE WHEN acc$sfx$i.ok
+         |  THEN qm$sfx$i.qn ELSE q$sfx$p.qn END AS qn FROM acc$sfx$i, qm$sfx$i, q$sfx$p)""".stripMargin
     }.mkString(",\n")
+    s"$init,\n$steps"
+  }
+
+  /** Shared prelude for the louvain oracles: edge set, undirected
+    * expansion, unrolled LPA, degrees, m2, and the LPA assignment as
+    * `abase`. */
+  private def louvainPrelude(lpaIters: Int): String =
     s"""WITH e AS (SELECT DISTINCT CAST(l_partkey*2 AS BIGINT) AS src,
        |                           CAST(l_suppkey*2+1 AS BIGINT) AS dst FROM lineitem),
        |und AS MATERIALIZED (
@@ -517,10 +552,30 @@ object GraphQueries {
        |${lpaSteps("und", "l", lpaIters)},
        |deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS kv FROM und GROUP BY src),
        |mm AS MATERIALIZED (SELECT COUNT(*) AS m2 FROM und),
-       |a0 AS MATERIALIZED (SELECT id, label AS c FROM l$lpaIters),
-       |${qnumCte("q0", "a0")},
-       |$steps
+       |abase AS MATERIALIZED (SELECT id, label AS c FROM l$lpaIters)""".stripMargin
+
+  private def louvainOracle(lpaIters: Int, rounds: Int): String =
+    s"""${louvainPrelude(lpaIters)},
+       |${louvainSteps("", "abase", rounds, gp = 1L, gq = 1L)}
        |SELECT $kindKey, c AS label FROM a$rounds""".stripMargin
+
+  /** Multi-resolution ladder: the refine replayed once per γ over the
+    * SHARED prelude — the reference's resolutions [2.0, 0.5, 0.1] as
+    * gammaPct [200, 50, 10], each gcd-reduced exactly as the engine
+    * does. */
+  private def louvainGammaOracle(lpaIters: Int, rounds: Int,
+      gammaPcts: Seq[Long]): String = {
+    val blocks = gammaPcts.map { g =>
+      val gcd = java.math.BigInteger.valueOf(g)
+        .gcd(java.math.BigInteger.valueOf(100L)).longValueExact()
+      louvainSteps(s"g$g", "abase", rounds, gp = g / gcd, gq = 100L / gcd)
+    }.mkString(",\n")
+    val sel = gammaPcts.map { g =>
+      s"SELECT $g AS gamma_pct, $kindKey, c AS label FROM ag$g$rounds"
+    }.mkString("\nUNION ALL\n")
+    s"""${louvainPrelude(lpaIters)},
+       |$blocks
+       |$sel""".stripMargin
   }
 
   private def lpaOracle(iters: Int): String =

@@ -378,6 +378,36 @@ class GraphSpec extends SparkSpec {
     assert(iso(99L) == 7L)
   }
 
+  test("louvainRefine γ: gamma=100 is bit-identical to default; partitions coarsen monotonically as γ falls") {
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    // two 4-cliques + a weak bridge, refined from the FINEST assignment
+    // (every vertex its own community) so the γ trade is visible: small
+    // γ discounts the degree penalty → merging wins → coarser; large γ
+    // penalizes harder → finer survives.
+    val e = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(11L, 12L, 13L, 14L)) ++
+      Seq((4L, 11L))).toDF("src", "dst")
+    val singleton = (Seq(1L, 2L, 3L, 4L, 11L, 12L, 13L, 14L))
+      .map(v => v -> v).toDF("id", "label")
+    def nCommunities(gammaPct: Long): Long =
+      GraphOps.louvainRefine(e, "src", "dst", singleton, "id", "label",
+        rounds = 3, gammaPct = gammaPct)
+        .select("label").distinct().count()
+    // the reference ladder's resolutions, descending γ
+    val counts = Seq(200L, 100L, 50L, 10L).map(nCommunities)
+    assert(counts == counts.sorted.reverse,
+      s"community counts must be non-increasing as γ falls: $counts")
+    // γ = 1 (gammaPct = 100) must reduce to the γ-less gain exactly
+    val plain = GraphOps.louvainRefine(e, "src", "dst", singleton, "id", "label",
+      rounds = 3).as[(Long, Long)].collect().toMap
+    val g100 = GraphOps.louvainRefine(e, "src", "dst", singleton, "id", "label",
+      rounds = 3, gammaPct = 100L).as[(Long, Long)].collect().toMap
+    assert(plain == g100)
+    // determinism per γ
+    val again = Seq(200L, 100L, 50L, 10L).map(nCommunities)
+    assert(again == counts)
+  }
+
   test("multiSourceBfs: nearest landmark with smallest-id tie-break") {
     // path 1-2-3-4-5 with landmarks {1, 5}: 2→1, 4→5, 3 ties → 1
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
