@@ -48,6 +48,37 @@ object TextQueries {
           col("chunk_id"), col("chunk"), col("n_chunks").cast("long").as("n_chunks"))
     },
 
+    // T3 tokenizer calibration: the BPE-proxy token measure the RAG
+    // chunker budgets by (Chunker.proxyTokenLen — alnum runs at
+    // ceil(len/6) + 1/punctuation char), plus the closed-form
+    // token-window chunk count at the reference's 2048/512 parameters.
+    // The proxy is regex-replicable in both engines, so the oracle
+    // proves the Scala kernel and a pure-SQL reading agree token-for-
+    // token; the data-dependent greedy boundaries themselves are
+    // covered by ChunkerSpec/KernelProps.
+    Q("q135_token_budget",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS t
+        |  FROM documents),
+        |agg AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN regexp_matches(t, '^[A-Za-z0-9]')
+        |                       THEN CEIL(LENGTH(t) / 6.0) ELSE 1 END) AS BIGINT) AS n_tokens
+        |  FROM toks GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+        |       GREATEST(1, CAST(CEIL((COALESCE(a.n_tokens, 0) - 512) / 1536.0) AS BIGINT)) AS n_chunks
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "documents").select("doc_id", "text").as[(Long, String)]
+        .map { case (id, text) =>
+          val t = Chunker.proxyTokenLen(Option(text).getOrElse(""))
+          (id, t.toLong,
+            Chunker.nChunks(t, Chunker.RagSizeTokens, Chunker.RagOverlapTokens).toLong)
+        }
+        .toDF("doc_id", "n_tokens", "n_chunks")
+    },
+
     // T2 section parser generator. The synthetic corpus has no `== x ==`
     // headers, so the oracle covers the degenerate single-"Introduction"
     // path; header/stop/min-length logic is covered by SectionsSpec.

@@ -83,6 +83,121 @@ object Chunker {
     chunks.result().filter(_.nonEmpty)
   }
 
+  /** BPE-proxy token length — the tokenizer-calibrated measure the
+    * reference chunks by (HF tokenizer of nomic-embed-text-v1.5,
+    * data_transformation_helpers.py:161-183 + settings.py:126-127 via
+    * /root/reference; that tokenizer isn't reproducible on the JVM, so
+    * this is the documented deterministic proxy, SURVEY §7.5 risk 3):
+    *
+    *   tokens(s) = Σ_{alnum runs r} ceil(|r| / 6) + #(non-alnum,
+    *   non-whitespace chars); whitespace contributes 0.
+    *
+    * Rationale: subword vocabularies keep common (short) words whole and
+    * split long/rare words — English WordPiece/BPE averages ~1.3
+    * tokens/word, which ceil(len/6) reproduces on natural word-length
+    * distributions (words ≤6 chars → 1, 7–12 → 2, …); punctuation is
+    * nearly always its own token. The proxy is regex-replicable
+    * ([A-Za-z0-9]+ | [^A-Za-z0-9\s]) in both Spark and DuckDB, so the
+    * per-document counts are oracle-checkable cross-engine (q135).
+    * Invariant used by the cascade fallback: tokens(s) <= s.length. */
+  def proxyTokenLen(s: String): Int = {
+    var i = 0
+    var toks = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (Character.isLetterOrDigit(c)) {
+        var j = i + 1
+        while (j < n && Character.isLetterOrDigit(s.charAt(j))) j += 1
+        toks += (j - i + 5) / 6
+        i = j
+      } else {
+        if (!Character.isWhitespace(c)) toks += 1
+        i += 1
+      }
+    }
+    toks
+  }
+
+  /** Reference RAG window parameters (settings.py:126-127): 2048-token
+    * chunks, 512-token overlap. */
+  val RagSizeTokens = 2048
+  val RagOverlapTokens = 512
+
+  /** Separator-cascade chunker measured by an arbitrary length function
+    * (`lenFn = proxyTokenLen` gives the tokenizer-calibrated chunks the
+    * reference produces; `lenFn = _.length` degenerates to character
+    * budgets). Packing follows LangChain's merge_splits exactly: greedy
+    * piece window emitted when the next piece would overflow `size`,
+    * then pieces dropped from the FRONT until the carried tail is within
+    * `overlap` (and admits the new piece) — overlap is therefore
+    * piece-granular, as in the reference. lenFn is treated as additive
+    * across piece concatenation (exact for token proxies at whitespace/
+    * separator boundaries; the "" fallback splits at `size` chars, safe
+    * because tokens(s) <= s.length). */
+  def recursiveChunksBy(
+      text: String,
+      size: Int,
+      overlap: Int,
+      lenFn: String => Int,
+      separators: Seq[String] = Seq("\n\n", "\n", ". ", "? ", "! ", " ", "")): Seq[String] = {
+
+    def split(t: String, seps: Seq[String]): Seq[String] =
+      if (lenFn(t) <= size) Seq(t)
+      else seps match {
+        case Nil => Seq(t)
+        case "" +: _ => t.grouped(size).toSeq // tokens(s) <= |s| bounds each group
+        case sep +: rest =>
+          val parts = t.split(java.util.regex.Pattern.quote(sep), -1)
+          if (parts.length == 1) split(t, rest)
+          else parts.zipWithIndex.flatMap { case (p, i) =>
+            val piece = if (i < parts.length - 1) p + sep else p
+            if (lenFn(piece) > size) split(piece, rest) else Seq(piece)
+          }.filter(_.nonEmpty).toSeq
+      }
+
+    val pieces = split(text, separators)
+    val out = Seq.newBuilder[String]
+    var window = Vector.empty[(String, Int)]
+    var total = 0
+    for (p <- pieces) {
+      val pl = lenFn(p)
+      if (window.nonEmpty && total + pl > size) {
+        out += window.iterator.map(_._1).mkString.trim
+        while (window.nonEmpty && (total > overlap || total + pl > size)) {
+          total -= window.head._2
+          window = window.tail
+        }
+      }
+      window = window :+ (p -> pl)
+      total += pl
+    }
+    if (window.nonEmpty) out += window.iterator.map(_._1).mkString.trim
+    out.result().filter(_.nonEmpty)
+  }
+
+  /** The reference's RAG chunking: separator cascade at 2048/512 tokens
+    * measured by the BPE proxy. */
+  def tokenChunks(text: String): Seq[String] =
+    recursiveChunksBy(text, RagSizeTokens, RagOverlapTokens, proxyTokenLen)
+
+  /** Dataset generator over documents(doc_id, text) at the reference's
+    * token-budget parameters (the production RAG path; `explode` below
+    * keeps the char-budget variants the closed-form oracles replay). */
+  def explodeTokens(
+      docs: DataFrame,
+      size: Int = RagSizeTokens,
+      overlap: Int = RagOverlapTokens): Dataset[DocChunk] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id", "text").as[(Long, String)].flatMap { case (id, text0) =>
+      val cs = recursiveChunksBy(Option(text0).getOrElse(""), size, overlap, proxyTokenLen)
+      cs.zipWithIndex.map { case (c, i) =>
+        DocChunk(id, i, s"${id}_chunk_${i + 1}", c, cs.length)
+      }
+    }
+  }
+
   /** Dataset generator over documents(doc_id, text). */
   def explode(
       docs: DataFrame,

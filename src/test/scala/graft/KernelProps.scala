@@ -47,6 +47,29 @@ object KernelProps extends Properties("kernels") {
       chunks.nonEmpty && chunks.forall(_.length <= 125)
     }
 
+  property("proxyTokenLen: bounded by char length, zero only for whitespace, additive at whitespace joins") =
+    Prop.forAll(textGen, textGen) { (a, b) =>
+      val la = Chunker.proxyTokenLen(a)
+      la <= a.length &&
+        (la == 0) == a.forall(Character.isWhitespace) &&
+        Chunker.proxyTokenLen(a + " " + b) == la + Chunker.proxyTokenLen(b)
+    }
+
+  property("recursiveChunksBy(token): every chunk within the token budget, all substrings of input") =
+    Prop.forAll(textGen.suchThat(_.trim.nonEmpty)) { t =>
+      val chunks = Chunker.recursiveChunksBy(t, 40, 10, Chunker.proxyTokenLen)
+      chunks.nonEmpty &&
+        chunks.forall(c => Chunker.proxyTokenLen(c) <= 40) &&
+        chunks.forall(t.contains(_))
+    }
+
+  property("recursiveChunksBy(token): ends of the text are never lost") =
+    Prop.forAll(textGen.suchThat(_.trim.nonEmpty)) { t =>
+      val chunks = Chunker.recursiveChunksBy(t, 40, 10, Chunker.proxyTokenLen)
+      val tt = t.trim
+      chunks.head.startsWith(tt.take(1)) && chunks.last.endsWith(tt.takeRight(1))
+    }
+
   property("sections never emit content below the min length") =
     Prop.forAll(textGen, Gen.choose(0, 60)) { (t, minLen) =>
       Sections.parse(t, minLen).forall(_._2.length >= minLen)

@@ -56,6 +56,66 @@ class TextSpec extends SparkSpec {
     assert(chunks.mkString(" ").contains("Sentence one is here."))
   }
 
+  test("token chunker: calibrated to the reference's measured chunk rate (±5%)") {
+    // The reference chunks 4,681 articles into 30,005 chunks at
+    // 2048-token windows / 512-token overlap (README.md:422-423 +
+    // settings.py:126-127 via /root/reference) — 6.410 chunks/article.
+    // Build a deterministic article-shaped fixture whose per-article
+    // token masses follow that rate under the closed-form window count,
+    // then assert the GREEDY separator-cascade packer (piece-granular
+    // overlap, data-dependent boundaries) lands within ±5% of the
+    // reference total scaled to the fixture — i.e. greedy packing does
+    // not drift from the window model on natural text shapes.
+    val rnd = new scala.util.Random(42)
+    val words = Seq("the", "band", "released", "album", "in", "a",
+      "recording", "sessions", "critically", "acclaimed", "tour",
+      "guitarist", "of", "and", "their", "second", "studio",
+      "international", "chart", "success", "nineteen", "eighty")
+    def sentence(): String = {
+      val n = 6 + rnd.nextInt(12)
+      val s = Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" ")
+      s.capitalize + ". "
+    }
+    def paragraph(): String = Seq.fill(3 + rnd.nextInt(5))(sentence()).mkString
+    def article(targetTokens: Int): String = {
+      val sb = new StringBuilder
+      while (Chunker.proxyTokenLen(sb.toString) < targetTokens) {
+        sb.append(paragraph()).append("\n\n")
+      }
+      sb.toString
+    }
+    val nArticles = 60
+    // Article token masses drawn around the mean the reference's rate
+    // implies for 2048/512 windows: 6.41 chunks/article ⇒ under
+    // E[ceil(x)] ≈ E[x] + ½ for widely-spread masses, E[(T−512)/1536]
+    // = 5.91 ⇒ mean T ≈ 9.6k tokens, with a long-ish tail like real
+    // article corpora.
+    val targets = Seq.fill(nArticles)(
+      (2500 + rnd.nextInt(12000) + rnd.nextInt(6000)).toInt)
+    val mean = targets.sum.toDouble / nArticles
+    val scaleAdjust = 9590.0 / mean // pin the fixture mean to the implied mean
+    val arts = targets.map(t => article(math.max(600, (t * scaleAdjust).toInt)))
+    val expected = arts.map(a =>
+      Chunker.nChunks(Chunker.proxyTokenLen(a),
+        Chunker.RagSizeTokens, Chunker.RagOverlapTokens)).sum
+    val actual = arts.map(a => Chunker.tokenChunks(a).length).sum
+    val refRate = 30005.0 / 4681.0
+    val refScaled = refRate * nArticles
+    // closed-form fixture total reproduces the reference rate (fixture
+    // construction is sound) …
+    assert(math.abs(expected - refScaled) / refScaled < 0.05,
+      s"fixture drifted: closed-form $expected vs reference-scaled $refScaled")
+    // … and the greedy packer agrees with both within ±5%
+    assert(math.abs(actual - expected).toDouble / expected < 0.05,
+      s"greedy packer drifted: $actual vs closed-form $expected")
+    assert(math.abs(actual - refScaled) / refScaled < 0.05,
+      s"token chunker off the reference rate: $actual vs $refScaled")
+    // every produced chunk respects the token budget
+    assert(arts.forall(a =>
+      Chunker.tokenChunks(a).forall(c =>
+        Chunker.proxyTokenLen(c) <= Chunker.RagSizeTokens)))
+  }
+
   test("chunker explode generator: ids and counts line up") {
     val df = Seq((7L, "x" * 500)).toDF("doc_id", "text")
     val out = Chunker.explode(df, 200, 50).collect()
