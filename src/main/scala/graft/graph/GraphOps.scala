@@ -180,9 +180,19 @@ object GraphOps {
     val und = numPartitions.fold(base.repartition(col("src")))(
         n => base.repartition(n, col("src")))
       .persist()
-    // callers that BRANCH on the result (e.g. communityLevels) must
-    // localCheckpoint it, or the shared subtree re-prints/re-optimizes
-    // exponentially.
+    val labels = lpaSupersteps(und, maxIter, bc)
+    und.unpersist(blocking = false)
+    if (ownPre) pre.unpersist(blocking = false)
+    labels
+  }
+
+  /** LPA superstep loop over a PREBUILT src-partitioned undirected cache
+    * (shared by lpaEdges and the lpa+refine composites — the expansion
+    * shuffle is the setup cost worth paying once). Returns the final
+    * persisted snapshot; callers that BRANCH on it (e.g. communityLevels)
+    * must localCheckpoint it, or the shared subtree re-prints/
+    * re-optimizes exponentially. */
+  private def lpaSupersteps(und: DataFrame, maxIter: Int, bc: Boolean): DataFrame = {
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     var cached: Option[DataFrame] = None
@@ -221,8 +231,6 @@ object GraphOps {
       labels = snap
       done += steps
     }
-    und.unpersist(blocking = false)
-    if (ownPre) pre.unpersist(blocking = false)
     labels
   }
 
@@ -942,6 +950,76 @@ object GraphOps {
       rounds: Int, gammaPcts: Seq[Long],
       broadcastState: Option[Boolean] = None): DataFrame = {
     val bc = resolveBroadcastState(broadcastState, edges)
+    val pre0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val ownPre = !callerCached(edges)
+    val pre = if (ownPre) pre0.persist() else pre0
+    val und = pre.union(pre.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .persist()
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("kv"))
+      .persist()
+    val m2 = und.count() // also materializes und (and fills deg lazily)
+    val out =
+      if (m2 == 0)
+        gammaPcts.map(g => assignment.select(lit(g).as("gamma_pct"),
+          col(idCol).as("id"), col(labelCol).as("label"))).reduce(_ unionByName _)
+      else refineCore(und, deg, m2, bc, assignment, idCol, labelCol,
+        rounds, gammaPcts)
+    und.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    if (ownPre) pre.unpersist(blocking = false)
+    out
+  }
+
+  /** LPA + γ-ladder refinement over ONE shared setup: the undirected
+    * src-partitioned cache, degree frame, and m2 serve BOTH the LPA
+    * supersteps and every resolution's refine rounds (calling lpaEdges
+    * then louvainRefineMulti separately re-shuffles the expansion and
+    * re-aggregates degrees — ~2-3 s of pure rework at sf1). The
+    * recurrence is identical to the two-call form: the LPA snapshot is
+    * checkpointed (the refine branches on it several times per γ), then
+    * refined exactly as louvainRefineMulti would. */
+  def lpaLouvainRefineMulti(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      lpaIters: Int, rounds: Int, gammaPcts: Seq[Long],
+      broadcastState: Option[Boolean] = None): DataFrame = {
+    val bc = resolveBroadcastState(broadcastState, edges)
+    val pre0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val ownPre = !callerCached(edges)
+    val pre = if (ownPre) pre0.persist() else pre0
+    val und = pre.union(pre.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .persist()
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("kv"))
+      .persist()
+    val m2 = und.count()
+    val out =
+      if (m2 == 0)
+        gammaPcts.map(g => und.select(lit(g).as("gamma_pct"),
+          col("src").as("id"), col("src").as("label"))).reduce(_ unionByName _)
+      else {
+        val lpa = lpaSupersteps(und, lpaIters, bc)
+        val lpaCp = lpa.localCheckpoint()
+        lpa.unpersist(blocking = false)
+        val refined = refineCore(und, deg, m2, bc, lpaCp, "id", "label",
+          rounds, gammaPcts)
+        releaseLocalCheckpoint(lpaCp) // refined is persisted+counted
+        refined
+      }
+    und.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    if (ownPre) pre.unpersist(blocking = false)
+    out
+  }
+
+  /** The per-γ gated local-move rounds over a caller-owned setup (und
+    * must be src-partitioned and persisted; deg persisted; m2 > 0).
+    * Returns (gamma_pct, id, label), persisted and counted — callers may
+    * release the setup immediately after. */
+  private def refineCore(
+      und: DataFrame, deg: DataFrame, m2: Long, bc: Boolean,
+      assignment: DataFrame, idCol: String, labelCol: String,
+      rounds: Int, gammaPcts: Seq[Long]): DataFrame = {
     require(rounds >= 1, s"louvainRefine needs rounds >= 1, got $rounds")
     require(gammaPcts.nonEmpty && gammaPcts.forall(_ >= 1),
       s"louvainRefine needs gammaPct >= 1, got $gammaPcts")
@@ -952,22 +1030,6 @@ object GraphOps {
       val gcd = java.math.BigInteger.valueOf(g)
         .gcd(java.math.BigInteger.valueOf(100L)).longValueExact()
       (g / gcd, 100L / gcd)
-    }
-    val pre0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val ownPre = !callerCached(edges)
-    val pre = if (ownPre) pre0.persist() else pre0
-    val und = pre.union(pre.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
-      .persist()
-    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("kv"))
-      .persist()
-    val m2 = und.count() // also materializes und (and fills deg lazily)
-    if (m2 == 0) {
-      und.unpersist(blocking = false)
-      deg.unpersist(blocking = false)
-      if (ownPre) pre.unpersist(blocking = false)
-      return gammaPcts.map(g => assignment.select(lit(g).as("gamma_pct"),
-        col(idCol).as("id"), col(labelCol).as("label"))).reduce(_ unionByName _)
     }
     // The state is referenced ~7× per round (gate ×2, D_c, k, candidate
     // union, score join ×2): localCheckpoint, not persist, or the nested
@@ -1080,9 +1142,6 @@ object GraphOps {
     releaseLocalCheckpoint(asg0)
     dC0.unpersist(blocking = false)
     k0.unpersist(blocking = false)
-    und.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
-    if (ownPre) pre.unpersist(blocking = false)
     out
   }
 

@@ -103,9 +103,10 @@ object GraphQueries {
     // argmax + the integer gate make the whole pass a pure function of
     // the input; the oracle replays LPA AND both refine rounds unrolled.
     Q("q126_louvain_refine", louvainOracle(lpaIters = 3, rounds = 2)) { (s, dir) =>
-      val e = bipartite(s, dir).persist()
-      val lpa = GraphOps.lpaEdges(e, "src", "dst", maxIter = 3)
-      GraphOps.louvainRefine(e, "src", "dst", lpa, "id", "label", rounds = 2)
+      // LPA + refine over ONE shared undirected cache/degree frame (the
+      // two-call form re-shuffled the expansion; same recurrence)
+      GraphOps.lpaLouvainRefineMulti(bipartite(s, dir), "src", "dst",
+          lpaIters = 3, rounds = 2, gammaPcts = Seq(100L))
         .select(
           when(pmod(col("id"), lit(2)) === 0, "part").otherwise("supplier").as("kind"),
           shiftright(col("id"), 1).as("key"),
@@ -120,12 +121,8 @@ object GraphQueries {
     // every resolution's rounds replay unrolled in the oracle.
     Q("q134_louvain_multires",
       louvainGammaOracle(lpaIters = 3, rounds = 1, Seq(200L, 50L, 10L))) { (s, dir) =>
-      val e = bipartite(s, dir).persist()
-      // the refines branch on the assignment → checkpoint it (lpaEdges
-      // lineage note)
-      val lpa = GraphOps.lpaEdges(e, "src", "dst", maxIter = 3).localCheckpoint()
-      GraphOps.louvainRefineMulti(e, "src", "dst", lpa, "id", "label",
-          rounds = 1, gammaPcts = Seq(200L, 50L, 10L))
+      GraphOps.lpaLouvainRefineMulti(bipartite(s, dir), "src", "dst",
+          lpaIters = 3, rounds = 1, gammaPcts = Seq(200L, 50L, 10L))
         .select(col("gamma_pct"),
           when(pmod(col("id"), lit(2)) === 0, "part").otherwise("supplier").as("kind"),
           shiftright(col("id"), 1).as("key"),
