@@ -421,4 +421,53 @@ object Dedup {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** Substring-level duplicate-span detection — exact-substring dedup in
+    * the style of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better": memorized spans repeat VERBATIM across
+    * documents even when whole docs aren't near-dups; doc-level MinHash
+    * misses them). Pipeline shape, all pure Catalyst (sequence/explode/
+    * substring — codegen'd, no UDF):
+    *
+    *   1. slide winLen-char windows at `stride` over every doc
+    *      (`sequence` + `explode` + `substring`);
+    *   2. a window is DUPLICATED when its exact text occurs in ≥2
+    *      distinct docs — one groupBy on the window text (at corpus
+    *      scale, group on xxhash64(window) first and verify the handful
+    *      of colliding groups exactly; the text-keyed form keeps the
+    *      DuckDB oracle byte-exact at test scale);
+    *   3. merge each doc's overlapping duplicated windows into maximal
+    *      spans (running-max window + island numbering — per-doc
+    *      partitions, no global sort).
+    *
+    * Cost: |corpus|/stride window rows through two hash shuffles —
+    * linear, never pairwise. Returns one row per maximal duplicated span
+    * (doc_id, span_start, span_end), 0-based char offsets, end exclusive. */
+  def duplicateSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      winLen: Int = 50, stride: Int = 25): DataFrame = {
+    val wins = docs
+      .filter(length(col(textCol)) >= winLen)
+      .select(col(idCol), col(textCol).as("t"))
+      .select(col(idCol),
+        explode(sequence(lit(0), length(col("t")) - winLen, lit(stride))).as("pos"),
+        col("t"))
+      .select(col(idCol), col("pos"),
+        expr(s"substring(t, pos + 1, $winLen)").as("win"))
+    val dup = wins.groupBy("win")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("win")
+    val marked = wins.join(dup, "win")
+      .select(col(idCol), col("pos").as("s"), (col("pos") + winLen).as("e"))
+    val byDoc = Window.partitionBy(idCol).orderBy("s")
+    marked
+      .withColumn("me", max(col("e")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isl", sum(
+        when(col("me").isNull || col("s") > col("me"), 1).otherwise(0)).over(byDoc))
+      .groupBy(col(idCol), col("isl"))
+      .agg(min("s").as("span_start"), max("e").as("span_end"))
+      .drop("isl")
+  }
 }

@@ -479,6 +479,39 @@ object DedupQueries {
         shingleN = 3, numHashes = 16, bands = 4, jaccNum = 1, jaccDen = 2)
     },
 
+    // Substring-level duplicate spans (Lee et al. 2022 exact-substring
+    // dedup): 50-char windows at stride 25, duplicated = same text in
+    // ≥2 docs, overlapping windows merged to maximal per-doc spans.
+    // Catches verbatim boilerplate doc-level MinHash misses. Summary
+    // per affected doc keeps the result small and totally ordered.
+    Q("q136_duplicate_spans",
+      """WITH w AS (
+        |  SELECT doc_id, i AS pos, substr(text, CAST(i + 1 AS INT), 50) AS win
+        |  FROM documents,
+        |       LATERAL unnest(generate_series(0, CAST(length(text) AS BIGINT) - 50, 25)) AS t(i)
+        |  WHERE length(text) >= 50),
+        |dup AS (SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2),
+        |m AS (SELECT doc_id, pos AS s, pos + 50 AS e FROM w JOIN dup USING (win)),
+        |o AS (SELECT doc_id, s, e,
+        |        MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS me
+        |      FROM m),
+        |isl AS (SELECT doc_id, s, e,
+        |          SUM(CASE WHEN me IS NULL OR s > me THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY s) AS island
+        |        FROM o),
+        |sp AS (SELECT doc_id, MIN(s) AS ss, MAX(e) AS se
+        |       FROM isl GROUP BY doc_id, island)
+        |SELECT doc_id, COUNT(*) AS n_dup_spans,
+        |       CAST(SUM(se - ss) AS BIGINT) AS dup_chars
+        |FROM sp GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.duplicateSpans(Tables(s, dir, "documents"), "doc_id", "text",
+          winLen = 50, stride = 25)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup_spans"),
+          sum(col("span_end") - col("span_start")).as("dup_chars"))
+    },
+
     // End-to-end curation funnel — the module kernels composed the way a
     // production pretraining pipeline chains them, reported as per-stage
     // survivor counts: language+quality gate → exact dedup →

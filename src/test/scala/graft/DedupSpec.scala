@@ -22,6 +22,35 @@ class DedupSpec extends SparkSpec {
     (1L, base), (2L, base), (3L, nearDup), (4L, unrelated))
     .toDF("doc_id", "text")
 
+  test("duplicateSpans: cross-doc verbatim spans found and merged; within-doc repeats alone don't count") {
+    val shared = "A" * 30 + "B" * 30 // 60 chars, verbatim in docs 1 and 2
+    val docs = Seq(
+      (1L, "x" * 40 + shared + "y" * 40),
+      (2L, "z" * 15 + shared + "w" * 90),
+      // doc 3 repeats ITS OWN phrase twice but shares nothing cross-doc
+      (3L, ("p" * 60 + "q" * 15) * 2),
+      (4L, "unique text only " * 10)).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", winLen = 50, stride = 25)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val byDoc = spans.groupBy(_._1)
+    // docs 1 and 2 each carry exactly one merged span; 3 and 4 none
+    assert(byDoc.keySet == Set(1L, 2L))
+    assert(byDoc(1L).length == 1 && byDoc(2L).length == 1)
+    // each merged span covers the shared text's windows (winLen-aligned,
+    // so it spans at least the shared region's covered windows)
+    for ((doc, s, e) <- spans) {
+      val text = if (doc == 1L) "x" * 40 + shared + "y" * 40
+                 else "z" * 15 + shared + "w" * 90
+      assert(e - s >= 50, s"span shorter than a window: doc $doc [$s,$e)")
+      assert(text.substring(s, e).contains("A" * 25) ||
+             text.substring(s, e).contains("B" * 25))
+    }
+    // deterministic
+    val again = Dedup.duplicateSpans(docs, "doc_id", "text", winLen = 50, stride = 25)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(spans.sorted.sameElements(again.sorted))
+  }
+
   test("exactGroups collapses identical texts to one representative") {
     val out = Dedup.exactGroups(docs, "doc_id", "text")
       .orderBy("keep_id").collect()
