@@ -79,6 +79,34 @@ object TextQueries {
         .toDF("doc_id", "n_tokens", "n_chunks")
     },
 
+    // Text→graph bridge: vocabulary-capped term co-occurrence edges
+    // ranked by exact integer PMI-lift (ppm) — the statistical analog
+    // of the reference's entity-link graph build, feeding the same
+    // graph/community family. Pair blowup bounded by the vocab cap;
+    // decimal-exact arithmetic keeps ranks/hashes engine-identical.
+    Q("q137_cooccurrence_pmi",
+      """WITH present AS (
+        |  SELECT DISTINCT doc_id, t AS term
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        |        FROM documents)),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM present GROUP BY term),
+        |vocab AS (SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 150),
+        |iv AS (SELECT p.doc_id, p.term, v.df FROM present p JOIN vocab v USING (term)),
+        |pairs AS (
+        |  SELECT a.term AS x, b.term AS y, COUNT(*) AS n_xy,
+        |         MIN(a.df) AS df_x, MIN(b.df) AS df_y
+        |  FROM iv a JOIN iv b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY a.term, b.term HAVING COUNT(*) >= 2),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT x, y, n_xy, df_x, df_y,
+        |       CAST((CAST(n_xy AS HUGEINT) * n_docs * 1000000)
+        |            // (CAST(df_x AS HUGEINT) * df_y) AS BIGINT) AS lift_ppm
+        |FROM pairs, n
+        |ORDER BY lift_ppm DESC, x, y LIMIT 100""".stripMargin) { (s, dir) =>
+      TextStats.cooccurrencePmi(Tables(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 150, minPairCount = 2, topK = 100)
+    },
+
     // T2 section parser generator. The synthetic corpus has no `== x ==`
     // headers, so the oracle covers the degenerate single-"Introduction"
     // path; header/stop/min-length logic is covered by SectionsSpec.

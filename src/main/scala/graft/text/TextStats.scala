@@ -17,6 +17,53 @@ object TextStats {
   private def tokens(textCol: String) =
     expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")
 
+  /** Term co-occurrence graph with exact integer PMI-lift — the
+    * text→graph bridge of a GraphRAG build (the reference derives its
+    * graph from entity links; co-occurrence is the statistical analog
+    * over raw text, feeding the same graph/community family).
+    *
+    * An edge (x, y) for vocabulary terms present together in a document;
+    * strength ranked by pointwise-mutual-information lift
+    * PMI = ln(lift), lift = P(x,y)/(P(x)P(y)) = n_xy·N/(df_x·df_y) —
+    * emitted as the EXACT integer `lift_ppm = (n_xy·N·1e6) div
+    * (df_x·df_y)` so cross-engine float/log drift can't perturb ranks
+    * or hashes (take ln downstream if the nat-log form is wanted).
+    *
+    * Scale shape: pair blowup is bounded by the vocabulary cap — the
+    * per-doc self-join runs over ≤V vocab terms per doc (≤V²/2 pairs/
+    * doc), NEVER over the raw token stream; the V-row vocabulary is a
+    * broadcast; everything else is explode + hash aggs + one equi-join
+    * on doc id. minPairCount prunes the long noise tail before the df
+    * joins. */
+  def cooccurrencePmi(
+      docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int, minPairCount: Int = 2, topK: Int = 100): DataFrame = {
+    val present = docs
+      .select(col(idCol), explode(array_distinct(tokens(textCol))).as("term"))
+    val dfreq = present.groupBy("term").agg(count(lit(1)).as("df"))
+    val vocab = dfreq.orderBy(col("df").desc, col("term").asc).limit(vocabSize)
+    val inVocab = present.join(broadcast(vocab), "term")
+      .select(col(idCol), col("term"), col("df"))
+    val pairs = inVocab.as("a")
+      .join(inVocab.as("b"),
+        col(s"a.$idCol") === col(s"b.$idCol") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("x"), col("b.term").as("y"))
+      .agg(count(lit(1)).as("n_xy"),
+        min(col("a.df")).as("df_x"), min(col("b.df")).as("df_y"))
+      .filter(col("n_xy") >= minPairCount)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // decimal(38,0) intermediates: n_xy·N·1e6 overflows Long at ~3e6
+    // docs; the 38-digit integral divide stays exact at any corpus size
+    // and lands back in BIGINT (the quotient is bounded by N·1e6)
+    pairs.crossJoin(broadcast(n))
+      .select(col("x"), col("y"), col("n_xy"), col("df_x"), col("df_y"),
+        expr("""CAST((CAST(n_xy AS DECIMAL(38,0)) * n_docs * 1000000)
+                 div (CAST(df_x AS DECIMAL(38,0)) * df_y) AS BIGINT)""")
+          .as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("x").asc, col("y").asc)
+      .limit(topK)
+  }
+
   /** Top-k TF-IDF terms per document: tf(d,t) · ln(N / df(t)), ties broken
     * by term. Only the 1-row N scalar is hint-broadcast; the df table is
     * vocabulary-sized and grows with the corpus (Heaps' law), so its join

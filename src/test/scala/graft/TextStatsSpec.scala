@@ -44,6 +44,32 @@ class TextStatsSpec extends SparkSpec {
     assert(sig._1 == 66L && sig._2 == 1.0 && sig._3 >= 2L)
   }
 
+  test("cooccurrencePmi: hand-computed lift, pair direction, vocab cap, determinism") {
+    // 4 docs; (rock, band) together in 2 of 4; (rock, jazz) never.
+    // "filler" pads df so every term lands in the vocab cap.
+    val docs = Seq(
+      (1L, "rock band plays"),
+      (2L, "rock band tours"),
+      (3L, "jazz trio plays"),
+      (4L, "jazz solo tours")).toDF("doc_id", "text")
+    val out = TextStats.cooccurrencePmi(docs, "doc_id", "text",
+      vocabSize = 20, minPairCount = 2, topK = 50).collect()
+    val byPair = out.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // (band, rock): n_xy=2, df both 2, N=4 → lift = 2·4/(2·2) = 2.0 → 2_000_000 ppm
+    assert(byPair(("band", "rock")) == (2L, 2L, 2L, 2000000L))
+    // pairs are canonical (x < y): no (rock, band) row
+    assert(!byPair.contains(("rock", "band")))
+    // (jazz, rock) never co-occur → absent
+    assert(!byPair.contains(("jazz", "rock")))
+    // minPairCount=2 prunes single co-occurrences like (plays, rock)
+    assert(!byPair.contains(("plays", "rock")))
+    // deterministic
+    val again = TextStats.cooccurrencePmi(docs, "doc_id", "text",
+      vocabSize = 20, minPairCount = 2, topK = 50).collect()
+    assert(out.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("tfidfTopK: corpus-unique terms outrank corpus-common ones") {
     val top = TextStats.tfidfTopK(docs, "doc_id", "text", k = 2)
       .as[(Long, String, Double)].collect()
