@@ -639,4 +639,73 @@ class AlgoRandomSpec extends SparkSpec {
       }
     }
   }
+
+  test("duplicateSpans equals brute force over random low-alphabet corpora") {
+    // Low alphabet + shared phrase injection force genuine cross-doc
+    // window collisions; brute force recomputes windows, the ≥2-doc
+    // criterion, and interval merging independently of Spark.
+    val winLen = 20
+    val stride = 10
+    for (seed <- Seq(5, 23, 91)) {
+      val rnd = new scala.util.Random(seed)
+      def blob(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(3)).toChar).mkString
+      val phrase = blob(35)
+      val docs = (1L to 8L).map { id =>
+        val own = blob(30 + rnd.nextInt(60))
+        // ~half the docs embed the shared phrase at a random offset
+        val t = if (rnd.nextBoolean()) {
+          val cut = rnd.nextInt(own.length)
+          own.take(cut) + phrase + own.drop(cut)
+        } else own
+        (id, t)
+      }
+      val got = graft.dedup.Dedup
+        .duplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", winLen, stride)
+        .as[(Long, Int, Int)].collect().toSet
+      // brute force
+      val wins = docs.flatMap { case (id, t) =>
+        if (t.length < winLen) Seq.empty
+        else (0 to t.length - winLen by stride).map(p => (id, p, t.substring(p, p + winLen)))
+      }
+      val dupWins = wins.groupBy(_._3)
+        .filter { case (_, g) => g.map(_._1).distinct.size >= 2 }
+        .values.flatten.toSeq
+      val want = dupWins.groupBy(_._1).toSeq.flatMap { case (id, g) =>
+        val ivs = g.map(w => (w._2, w._2 + winLen)).sorted
+        val merged = ivs.foldLeft(Vector.empty[(Int, Int)]) { case (acc, (s, e)) =>
+          if (acc.nonEmpty && s <= acc.last._2) acc.init :+ (acc.last._1, math.max(acc.last._2, e))
+          else acc :+ (s, e)
+        }
+        merged.map { case (s, e) => (id, s, e) }
+      }.toSet
+      assert(got == want, s"duplicateSpans mismatch at seed $seed")
+    }
+  }
+
+  test("cooccurrencePmi equals brute force over random tiny corpora") {
+    for (seed <- Seq(7, 41, 63)) {
+      val rnd = new scala.util.Random(seed)
+      val vocabAll = Seq("rock", "jazz", "band", "tour", "solo", "trio", "live", "album")
+      val docs = (1L to 12L).map { id =>
+        val n = 2 + rnd.nextInt(5)
+        (id, Seq.fill(n)(vocabAll(rnd.nextInt(vocabAll.length))).mkString(" "))
+      }
+      val got = graft.text.TextStats
+        .cooccurrencePmi(docs.toDF("doc_id", "text"), "doc_id", "text",
+          vocabSize = 8, minPairCount = 1, topK = 1000)
+        .as[(String, String, Long, Long, Long, Long)].collect().toSet
+      // brute force over distinct per-doc term presence
+      val present = docs.map { case (id, t) => id -> t.split(" ").toSet }
+      val df = present.flatMap(_._2).groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+      val nDocs = docs.size.toLong
+      val terms = df.keys.toSeq.sorted
+      val want = (for {
+        x <- terms; y <- terms if x < y
+        nxy = present.count { case (_, s) => s(x) && s(y) }.toLong
+        if nxy >= 1
+      } yield (x, y, nxy, df(x), df(y),
+        nxy * nDocs * 1000000L / (df(x) * df(y)))).toSet
+      assert(got == want, s"cooccurrencePmi mismatch at seed $seed")
+    }
+  }
 }
