@@ -241,7 +241,8 @@ object GraphOps {
     * RDD-idiomatic form). Convergence-checked at block boundaries (see
     * SuperstepBlock), `maxIter` bounds pathological chains. */
   def ccEdges(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 20,
-      broadcastState: Option[Boolean] = None): DataFrame = {
+      broadcastState: Option[Boolean] = None,
+      numPartitions: Option[Int] = None): DataFrame = {
     val bc = resolveBroadcastState(broadcastState, edges)
     val pre0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val ownPre = !callerCached(edges)
@@ -256,10 +257,11 @@ object GraphOps {
     // src-partitioned (the superstep aggregation key) + broadcast labels
     // per superstep — exchange-free over the edges after one setup
     // shuffle (the lpaEdges discipline)
-    val und = und0
+    val undBase = und0
       .union(und0.select(col("src")).distinct()
         .select(col("src"), col("src").as("dst")))
-      .repartition(col("src"))
+    val und = numPartitions.fold(undBase.repartition(col("src")))(
+        n => undBase.repartition(n, col("src")))
       .persist()
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -301,6 +303,59 @@ object GraphOps {
     und.unpersist(blocking = false)
     if (ownPre) pre.unpersist(blocking = false)
     labels.withColumnRenamed("label", "component")
+  }
+
+  /** Incremental connected components: fold a NEW edge batch into an
+    * existing min-vertex-id labeling WITHOUT re-running CC over the full
+    * graph — the maintenance operation a 100 TB graph needs when a
+    * day's edges arrive (full CC recomputation is corpus-sized; this is
+    * batch-sized). Standard contraction argument: map the batch's
+    * endpoints through their current labels (unlabeled vertices stand
+    * for themselves), run CC on the resulting COMPONENT graph — batch-
+    * bounded, ≪ the full graph — and relabel. Because the input labels
+    * are min-vertex-ids, the merged label (min over merged components'
+    * labels) is exactly the min vertex id of the union component, so
+    * the result is bit-identical to full CC over old ∪ new (the q138
+    * oracle states precisely that).
+    *
+    * Cost: two label joins over the batch + the contracted-graph CC
+    * loop + one vertex-sized relabel join; never touches old edges. */
+  def incrementalCC(
+      labels: DataFrame, newEdges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val l = labels.select(col("id"), col("component"))
+    val e = newEdges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val mapped = e
+      .join(l.select(col("id").as("src"), col("component").as("cs")), Seq("src"), "left")
+      .join(l.select(col("id").as("dst"), col("component").as("cd")), Seq("dst"), "left")
+      .select(coalesce(col("cs"), col("src")).as("src"),
+        coalesce(col("cd"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint() // ccEdges + the relabel join both branch on it
+    // the contracted graph is batch-bounded and usually TINY relative to
+    // the labeling — GraphX's in-process Pregel beats the Catalyst
+    // ccEdges loop there (chained-block planning overhead dominates on
+    // small graphs; same measurement as communityLevels L2), with
+    // parallelism sized to the data (the count is ~free on the
+    // checkpointed frame). ccEdges(mapped, ...) remains the swap-in when
+    // a batch is itself corpus-sized.
+    val spark = labels.sparkSession
+    val mRows = mapped.count()
+    val mParts = math.min(
+      spark.sessionState.conf.numShufflePartitions,
+      (mRows / 100000L + 1).toInt)
+    val merged = connectedComponentsDF(spark,
+        fromEdges(spark, mapped.coalesce(mParts), "src", "dst"))
+      .select(col("id").as("component"), col("component").as("newc"))
+    // batch vertices the old labeling has never seen enter as self-labels
+    val newVerts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .join(l.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    l.unionByName(newVerts)
+      .join(merged, Seq("component"), "left")
+      .select(col("id"), coalesce(col("newc"), col("component")).as("component"))
   }
 
   /** Multi-resolution community ladder — the engine's analog of the

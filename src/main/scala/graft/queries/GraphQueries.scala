@@ -274,6 +274,46 @@ object GraphQueries {
         .select(col("c_custkey"), col("comp_label").as("component"))
     },
 
+    // Incremental CC: the orderkey PATH graph (edge o—o+1 when both
+    // keys exist and o%3≠0) splits into a base graph (o%5≠0) whose CC
+    // labels are maintained, and a batch (o%5=0) folded in via
+    // incrementalCC — batch edges genuinely MERGE old components. The
+    // oracle is full CC over old ∪ new stated in closed form: path-graph
+    // components are gaps-and-islands, component = last run start ≤ v.
+    // Equality proves incremental ≡ full recomputation.
+    Q("q138_incremental_cc",
+      """WITH ok AS (SELECT DISTINCT o_orderkey AS o FROM orders),
+        |e AS (SELECT a.o AS src, b.o AS dst
+        |      FROM ok a JOIN ok b ON b.o = a.o + 1 WHERE a.o % 3 <> 0),
+        |v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+        |s AS (SELECT v.id,
+        |        CASE WHEN NOT EXISTS (SELECT 1 FROM e WHERE e.dst = v.id)
+        |             THEN v.id END AS st
+        |      FROM v)
+        |SELECT id, MAX(st) OVER (ORDER BY id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS component
+        |FROM s""".stripMargin) { (s, dir) =>
+      val ok = Tables(s, dir, "orders").select(col("o_orderkey").as("o")).distinct()
+      val e = ok.as("a").join(ok.as("b"), col("b.o") === col("a.o") + 1)
+        .filter(col("a.o") % 3 =!= 0)
+        .select(col("a.o").as("src"), col("b.o").as("dst"))
+        .persist()
+      // materialize once and size the CC supersteps to the edge count
+      // (~100k/partition) — the path graph's components are tiny, so
+      // near-empty default-partition tasks would dominate the loop
+      val parts = math.min(s.sessionState.conf.numShufflePartitions,
+        (e.count() / 100000L + 1).toInt)
+      val old = e.filter(col("src") % 5 =!= 0)
+      val batch = e.filter(col("src") % 5 === 0)
+      // GraphX Pregel for the base labeling: the path graph's components
+      // are tiny (≤4 vertices), where the Catalyst loop's chained-block
+      // planning overhead dominates — same choice as communityLevels L2;
+      // ccEdges is the swap-in for big-component graphs
+      val base = GraphOps.connectedComponentsDF(s,
+        GraphOps.fromEdges(s, old.coalesce(parts), "src", "dst"))
+      GraphOps.incrementalCC(base, batch, "src", "dst")
+    },
+
     // WEIGHTED PageRank: edges weighted by lineitem co-occurrence count
     // (the GraphRAG relationship-strength signal — how often a part and
     // a supplier actually transact, not just whether they ever did).

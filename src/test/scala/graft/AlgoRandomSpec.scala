@@ -640,6 +640,29 @@ class AlgoRandomSpec extends SparkSpec {
     }
   }
 
+  test("incrementalCC equals full CC over random graphs and random batch splits") {
+    // The contraction argument must survive arbitrary merges, chains of
+    // merges through one batch, and batch-only vertices.
+    for (seed <- Seq(11, 29, 83)) {
+      val rnd = new scala.util.Random(seed)
+      val nV = 40
+      val edges = (1 to 70).map { _ =>
+        (rnd.nextInt(nV).toLong + 1L, rnd.nextInt(nV).toLong + 1L)
+      }.filter { case (a, b) => a != b }.distinct
+      val (old, batch) = edges.partition(_ => rnd.nextBoolean())
+      if (old.nonEmpty && batch.nonEmpty) {
+        val oldDf = old.toDF("src", "dst")
+        val batchDf = batch.toDF("src", "dst")
+        val base = GraphOps.ccEdges(oldDf, "src", "dst", maxIter = 40)
+        val inc = GraphOps.incrementalCC(base, batchDf, "src", "dst")
+          .as[(Long, Long)].collect().toMap
+        val full = GraphOps.ccEdges(edges.toDF("src", "dst"), "src", "dst", maxIter = 40)
+          .as[(Long, Long)].collect().toMap
+        assert(inc == full, s"incrementalCC mismatch at seed $seed")
+      }
+    }
+  }
+
   test("duplicateSpans equals brute force over random low-alphabet corpora") {
     // Low alphabet + shared phrase injection force genuine cross-doc
     // window collisions; brute force recomputes windows, the ≥2-doc
