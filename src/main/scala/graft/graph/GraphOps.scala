@@ -1054,7 +1054,7 @@ object GraphOps {
           col("src").as("id"), col("src").as("label"))).reduce(_ unionByName _)
       else {
         val lpa = lpaSupersteps(und, lpaIters, bc)
-        val lpaCp = lpa.localCheckpoint()
+        val lpaCp = lpa.localCheckpoint(eager = false) // materialized by the asg0/wd2 probe
         lpa.unpersist(blocking = false)
         val refined = refineCore(und, deg, m2, bc, lpaCp, "id", "label",
           rounds, gammaPcts)
@@ -1091,10 +1091,13 @@ object GraphOps {
     // per-round plan STRINGS grow geometrically (the HITS 8 GB-driver
     // lesson; persisted-only, round 6 measured a 2.5 MB truncated plan
     // at just rounds = 2).
+    // LAZY checkpoints here: the wd2/qNum probe job that follows each
+    // frame anyway is its materializer, so lineage truncation costs no
+    // extra job (eager would add one full pass per round per γ)
     val asg0 = assignment
       .select(col(idCol).as("id"), col(labelCol).as("c"))
       .join(deg.select("id"), "id") // edge-incident vertices only
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // Per-assignment frames (k_{v→c} and D_c) serve DOUBLE duty: they
     // drive the move scores of the round AND yield that assignment's own
     // Q_num without touching the edge list again (W = Σ_v k_{v→c_v},
@@ -1157,7 +1160,7 @@ object GraphOps {
           .groupBy("id")
           .agg(max(struct(col("score"), (-col("c")).as("nc"))).as("best"))
           .select(col("id"), (-col("best.nc")).as("c"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false) // materialized by the wd2 probe
         val (dC2, k2) = frames(moved)
         val (w2, d22) = wd2Of(moved, dC2, k2)
         val qNew = gq * m2 * w2 - gp * d22
