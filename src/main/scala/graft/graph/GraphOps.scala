@@ -332,7 +332,9 @@ object GraphOps {
         coalesce(col("cd"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint() // ccEdges + the relabel join both branch on it
+      // lazy: the sizing count below materializes it; CC + the relabel
+      // join then branch on the truncated lineage
+      .localCheckpoint(eager = false)
     // the contracted graph is batch-bounded and usually TINY relative to
     // the labeling — GraphX's in-process Pregel beats the Catalyst
     // ccEdges loop there (chained-block planning overhead dominates on
