@@ -820,13 +820,19 @@ object GraphOps {
           bc), "dst")
         .groupBy(col("src").as("id")).agg(sum(col("a")).as("raw")).persist()
       val hTot = hubRaw.agg(sum("raw")).head().getLong(0)
+      // lazy: nothing scans `hub` until the next iteration's auth join
+      // (or the final union) — that job doubles as the checkpoint
+      // materializer, saving one dedicated pass per iteration; the
+      // LogicalRDD leaf truncates the plan string either way
       hub = hubRaw
         .select(col("id"), expr(s"(raw * ${scale}L) div ${hTot}L").as("h"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
+      // authRaw is safe to drop now (the hTot probe materialized `auth`
+      // through it); hubRaw must OUTLIVE hub's lazy materialization in
+      // the next iteration's join — defer it to the end-of-loop release
       authRaw.unpersist(blocking = false)
-      hubRaw.unpersist(blocking = false)
       cpRelease = hub :: cpRelease
-      pRelease = auth :: pRelease
+      pRelease = auth :: hubRaw :: pRelease
     }
     val out = hub.select(col("id"), col("h").as("hub"), lit(null).cast("long").as("auth"))
       .unionByName(auth.select(col("id"), lit(null).cast("long").as("hub"),
