@@ -183,6 +183,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming graph maintenance: incrementalCC folded per micro-batch equals batch CC") {
+    // The maintenance story end-to-end: edge micro-batches arrive on a
+    // stream; each foreachBatch folds the batch into the running CC
+    // labeling via incrementalCC (batch-bounded work). The final state
+    // must be bit-identical to one full CC over every edge ever seen —
+    // across merges that SPAN batches (1-2 and 3-4 merge only when 2-3
+    // arrives in a later batch).
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    var labels = spark.emptyDataFrame
+    val q = mem.toDS().toDF("src", "dst")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.persist()
+        labels =
+          if (labels.isEmpty) graft.graph.GraphOps.ccEdges(b, "src", "dst")
+          else graft.graph.GraphOps.incrementalCC(labels, b, "src", "dst")
+        // pin the state: the next fold scans it after this batch's
+        // caches are gone
+        labels = labels.localCheckpoint()
+        b.unpersist()
+        ()
+      }
+      .start()
+    val all = Seq(
+      Seq((1L, 2L), (3L, 4L), (10L, 11L)),
+      Seq((2L, 3L), (20L, 21L)), // merges {1,2} with {3,4}
+      Seq((11L, 20L), (30L, 31L))) // merges {10,11} with {20,21}
+    try {
+      for (batch <- all) { mem.addData(batch: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = labels.as[(Long, Long)].collect().toMap
+    val full = graft.graph.GraphOps.ccEdges(
+      all.flatten.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == full)
+    assert(streamed(4L) == 1L && streamed(21L) == 10L && streamed(31L) == 30L)
+  }
+
   test("streaming near-dup detection: minhash bands accumulate across batches") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_lsh").toString
