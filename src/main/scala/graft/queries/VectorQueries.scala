@@ -58,6 +58,36 @@ object VectorQueries {
         .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos_sim"))
     },
 
+    // Contrastive-training triple mining: for each of the 4 smallest
+    // vec_ids as anchors, the top-3 by cosine are positives and the
+    // next 7 are HARD negatives (highest-similarity non-positives — the
+    // examples contrastive training learns most from). Raw-cosine rank
+    // order is bit-deterministic cross-engine (the q36/q37 convention);
+    // cos_sim rounded only for display.
+    Q("q139_hard_negatives",
+      s"""$normCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n ORDER BY vec_id LIMIT 4),
+         |sc AS (
+         |  SELECT q.q_id, a.vec_id,
+         |    list_reduce(list_transform(generate_series(1, 64), k -> a.v[k] * q.qv[k]),
+         |      (x, y) -> x + y) / (a.nrm * q.qn) AS cos_raw
+         |  FROM n a CROSS JOIN q WHERE a.vec_id <> q.q_id),
+         |r AS (
+         |  SELECT q_id, vec_id, cos_raw,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id)
+         |         AS BIGINT) AS rank
+         |  FROM sc)
+         |SELECT q_id, vec_id, rank,
+         |  CASE WHEN rank <= 3 THEN 'positive' ELSE 'hard_negative' END AS role,
+         |  ROUND(cos_raw, 6) AS cos_sim
+         |FROM r WHERE rank <= 10""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, "vec_id", "embedding",
+          anchors = emb.orderBy("vec_id").limit(4), nPos = 3, nNeg = 7)
+        .select(col("q_id"), col("vec_id"), col("rank"), col("role"),
+          round(col("cos_raw"), 6).as("cos_sim"))
+    },
+
     // Brute-force cosine top-10 for the anchor query vector (min vec_id) —
     // the exact-kNN baseline (V2; ChromaDB collection.query n_results=k).
     Q("q37_knn_brute",

@@ -64,6 +64,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** Contrastive-training triple mining: for each anchor, rank the rest
+    * of the corpus by cosine — ranks ≤ nPos are the POSITIVES, the next
+    * nNeg are the HARD NEGATIVES (the highest-similarity non-positives,
+    * the examples that carry the most gradient signal in contrastive /
+    * triplet training; random negatives are trivially separable). One
+    * output row per (anchor, candidate) with rank and role.
+    *
+    * Scale: the anchor set broadcasts (small by design — training pairs
+    * are mined per anchor batch); the corpus scans once, shuffles once
+    * on q_id for the per-anchor rank window. For corpus-sized anchor
+    * sets, pre-bucket with the LSH/IVF candidate paths instead of the
+    * exact scan. */
+  def hardNegatives(
+      emb: DataFrame, idCol: String, vecCol: String,
+      anchors: DataFrame, nPos: Int, nNeg: Int): DataFrame = {
+    val corpus = emb.select(col(idCol), vecD(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = broadcast(anchors.select(
+      col(idCol).as("q_id"), vecD(col(vecCol)).as("qv"))
+      .withColumn("q_nrm", norm(col("qv"))))
+    val scored = corpus.crossJoin(q)
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol),
+        cosine(col("v"), col("qv"), col("nrm"), col("q_nrm")).as("cos_raw"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_raw").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= nPos + nNeg)
+      .select(col("q_id"), col(idCol), col("rank"),
+        when(col("rank") <= nPos, "positive").otherwise("hard_negative").as("role"),
+        col("cos_raw"))
+  }
+
   /** Nearest neighbor per vector within a blocking column (embedding-based
     * near-dup detection: block → pairwise cosine → best match; callers
     * threshold the score). The block join is an equi-join, never a global

@@ -75,7 +75,8 @@ class PlanSpec extends SparkSpec {
       "q129_rrf_hybrid",  // inherits q37's query-vector + q93's stats BNLJs
       "q131_matryoshka_recall", // broadcast query vector per prefix length
       "q133_skew_report", // broadcast 1-row totals + 1-row top-keys string
-      "q137_cooccurrence_pmi") // broadcast 1-row N(docs) scalar
+      "q137_cooccurrence_pmi", // broadcast 1-row N(docs) scalar
+      "q139_hard_negatives") // broadcast 4-row anchor set
     // Known blind spot: the iterative queries (q42/q60/q80/q81) run
     // their superstep jobs eagerly inside fn, so only their FINAL frame
     // is inspected here; the supersteps' own plan shapes are covered by

@@ -21,6 +21,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 4L, 2L)) // cos: .994, .970, 0 (then -1 excluded by k)
   }
 
+  test("hardNegatives: rank split into positives and hard negatives, per anchor") {
+    val anchors = vecs.filter(col("vec_id") <= 1)
+    val out = Similarity.hardNegatives(vecs, "vec_id", "embedding",
+        anchors, nPos = 1, nNeg = 2)
+      .select("q_id", "vec_id", "rank", "role")
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3)).toMap
+    // anchor 0: cos ranks 1(.994) > 4(.970) > 2(0) > 3(-1)
+    assert(out(0L).map(r => (r._2, r._4)).toSeq ==
+      Seq((1L, "positive"), (4L, "hard_negative"), (2L, "hard_negative")))
+    // anchor 1: 0(.9939) > 4(.9909) > 2(.1104) > 3
+    assert(out(1L).map(r => (r._2, r._4)).toSeq ==
+      Seq((0L, "positive"), (4L, "hard_negative"), (2L, "hard_negative")))
+    // anchors never appear as their own candidate
+    assert(out.forall { case (q, rows) => rows.forall(_._2 != q) })
+  }
+
   test("nearestInBlock finds best match within label only") {
     val out = Similarity.nearestInBlock(vecs, "vec_id", "embedding", "label")
       .select("id_a", "id_b").as[(Long, Long)].collect().toMap
