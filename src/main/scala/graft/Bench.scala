@@ -74,7 +74,19 @@ object Bench {
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k.split("_")(0) + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    // Provenance: the artifact should be reproducible from the repo — record
+    // the commit SHA and wall timestamp it was measured at (round-7 verdict
+    // item 4). Short fields; the line must stay inside the driver's 2000-char
+    // log tail (see above).
+    val sha = try {
+      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+        .directory(new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")))
+        .start()
+      val out = new String(p.getInputStream.readAllBytes()).trim
+      if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
+    } catch { case _: Throwable => "unknown" }
+    val ts = java.time.Instant.now().toString.takeWhile(_ != '.') + "Z"
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","git":"$sha","at":"$ts"}""")
     spark.stop()
   }
 }

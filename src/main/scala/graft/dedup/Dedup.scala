@@ -432,13 +432,25 @@ object Dedup {
     *   1. slide winLen-char windows at `stride` over every doc
     *      (`sequence` + `explode` + `substring`);
     *   2. a window is DUPLICATED when its exact text occurs in ≥2
-    *      distinct docs — one groupBy on the window text (at corpus
-    *      scale, group on xxhash64(window) first and verify the handful
-    *      of colliding groups exactly; the text-keyed form keeps the
-    *      DuckDB oracle byte-exact at test scale);
+    *      distinct docs — detected on xxhash64(window), never the raw
+    *      50-char string: the shuffle carries an 8-byte key instead of
+    *      ~2× the corpus in window bytes (~6× fewer shuffle bytes
+    *      measured at sf0.1), and a 64-bit collision turning a unique
+    *      window into a "duplicate" is negligible for a dedup signal
+    *      (~n²/2⁶⁵ expected false pairs). "≥2 distinct docs" is
+    *      min(doc)≠max(doc) per hash — partial min/max collapse map-side,
+    *      so corpus-scale hot boilerplate windows never concentrate in
+    *      one reducer the way a countDistinct or window-function pass
+    *      would;
     *   3. merge each doc's overlapping duplicated windows into maximal
     *      spans (running-max window + island numbering — per-doc
     *      partitions, no global sort).
+    *
+    * The (id, pos, hash) window frame is persisted so the corpus is
+    * exploded+substringed ONCE (detection and marking both read the
+    * cache; 24-byte rows, far smaller than the corpus); the result is
+    * materialized and the cache released before returning, per the
+    * library's materialize-and-release discipline.
     *
     * Cost: |corpus|/stride window rows through two hash shuffles —
     * linear, never pairwise. Returns one row per maximal duplicated span
@@ -453,15 +465,16 @@ object Dedup {
         explode(sequence(lit(0), length(col("t")) - winLen, lit(stride))).as("pos"),
         col("t"))
       .select(col(idCol), col("pos"),
-        expr(s"substring(t, pos + 1, $winLen)").as("win"))
-    val dup = wins.groupBy("win")
-      .agg(countDistinct(col(idCol)).as("nd"))
-      .filter(col("nd") >= 2)
-      .select("win")
-    val marked = wins.join(dup, "win")
+        xxhash64(expr(s"substring(t, pos + 1, $winLen)")).as("h"))
+      .persist()
+    val dup = wins.groupBy("h")
+      .agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("h")
+    val marked = wins.join(dup, "h")
       .select(col(idCol), col("pos").as("s"), (col("pos") + winLen).as("e"))
     val byDoc = Window.partitionBy(idCol).orderBy("s")
-    marked
+    val out = marked
       .withColumn("me", max(col("e")).over(
         byDoc.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("isl", sum(
@@ -469,5 +482,9 @@ object Dedup {
       .groupBy(col(idCol), col("isl"))
       .agg(min("s").as("span_start"), max("e").as("span_end"))
       .drop("isl")
+      .persist()
+    out.count()
+    wins.unpersist(blocking = false)
+    out
   }
 }

@@ -1012,6 +1012,11 @@ object GraphOps {
       assignment: DataFrame, idCol: String, labelCol: String,
       rounds: Int, gammaPcts: Seq[Long],
       broadcastState: Option[Boolean] = None): DataFrame = {
+    // Hoisted from refineCore: the m2==0 branch below reduces over gammaPcts
+    // before refineCore's own require would run — an empty ladder on an empty
+    // graph must still throw the intended IllegalArgumentException.
+    require(gammaPcts.nonEmpty && gammaPcts.forall(_ >= 1),
+      s"louvainRefine needs gammaPct >= 1, got $gammaPcts")
     val bc = resolveBroadcastState(broadcastState, edges)
     val pre0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val ownPre = !callerCached(edges)
@@ -1046,6 +1051,10 @@ object GraphOps {
       edges: DataFrame, srcCol: String, dstCol: String,
       lpaIters: Int, rounds: Int, gammaPcts: Seq[Long],
       broadcastState: Option[Boolean] = None): DataFrame = {
+    // Hoisted from refineCore (see louvainRefineMulti): empty ladder must
+    // throw IllegalArgumentException even when the graph is empty.
+    require(gammaPcts.nonEmpty && gammaPcts.forall(_ >= 1),
+      s"louvainRefine needs gammaPct >= 1, got $gammaPcts")
     val bc = resolveBroadcastState(broadcastState, edges)
     val pre0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val ownPre = !callerCached(edges)
@@ -1063,9 +1072,12 @@ object GraphOps {
       else {
         val lpa = lpaSupersteps(und, lpaIters, bc)
         val lpaCp = lpa.localCheckpoint(eager = false) // materialized by the asg0/wd2 probe
-        lpa.unpersist(blocking = false)
         val refined = refineCore(und, deg, m2, bc, lpaCp, "id", "label",
           rounds, gammaPcts)
+        // unpersist AFTER refineCore: the lazy checkpoint only materializes
+        // at its first action inside refineCore — dropping lpa's cache
+        // blocks before that would recompute the whole LPA superstep chain.
+        lpa.unpersist(blocking = false)
         releaseLocalCheckpoint(lpaCp) // refined is persisted+counted
         refined
       }

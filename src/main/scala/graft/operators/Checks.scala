@@ -64,6 +64,8 @@ object Checks {
       .persist()
     // count-of-counts: (cnt, #keys with that cnt), cumulated in cnt order
     val hist = counts.groupBy("cnt").agg(count(lit(1)).as("nk"))
+    // unpartitioned window is BOUNDED: domain is the count-of-counts
+    // histogram (#distinct group sizes, ≪ #keys), never row-scale data
     val cum = hist.withColumn("cum",
       sum(col("nk")).over(Window.orderBy(col("cnt"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

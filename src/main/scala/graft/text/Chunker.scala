@@ -100,19 +100,29 @@ object Chunker {
     * ([A-Za-z0-9]+ | [^A-Za-z0-9\s]) in both Spark and DuckDB, so the
     * per-document counts are oracle-checkable cross-engine (q135).
     * Invariant used by the cascade fallback: tokens(s) <= s.length. */
+  // ASCII predicates, NOT Character.isLetterOrDigit/isWhitespace: the
+  // contract above is the ASCII regex [A-Za-z0-9]+|[^A-Za-z0-9\s], and the
+  // q135 DuckDB oracle replays exactly that regex — Unicode-aware classes
+  // would tokenize e.g. 'café' differently in the engine vs the oracle.
+  @inline private def asciiAlnum(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+  // Java regex \s = [ \t\n\x0B\f\r]
+  @inline private def asciiSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   def proxyTokenLen(s: String): Int = {
     var i = 0
     var toks = 0
     val n = s.length
     while (i < n) {
       val c = s.charAt(i)
-      if (Character.isLetterOrDigit(c)) {
+      if (asciiAlnum(c)) {
         var j = i + 1
-        while (j < n && Character.isLetterOrDigit(s.charAt(j))) j += 1
+        while (j < n && asciiAlnum(s.charAt(j))) j += 1
         toks += (j - i + 5) / 6
         i = j
       } else {
-        if (!Character.isWhitespace(c)) toks += 1
+        if (!asciiSpace(c)) toks += 1
         i += 1
       }
     }

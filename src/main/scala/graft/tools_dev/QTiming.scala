@@ -17,6 +17,13 @@ object QTiming {
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // cumulative shuffle-write across all stages — per-run delta printed
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleWrite.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
     val fn = graft.SparkEntry.queries(qname)
     def clear(): Unit = {
       spark.sharedState.cacheManager.clearCache()
@@ -26,9 +33,14 @@ object QTiming {
     try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
     clear()
     for (i <- 1 to n) {
+      val sw0 = shuffleWrite.get()
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
-      println(f"RUN$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val secs = (System.nanoTime() - t0) / 1e9
+      // listener events are async — give the bus a beat before reading
+      Thread.sleep(500)
+      val swMb = (shuffleWrite.get() - sw0) / 1048576.0
+      println(f"RUN$i $secs%.2f s  shuffleWrite=$swMb%.1f MiB")
       clear()
     }
     spark.stop()

@@ -301,6 +301,8 @@ object Similarity {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
     import org.apache.spark.sql.expressions.Window
     val ranked = rankings.zipWithIndex.map { case (df, i) =>
+      // unpartitioned window is BOUNDED by contract: each input is a top-K
+      // retriever output (≤k rows), never raw corpus — not a scale bug
       val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
       df.select(col(idCol), col(scoreCol))
         .withColumn("r", row_number().over(w).cast("long"))
