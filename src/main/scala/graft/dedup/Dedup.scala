@@ -352,11 +352,29 @@ object Dedup {
   def incrementalNearDup(
       newDocs: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      jaccNum: Int = 1, jaccDen: Int = 2): DataFrame = {
+      jaccNum: Int = 1, jaccDen: Int = 2): DataFrame =
+    incrementalNearDupWithIndex(newDocs,
+      minhashBands(corpus, idCol, textCol, shingleN, numHashes, bands)
+        .select(col(idCol).as("old_id"), col("band"), col("band_key")),
+      corpus, idCol, textCol, shingleN, jaccNum, jaccDen)
+
+  /** [[incrementalNearDup]] against a MAINTAINED corpus band index —
+    * the 100 TB shape: the corpus side of the band join is a table of
+    * (old_id, band, band_key) written ONCE (ideally `bucketBy` on
+    * band_key, so the scan's bucket layout satisfies the join's
+    * distribution and the index side joins with ZERO exchange per
+    * batch; only the batch's bands shuffle). The caller guarantees the
+    * index was built with the same shingleN/numHashes/bands as the
+    * batch side — band keys are md5 over the band's minhash slice, so
+    * mismatched parameters silently produce no candidates. */
+  def incrementalNearDupWithIndex(
+      newDocs: DataFrame, corpusBands: DataFrame,
+      corpus: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, jaccNum: Int = 1, jaccDen: Int = 2,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val nb = minhashBands(newDocs, idCol, textCol, shingleN, numHashes, bands)
       .select(col(idCol).as("new_id"), col("band"), col("band_key"))
-    val cb = minhashBands(corpus, idCol, textCol, shingleN, numHashes, bands)
-      .select(col(idCol).as("old_id"), col("band"), col("band_key"))
+    val cb = corpusBands.select(col("old_id"), col("band"), col("band_key"))
     val cand = nb.join(cb, Seq("band", "band_key"))
       .select("new_id", "old_id").distinct()
     def shingleSets(df: DataFrame, as: String) = {

@@ -997,6 +997,84 @@ object GraphOps {
       rounds, Seq(gammaPct), broadcastState)
       .select(col("id"), col("label"))
 
+  /** Leiden's WELL-CONNECTEDNESS phase (Traag, Waltman & van Eck 2019,
+    * "From Louvain to Leiden" — the defining Leiden-vs-Louvain
+    * guarantee; the reference's community layer runs leidenalg with
+    * exactly this phase, neo4j_helpers.py:237-268 via /root/reference):
+    * Louvain-style local moves can leave a community internally
+    * DISCONNECTED — moving a cut vertex to a neighboring community
+    * strands the rest of its old community in two pieces that modularity
+    * alone never separates (each piece's members see only own-community
+    * candidates, so no local move can split them; GraphSpec plants
+    * exactly that pathology). Leiden guarantees every community is
+    * internally connected by refining within communities before the next
+    * level/γ.
+    *
+    * Implemented as constrained connected components: keep only
+    * intra-community edges (both endpoints share a label), run the
+    * [[ccEdges]] min-propagation over them, and give every resulting
+    * sub-component its min member id as its new community label;
+    * vertices with no intra-community edge become singletons labeled by
+    * their own id. Components never span communities (intra edges can't
+    * cross), every community in the result is internally connected by
+    * construction, and min-member labels are globally unique across
+    * sub-communities — so the output is a deterministic refinement of
+    * the input partition.
+    *
+    * Scale shape: two vertex-sized equi-joins to mark intra edges
+    * (AQE broadcasts the assignment when it fits) + the ccEdges loop
+    * bounded by the INTRA edge subset (≤ the graph, often ≪ after a
+    * sensible pre-partition) — no pairwise work, no driver collect.
+    *
+    * Returns (id, label) for every vertex of `assignment`. */
+  def wellConnectedSplit(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      assignment: DataFrame, idCol: String, labelCol: String,
+      maxIter: Int = 20,
+      broadcastState: Option[Boolean] = None): DataFrame = {
+    val asg = assignment.select(col(idCol).as("id"), col(labelCol).as("c"))
+    // localCheckpoint, not persist: the CC superstep loop references its
+    // edge frame once per superstep, and each action RENDERS the full
+    // logical plan — a deep caller lineage (e.g. a refine pass, or the
+    // output of a previous split) re-rendered ×supersteps made a tiny
+    // re-split take minutes in plan-string time alone (the SuperstepBlock
+    // lesson). Truncating here keeps every superstep's plan rooted at a
+    // LogicalRDD leaf. Lazy: ccEdges' first block action materializes it.
+    val intra = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .join(asg.select(col("id").as("src"), col("c").as("cs")), "src")
+      .join(asg.select(col("id").as("dst"), col("c").as("cd")), "dst")
+      .filter(col("cs") === col("cd"))
+      .select(col("src"), col("dst"))
+      .localCheckpoint(eager = false)
+    val comp = ccEdges(intra, "src", "dst", maxIter, broadcastState)
+    val out = asg.join(comp, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("label"))
+      .persist()
+    out.count() // materialize, then release the checkpointed intra edges
+    releaseLocalCheckpoint(intra)
+    out
+  }
+
+  /** Leiden-style refinement: the gated Louvain local-move pass
+    * ([[louvainRefine]], RB-configuration modularity at γ = gammaPct/100)
+    * followed by the well-connectedness split — the two phases the
+    * reference's leidenalg run applies per resolution level
+    * (neo4j_helpers.py:237-268 via /root/reference). Every community in
+    * the result is internally connected AND locally modularity-optimal
+    * up to the split relabeling. Returns (id, label). */
+  def leidenRefine(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      assignment: DataFrame, idCol: String, labelCol: String,
+      rounds: Int, broadcastState: Option[Boolean] = None,
+      gammaPct: Long = 100L): DataFrame = {
+    val refined = louvainRefine(edges, srcCol, dstCol, assignment, idCol,
+      labelCol, rounds, broadcastState, gammaPct)
+    wellConnectedSplit(edges, srcCol, dstCol, refined, "id", "label",
+      broadcastState = broadcastState)
+  }
+
   /** Multi-resolution form of [[louvainRefine]]: run the gated
     * local-move loop once per γ over ONE shared setup — the undirected
     * cache, degrees, m2, AND the γ-independent pieces of the starting

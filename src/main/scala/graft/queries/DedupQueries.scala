@@ -428,55 +428,44 @@ object DedupQueries {
     // equi-join (batch-sized cost), exact-Jaccard verify, smallest
     // existing dup id per new doc. Never batch×batch or index×index.
     Q("q132_incremental_neardup",
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, s FROM (
-        |    SELECT doc_id,
-        |      unnest(list_transform(generate_series(1, len(t) - 2),
-        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |    FROM toks WHERE len(t) >= 3)),
-        |hh AS (
-        |  SELECT doc_id,
-        |    list_reduce(list_transform(generate_series(1, 12),
-        |      i -> CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)),
-        |      (a, b) -> a * 16 + b) AS h1,
-        |    list_reduce(list_transform(generate_series(13, 24),
-        |      i -> CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)),
-        |      (a, b) -> a * 16 + b) * 2 + 1 AS h2
-        |  FROM sh),
-        |sig AS (
-        |  SELECT doc_id, i, MIN((h1 + i * h2) % 281474976710656) AS mh
-        |  FROM hh CROSS JOIN range(16) r(i) GROUP BY doc_id, i),
-        |bk AS (
-        |  SELECT doc_id, i // 4 AS band,
-        |         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS band_key
-        |  FROM sig GROUP BY doc_id, i // 4),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
-        |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
-        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
-        |ssize AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |ins AS (
-        |  SELECT c.new_id, c.old_id, COUNT(*) AS i
-        |  FROM cand c JOIN sh a ON a.doc_id = c.new_id
-        |              JOIN sh b ON b.doc_id = c.old_id AND b.s = a.s
-        |  GROUP BY c.new_id, c.old_id),
-        |dup AS (
-        |  SELECT ins.new_id, MIN(ins.old_id) AS dup_of
-        |  FROM ins JOIN ssize sa ON sa.doc_id = ins.new_id
-        |           JOIN ssize sb ON sb.doc_id = ins.old_id
-        |  WHERE ins.i * 2 >= (sa.n + sb.n - ins.i) * 1
-        |  GROUP BY ins.new_id)
-        |SELECT d.doc_id, dup.dup_of IS NOT NULL AS is_dup, dup.dup_of
-        |FROM documents d LEFT JOIN dup ON d.doc_id = dup.new_id
-        |WHERE d.doc_id % 10 = 0""".stripMargin) { (s, dir) =>
+      incrementalNearDupOracle) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       Dedup.incrementalNearDup(
         newDocs = docs.filter(col("doc_id") % 10 === 0),
         corpus = docs.filter(col("doc_id") % 10 =!= 0),
         "doc_id", "text",
         shingleN = 3, numHashes = 16, bands = 4, jaccNum = 1, jaccDen = 2)
+    },
+
+    // q132 with the corpus band index MAINTAINED as a bucketed table
+    // (bucketBy on band_key): the index's bucket layout satisfies the
+    // band join's distribution, so the 100 TB incremental path pays
+    // ZERO index-side exchange per daily batch — the index shuffle was
+    // paid once at write time (PlanSpec asserts the plan shape). Same
+    // oracle as q132: the index representation must be invisible.
+    Q("q141_neardup_bucketed_index",
+      incrementalNearDupOracle) { (s, dir) =>
+      val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val tbl = s"graft_band_idx_$sfx"
+      // warehouse dir can outlive the in-memory catalog (q105 lesson)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val p = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      Dedup.minhashBands(corpus, "doc_id", "text",
+          shingleN = 3, numHashes = 16, bands = 4)
+        .select(col("doc_id").as("old_id"), col("band"), col("band_key"))
+        .write.mode("overwrite")
+        .bucketBy(8, "band_key").sortBy("band_key")
+        .saveAsTable(tbl)
+      Dedup.incrementalNearDupWithIndex(
+        newDocs = docs.filter(col("doc_id") % 10 === 0),
+        corpusBands = s.table(tbl),
+        corpus = corpus, "doc_id", "text",
+        shingleN = 3, jaccNum = 1, jaccDen = 2, numHashes = 16, bands = 4)
     },
 
     // Substring-level duplicate spans (Lee et al. 2022 exact-substring
@@ -575,4 +564,53 @@ object DedupQueries {
         .reduce(_ unionByName _)
     },
   )
+
+  /** Shared by q132 (recomputed index) and q141 (maintained bucketed
+    * index): the engine-side index representation must be invisible in
+    * results, so both replay the same DuckDB computation. */
+  private def incrementalNearDupOracle: String =
+    """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(t) - 2),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |    FROM toks WHERE len(t) >= 3)),
+        |hh AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(generate_series(1, 12),
+        |      i -> CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS h1,
+        |    list_reduce(list_transform(generate_series(13, 24),
+        |      i -> CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) * 2 + 1 AS h2
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, i, MIN((h1 + i * h2) % 281474976710656) AS mh
+        |  FROM hh CROSS JOIN range(16) r(i) GROUP BY doc_id, i),
+        |bk AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS band_key
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+        |ssize AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |ins AS (
+        |  SELECT c.new_id, c.old_id, COUNT(*) AS i
+        |  FROM cand c JOIN sh a ON a.doc_id = c.new_id
+        |              JOIN sh b ON b.doc_id = c.old_id AND b.s = a.s
+        |  GROUP BY c.new_id, c.old_id),
+        |dup AS (
+        |  SELECT ins.new_id, MIN(ins.old_id) AS dup_of
+        |  FROM ins JOIN ssize sa ON sa.doc_id = ins.new_id
+        |           JOIN ssize sb ON sb.doc_id = ins.old_id
+        |  WHERE ins.i * 2 >= (sa.n + sb.n - ins.i) * 1
+        |  GROUP BY ins.new_id)
+        |SELECT d.doc_id, dup.dup_of IS NOT NULL AS is_dup, dup.dup_of
+        |FROM documents d LEFT JOIN dup ON d.doc_id = dup.new_id
+        |WHERE d.doc_id % 10 = 0""".stripMargin
+
 }

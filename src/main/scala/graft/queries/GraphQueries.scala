@@ -404,6 +404,38 @@ object GraphQueries {
         col("level"),
         shiftright(col("landmark"), 1).as("landmark_key"))
     },
+
+    // G2 Leiden guarantee (Traag et al. 2019; the reference runs
+    // leidenalg WITH this phase, neo4j_helpers.py:237-268): LPA → gated
+    // Louvain refine → WELL-CONNECTEDNESS SPLIT, on the part
+    // co-purchase graph (parts sharing an order). Deliberately
+    // UNIPARTITE: synchronous LPA on the bipartite part–supplier graph
+    // provably never mixes sides (labels swap id-parity every
+    // superstep), so its intra-community edge set is empty and the
+    // split would be vacuous there. The oracle unrolls LPA and the
+    // refine round exactly as q126, then replays the constrained CC as
+    // a min-reachability recursive CTE over intra-community edges.
+    Q("q140_leiden_split", leidenSplitOracle(lpaIters = 2, rounds = 1)) { (s, dir) =>
+      // o % 5 sample: the full co-purchase graph is ~1.2M edges at sf0.1
+      // and the refine+split semantics need structure, not volume — the
+      // deterministic order sample keeps ~240k edges and the same
+      // disconnected-community pathology the split exists for
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      // co-purchase edges: per-order C(k,2) pairs, k ≤ order line count
+      // (bounded small) — never a global part×part product
+      val e = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").cast("long").as("src"), col("b.p").cast("long").as("dst"))
+        .distinct()
+        .localCheckpoint() // consumed by the refine loop AND the split
+      val refined = GraphOps.lpaLouvainRefineMulti(e, "src", "dst",
+          lpaIters = 2, rounds = 1, gammaPcts = Seq(100L))
+        .select(col("id"), col("label"))
+      GraphOps.wellConnectedSplit(e, "src", "dst", refined, "id", "label")
+        .select(col("id").as("key"), col("label"))
+    },
   )
 
   /** The part–supplier bipartite edge set shared by the graph queries
@@ -595,6 +627,39 @@ object GraphQueries {
     s"""${louvainPrelude(lpaIters)},
        |${louvainSteps("", "abase", rounds, gp = 1L, gq = 1L)}
        |SELECT $kindKey, c AS label FROM a$rounds""".stripMargin
+
+  /** q140 oracle: the co-purchase unipartite graph, unrolled LPA +
+    * γ=1 refine round(s) (identical CTE machinery to louvainOracle),
+    * then Leiden's well-connectedness split replayed as constrained
+    * min-reachability: a recursive CTE over INTRA-community edges only
+    * (components can't span communities), MIN(seed) per vertex = the
+    * engine's min-member sub-component label; vertices with no
+    * intra-community edge fall through the LEFT JOIN to their own id
+    * (singletons). */
+  private def leidenSplitOracle(lpaIters: Int, rounds: Int): String =
+    s"""WITH RECURSIVE
+       |li AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS o,
+       |                                    CAST(l_partkey AS BIGINT) AS p
+       |                    FROM lineitem WHERE l_orderkey % 5 = 0),
+       |e AS MATERIALIZED (SELECT DISTINCT a.p AS src, b.p AS dst
+       |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+       |und AS MATERIALIZED (
+       |  SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+       |${lpaSteps("und", "l", lpaIters)},
+       |deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS kv FROM und GROUP BY src),
+       |mm AS MATERIALIZED (SELECT COUNT(*) AS m2 FROM und),
+       |abase AS MATERIALIZED (SELECT id, label AS c FROM l$lpaIters),
+       |${louvainSteps("", "abase", rounds, gp = 1L, gq = 1L)},
+       |af AS MATERIALIZED (SELECT id, c FROM a$rounds),
+       |intra AS MATERIALIZED (
+       |  SELECT u.src, u.dst FROM und u
+       |  JOIN af x ON u.src = x.id JOIN af y ON u.dst = y.id WHERE x.c = y.c),
+       |reach AS (SELECT src AS id, src AS comp FROM intra
+       |          UNION
+       |          SELECT u.src AS id, r.comp FROM intra u JOIN reach r ON u.dst = r.id),
+       |cc AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+       |SELECT af.id AS key, COALESCE(cc.comp, af.id) AS label
+       |FROM af LEFT JOIN cc USING (id)""".stripMargin
 
   /** Multi-resolution ladder: the refine replayed once per γ over the
     * SHARED prelude — the reference's resolutions [2.0, 0.5, 0.1] as

@@ -408,6 +408,47 @@ class GraphSpec extends SparkSpec {
     assert(again == counts)
   }
 
+  test("wellConnectedSplit: splits the planted disconnected community louvainRefine keeps") {
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    // THE Louvain pathology (Traag et al. 2019 fig. 2 shape): two
+    // triangles with NO edge between them assigned to one community 1,
+    // plus a separate connected 3-clique community 2. Every triangle
+    // vertex's neighbors are all inside community 1, so its only move
+    // candidate is its own community — louvainRefine provably KEEPS the
+    // internally disconnected community no matter how many rounds.
+    val e = (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L)) ++
+      clique(Seq(20L, 21L, 22L))).toDF("src", "dst")
+    val asg = (Seq(1L, 2L, 3L, 10L, 11L, 12L).map(_ -> 1L) ++
+      Seq(20L, 21L, 22L).map(_ -> 2L)).toDF("id", "label")
+    val kept = GraphOps.louvainRefine(e, "src", "dst", asg, "id", "label",
+      rounds = 4).as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 10L, 11L, 12L).map(kept).distinct.size == 1,
+      s"louvainRefine should keep the merged community: $kept")
+    // the split phase breaks it into its two connected pieces…
+    val split = GraphOps.wellConnectedSplit(e, "src", "dst", asg, "id", "label")
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).map(split).distinct == Seq(1L))
+    assert(Seq(10L, 11L, 12L).map(split).distinct == Seq(10L))
+    // …keeps the connected community intact (relabeled to min member)…
+    assert(Seq(20L, 21L, 22L).map(split).distinct == Seq(20L))
+    // …and the composed leidenRefine leaves every community internally
+    // connected: recompute CC within each output community and compare
+    val leiden = GraphOps.leidenRefine(e, "src", "dst", asg, "id", "label",
+      rounds = 4)
+    val resplit = GraphOps.wellConnectedSplit(e, "src", "dst", leiden,
+      "id", "label")
+    assert(resplit.select(countDistinct("label")).as[Long].head() ==
+      leiden.select(countDistinct("label")).as[Long].head(),
+      "leidenRefine output must already be well-connected (split is a no-op)")
+    // a vertex with no intra-community edge becomes a singleton
+    val stranded = (Seq(1L, 2L, 3L).map(_ -> 1L) ++ Seq(20L -> 1L) ++
+      Seq(21L, 22L).map(_ -> 2L)).toDF("id", "label")
+    val s2 = GraphOps.wellConnectedSplit(e, "src", "dst", stranded, "id", "label")
+      .as[(Long, Long)].collect().toMap
+    assert(s2(20L) == 20L && s2(21L) == 21L && s2(22L) == 21L)
+  }
+
   test("multiSourceBfs: nearest landmark with smallest-id tie-break") {
     // path 1-2-3-4-5 with landmarks {1, 5}: 2→1, 4→5, 3 ties → 1
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")

@@ -104,6 +104,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning(l_orderkey"))
   }
 
+  test("q141: maintained band index joins with zero index-side exchange") {
+    // the bucketed (band_key) layout must satisfy the band join's
+    // distribution: between the index table's scan and the band join
+    // there must be NO ShuffleExchange — only the batch side (and
+    // downstream aggs) shuffle. AQE is unwrapped explicitly; post-join
+    // exchanges contain the scan in their subtree and don't count.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val plan0 = SparkEntry.queries("q141_neardup_bucketed_index")(spark, sf)
+      .queryExecution.executedPlan
+    val plan = plan0 match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    def hasScan(p: SparkPlan): Boolean = p.toString.contains("graft_band_idx")
+    assert(hasScan(plan), "plan must read the bucketed index table")
+    // innermost join over the index: a join one of whose CHILDREN holds
+    // the scan (the band equi-join), not an outer join above it
+    val indexSides = plan.collect {
+      case j: SortMergeJoinExec => j.children
+      case j: ShuffledHashJoinExec => j.children
+      case j: BroadcastHashJoinExec => j.children
+    }.flatten.filter(hasScan)
+    assert(indexSides.nonEmpty, "no join child contains the index scan")
+    val innermost = indexSides.minBy(_.toString.length)
+    val offending = innermost.collect { case e: ShuffleExchangeExec => e }
+    assert(offending.isEmpty,
+      s"index side must ride the bucket layout, not an exchange:\n$innermost")
+  }
+
   test("q83: packing plans exactly one group repartition, no global sort") {
     val p = planOf("q83_pack_sequences")
     // one hashpartitioning exchange on the group column; the order is
