@@ -134,6 +134,45 @@ object VectorQueries {
         .select(col("vec_id"), col("bucket"), round(col("cos_raw"), 6).as("cos_sim"))
     },
 
+    // Multi-probe LSH (Lv et al. 2007): q38's index probed at the query
+    // bucket PLUS every 1-bit flip — the recall remedy for SRP-LSH
+    // (single-probe recall@10 measured ~0.19 at sf0.1; SimilaritySpec
+    // enforces the multi-probe floor). Probe set built by substring
+    // surgery identically in both engines.
+    Q("q142_ann_lsh_multiprobe",
+      s"""$normCte,
+         |signs(p, sv) AS (VALUES $signsSqlValues),
+         |bkt AS (
+         |  SELECT n.vec_id,
+         |    string_agg(CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+         |          k -> v[k] * sv[k]), (x, y) -> x + y) >= 0
+         |      THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+         |  FROM n CROSS JOIN signs GROUP BY n.vec_id),
+         |nb AS (SELECT n.vec_id, n.v, n.nrm, bkt.bucket FROM n JOIN bkt USING (vec_id)),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS q_bucket
+         |      FROM nb ORDER BY vec_id LIMIT 1),
+         |probes AS (
+         |  SELECT q_id, qv, qn, q_bucket AS probe FROM q
+         |  UNION ALL
+         |  SELECT q_id, qv, qn,
+         |    substr(q_bucket, 1, CAST(i AS INT)) ||
+         |    (CASE WHEN substr(q_bucket, CAST(i AS INT) + 1, 1) = '1'
+         |          THEN '0' ELSE '1' END) ||
+         |    substr(q_bucket, CAST(i AS INT) + 2, $Planes - CAST(i AS INT) - 1) AS probe
+         |  FROM q CROSS JOIN range($Planes) r(i))
+         |SELECT a.vec_id, a.bucket,
+         |  ROUND(list_reduce(list_transform(generate_series(1, 64), k -> a.v[k] * p.qv[k]),
+         |        (x, y) -> x + y) / (a.nrm * p.qn), 6) AS cos_sim
+         |FROM nb a JOIN probes p ON a.bucket = p.probe AND a.vec_id <> p.q_id
+         |ORDER BY list_reduce(list_transform(generate_series(1, 64), k -> a.v[k] * p.qv[k]),
+         |        (x, y) -> x + y) / (a.nrm * p.qn) DESC, a.vec_id
+         |LIMIT 10""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.annLshMultiProbe(emb, "vec_id", "embedding",
+        query = emb.orderBy("vec_id").limit(1), k = 10, planes = Planes, dims = Dims)
+        .select(col("vec_id"), col("bucket"), round(col("cos_raw"), 6).as("cos_sim"))
+    },
+
     // IVF ANN: coarse-quantizer cell assignment (argmax cosine over 16
     // deterministic centroids) + exact re-rank inside the query's cell.
     Q("q58_ann_ivf",

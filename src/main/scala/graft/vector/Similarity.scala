@@ -205,6 +205,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe SRP-LSH (Lv et al. 2007, "Multi-Probe LSH"): search the
+    * query's bucket AND every bucket at Hamming distance 1 (one flipped
+    * plane) — the standard recall remedy for sign-random-projection
+    * indexes, where a true near neighbor sits on the far side of a
+    * single hyperplane far more often than of several. Candidate set is
+    * (planes+1)/2^planes of the corpus in expectation (vs 1/2^planes
+    * single-probe); measured on the synthetic embeddings at sf0.1 this
+    * lifts recall@10 from ~0.19 (single-probe, 4 planes) to a level the
+    * SimilaritySpec floor enforces. Same scale shape as [[annLsh]]: the
+    * bucket id is a pure projection, probes ride the broadcast query
+    * side (planes+1 rows per query), and the probe match is an
+    * equi-join — never a corpus scan per probe. */
+  def annLshMultiProbe(
+      emb: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, k: Int, planes: Int, dims: Int): DataFrame = {
+    val signs = hyperplaneSigns(planes, dims)
+    val corpus = emb.select(col(idCol), vecD(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("bucket", lshBucket(col("v"), signs))
+    // probe list: the bucket itself plus each 1-bit flip, built from
+    // substrings so both engines replay it byte-for-byte
+    val probeCols = col("q_bucket") +: (0 until planes).map { i =>
+      concat(
+        substring(col("q_bucket"), 1, i),
+        when(substring(col("q_bucket"), i + 1, 1) === "1", lit("0"))
+          .otherwise(lit("1")),
+        substring(col("q_bucket"), i + 2, planes - i - 1))
+    }
+    val q = broadcast(query
+      .select(col(idCol).as("q_id"), vecD(col(vecCol)).as("qv"))
+      .withColumn("q_nrm", norm(col("qv")))
+      .withColumn("q_bucket", lshBucket(col("qv"), signs))
+      .withColumn("probe", explode(array(probeCols: _*))))
+    corpus.join(q, col("bucket") === col("probe") && col(idCol) =!= col("q_id"))
+      .select(
+        col(idCol), col("bucket"),
+        cosine(col("v"), col("qv"), col("nrm"), col("q_nrm")).as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Symmetric int8 quantization of an embedding column — the 4×
     * vector-store compression step (q = ⌊127·x/amax + 0.5⌋ per element,
     * amax = per-vector max |x|). Every op in the chain is IEEE-exact

@@ -165,6 +165,54 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int, Double)].collect().map(_._1).toSeq == Seq(20L, 10L))
   }
 
+  // Recall floor at data scale (round-7 verdict item 7): with FIXED
+  // bucket/probe parameters (the q38/q58 production settings), recall@k
+  // must not silently degrade as the corpus grows — candidate sets grow
+  // proportionally with the corpus under fixed planes/nCells, so a floor
+  // holding at sf0.1 should hold (or improve) at sf1. The sf1 clause
+  // activates when the ScaleGen output is present (/tmp/sf1), so the
+  // suite stays hermetic in driver runs.
+  private def annRecallAt(dir: String, nQueries: Int): (Double, Double, Double) = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.orderBy("vec_id").limit(nQueries)
+      .select("vec_id").as[Long].collect()
+    def recallOf(fn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Double = {
+      val hits = queries.map { qid =>
+        val q = emb.filter(col("vec_id") === qid)
+        val truth = Similarity.knnBrute(emb, "vec_id", "embedding", q, k = 10)
+          .select("vec_id").as[Long].collect().toSet
+        val got = fn(q).select("vec_id").as[Long].collect().toSet
+        (got & truth).size / 10.0
+      }
+      hits.sum / nQueries
+    }
+    val lsh1p = recallOf(q =>
+      Similarity.annLsh(emb, "vec_id", "embedding", q, k = 10, planes = 4, dims = 64))
+    val lshMp = recallOf(q =>
+      Similarity.annLshMultiProbe(emb, "vec_id", "embedding", q, k = 10, planes = 4, dims = 64))
+    val ivf = recallOf(q =>
+      Similarity.annIvf(emb, "vec_id", "embedding", q, k = 10, nCells = 16))
+    (lsh1p, lshMp, ivf)
+  }
+
+  test("ANN recall floor holds at sf0.1 (and sf1 when materialized)") {
+    // single-probe SRP-LSH recall is documented-poor on these embeddings
+    // (~0.19 at sf0.1) — it gets a catastrophic-only floor; the floors
+    // that gate parameter drift are on the production paths: multi-probe
+    // LSH and IVF. Under FIXED planes/nCells, candidate sets grow with
+    // the corpus, so a floor holding at sf0.1 must hold at sf1.
+    def check(dir: String, tag: String): Unit = {
+      val (lsh1p, lshMp, ivf) = annRecallAt(dir, nQueries = 8)
+      info(f"$tag recall@10: lsh1p=$lsh1p%.2f lshMp=$lshMp%.2f ivf=$ivf%.2f")
+      assert(lsh1p >= 0.05, f"single-probe LSH collapsed at $tag: $lsh1p%.2f")
+      assert(lshMp >= 0.5, f"multi-probe LSH recall degraded at $tag: $lshMp%.2f")
+      assert(ivf >= 0.5, f"annIvf recall degraded at $tag: $ivf%.2f")
+    }
+    check("/root/testdata/sf0.1", "sf0.1")
+    if (new java.io.File("/tmp/sf1/embeddings.parquet").isDirectory)
+      check("/tmp/sf1", "sf1")
+  }
+
   test("quantizeInt8: codes, negatives, ties round half-up, zero vector") {
     val df = Seq(
       (1L, Array(1.0f, -1.0f, 0.5f, 0.0f)),  // amax 1: ±127, 64 (63.5+0.5→64), 0
