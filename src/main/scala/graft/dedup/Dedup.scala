@@ -356,7 +356,8 @@ object Dedup {
     incrementalNearDupWithIndex(newDocs,
       minhashBands(corpus, idCol, textCol, shingleN, numHashes, bands)
         .select(col(idCol).as("old_id"), col("band"), col("band_key")),
-      corpus, idCol, textCol, shingleN, jaccNum, jaccDen)
+      corpus, idCol, textCol, shingleN, jaccNum, jaccDen,
+      numHashes = numHashes, bands = bands)
 
   /** [[incrementalNearDup]] against a MAINTAINED corpus band index —
     * the 100 TB shape: the corpus side of the band join is a table of

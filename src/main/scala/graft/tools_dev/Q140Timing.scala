@@ -31,7 +31,16 @@ object Q140Timing {
       .distinct()
       .localCheckpoint(eager = false)
     t("edges")(println("  |e| = " + e.count()))
-    val refined = t("lpa+refine") {
+    val lpa = t("lpa alone (2 iters)") {
+      val r = GraphOps.lpaEdges(e, "src", "dst", maxIter = 2)
+      println("  lpa communities = " + r.select("label").distinct().count())
+      r
+    }
+    t("refine alone (1 round)") {
+      val r = GraphOps.louvainRefine(e, "src", "dst", lpa, "id", "label", rounds = 1)
+      println("  refined communities = " + r.select("label").distinct().count())
+    }
+    val refined = t("lpa+refine fused") {
       val r = GraphOps.lpaLouvainRefineMulti(e, "src", "dst",
         lpaIters = 2, rounds = 1, gammaPcts = Seq(100L))
         .select(col("id"), col("label"))

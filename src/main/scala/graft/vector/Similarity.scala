@@ -97,6 +97,77 @@ object Similarity {
         col("cos_raw"))
   }
 
+  /** Position-discount weights for NDCG@k: w_i = 1/log2(i+1), i = 1..k,
+    * precomputed ONCE as Scala doubles and embedded as shortest-repr
+    * literals in both engines — transcendentals never evaluate inside a
+    * query, so cross-engine log() ulp drift can't touch the result. */
+  def ndcgWeights(k: Int): Seq[Double] =
+    (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+
+  /** Ideal-DCG prefix sums of [[ndcgWeights]] (index i = best possible
+    * DCG with i relevant docs in the top-k), same literal discipline. */
+  def ndcgIdealPrefix(k: Int): Seq[Double] =
+    ndcgWeights(k).scanLeft(0.0)(_ + _).tail
+
+  /** Retrieval-quality metrics — the evaluation side of the retrieval
+    * stack (the numbers an index/reranker deployment is judged by),
+    * computed in-engine: for each anchor query, rank the corpus by
+    * exact cosine ((cos desc, id asc) — bit-deterministic) with
+    * relevance = label equality, and report per query:
+    *
+    *   - n_rel, first_rel_rank, MRR = 1/first_rel_rank,
+    *   - P@k = |relevant ∩ top-k| / k,
+    *   - NDCG@k with binary gains: DCG = Σ_{rel, rank≤k} w_rank folded
+    *     in rank order (collect_list → sort → fold, the bm25 ordered-sum
+    *     discipline — a plain SUM's aggregation order is
+    *     nondeterministic in doubles), IDCG = prefix[min(n_rel, k)].
+    *
+    * Every float op is a product/sum/quotient of identical literals and
+    * identically-derived doubles, so results are bit-equal across
+    * engines without rounding. Scale shape: one broadcast-anchor corpus
+    * scan + one q_id-partitioned rank window + one hash agg — the
+    * hardNegatives plan with an aggregation tail. */
+  def retrievalMetrics(
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      anchors: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wArr = array(ndcgWeights(k).map(lit): _*)
+    val pArr = array(ndcgIdealPrefix(k).map(lit): _*)
+    val corpus = emb.select(col(idCol), col(labelCol).as("lbl"), vecD(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = broadcast(anchors.select(col(idCol).as("q_id"),
+        col(labelCol).as("q_lbl"), vecD(col(vecCol)).as("qv"))
+      .withColumn("q_nrm", norm(col("qv"))))
+    val scored = corpus.crossJoin(q)
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol),
+        (col("lbl") === col("q_lbl")).as("rel"),
+        cosine(col("v"), col("qv"), col("nrm"), col("q_nrm")).as("cos_raw"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .groupBy("q_id")
+      .agg(
+        sum(when(col("rel"), 1L).otherwise(0L)).as("n_rel"),
+        min(when(col("rel"), col("rank"))).as("first_rel_rank"),
+        sum(when(col("rel") && col("rank") <= k, 1L).otherwise(0L)).as("hits"),
+        // rank-ordered fold, 0.0 seed (adding zero is exact)
+        aggregate(
+          transform(
+            array_sort(collect_list(when(col("rel") && col("rank") <= k,
+              struct(col("rank").as("r"),
+                element_at(wArr, col("rank").cast("int")).as("w"))))),
+            x => x.getField("w")),
+          lit(0.0), _ + _).as("dcg"))
+      .select(col("q_id"), col("n_rel"), col("first_rel_rank"),
+        when(col("first_rel_rank").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("first_rel_rank")).as("mrr"),
+        (col("hits").cast("double") / k).as("p_at_k"),
+        when(col("n_rel") === 0, lit(0.0))
+          .otherwise(col("dcg") / element_at(pArr,
+            greatest(least(col("n_rel"), lit(k.toLong)), lit(1L)).cast("int")))
+          .as("ndcg_at_k"))
+  }
+
   /** Nearest neighbor per vector within a blocking column (embedding-based
     * near-dup detection: block → pairwise cosine → best match; callers
     * threshold the score). The block join is an equi-join, never a global
@@ -244,6 +315,53 @@ object Similarity {
         cosine(col("v"), col("qv"), col("nrm"), col("q_nrm")).as("cos_raw"))
       .orderBy(col("cos_raw").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): documents whose
+    * EMBEDDINGS nearly coincide are semantic duplicates even when no
+    * n-gram overlaps (translations, templated rewrites, boilerplate
+    * paraphrase) — the dedup mode MinHash/SimHash structurally miss.
+    * The paper's recipe, re-expressed Spark-first:
+    *
+    *   1. coarse k-means over the embeddings ([[Clustering.kmeans]] —
+    *      deterministic: quantized coordinates, (distance, cid)
+    *      argmin) — the blocking step that keeps stage 2 off the n²
+    *      cliff;
+    *   2. WITHIN each cluster, connect pairs with cosine ≥ τ (exact
+    *      bit-identical fold, so the threshold test agrees across
+    *      engines);
+    *   3. connected components over the τ-graph; each group keeps its
+    *      min-id member, the rest are flagged duplicates. (The paper
+    *      keeps a per-group representative too — min-id is the
+    *      deterministic choice an oracle can replay.)
+    *
+    * Scale shape: the pair stage is an intra-cluster block equi-join —
+    * at production scale k tracks corpus size (the paper uses ~10⁵
+    * clusters for ~10⁸ docs) so cluster sizes, and the pair cost,
+    * stay bounded; CC runs on the τ-graph only (≪ corpus). Returns
+    * (idCol, cluster, keep_id, is_dup) for every embedded doc. */
+  def semDedup(
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, tau: Double): DataFrame = {
+    val clusters = Clustering.kmeans(emb, idCol, vecCol, k, iters)
+    val v = emb.select(col(idCol), vecD(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .join(clusters, idCol)
+    val a = v.select(col(idCol).as("ia"), col("cluster"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = v.select(col(idCol).as("ib"), col("cluster"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("ia") < col("ib"))
+      .filter(cosine(col("va"), col("vb"), col("na"), col("nb")) >= tau)
+      .select(col("ia").as("src"), col("ib").as("dst"))
+    val comp = graft.graph.GraphOps.ccEdges(pairs, "src", "dst")
+    v.select(col(idCol), col("cluster"))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(col("component"), col(idCol)).as("keep_id"))
+      .withColumn("is_dup", col("keep_id") =!= col(idCol))
   }
 
   /** Symmetric int8 quantization of an embedding column — the 4×

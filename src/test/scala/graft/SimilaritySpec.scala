@@ -165,6 +165,44 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int, Double)].collect().map(_._1).toSeq == Seq(20L, 10L))
   }
 
+  test("retrievalMetrics: MRR, P@k, NDCG@k match a hand-traced ranking") {
+    // anchor 0 (label 0): ranking by cosine = 1(.994, rel), 4(.970),
+    // 2(0, rel), 3(-1) → n_rel 2, first 1, MRR 1, P@10 0.2,
+    // DCG = w1+w3, IDCG = w1+w2
+    // anchor 3 (label 1): ranking = 2(0), 4(-.970, rel), 1(-.994),
+    // 0(-1) → n_rel 1, first 2, MRR 0.5, P@10 0.1, DCG = w2, IDCG = w1
+    val anchors = vecs.filter(col("vec_id").isin(0L, 3L))
+    val out = Similarity.retrievalMetrics(vecs, "vec_id", "embedding", "label",
+        anchors, k = 10)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val wt = Similarity.ndcgWeights(10)
+    val pf = Similarity.ndcgIdealPrefix(10)
+    assert(out(0L) == ((0L, 2L, 1L, 1.0, 0.2, (wt(0) + wt(2)) / pf(1))))
+    assert(out(3L) == ((3L, 1L, 2L, 0.5, 0.1, wt(1) / pf(0))))
+  }
+
+  test("semDedup: intra-cluster cosine groups keep min id; cross-cluster pairs untouched") {
+    // kmeans(k=2, iters=2) on the fixture converges to {0,1,4} | {2,3}
+    // (euclidean Lloyd from seeds 0,1 — hand-traced). τ=0.95 pairs
+    // inside cluster 0: (0,1)=.993, (0,4)=.970, (1,4)=.990 → one
+    // component keeping 0; cluster 1 has cos(2,3)=0 → no dups.
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding",
+        k = 2, iters = 2, tau = 0.95)
+      .select("vec_id", "keep_id", "is_dup")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(0L) == (0L, false))
+    assert(out(1L) == (0L, true))
+    assert(out(4L) == (0L, true))
+    assert(out(2L) == (2L, false))
+    assert(out(3L) == (3L, false))
+    // raising τ past the max pairwise cosine dedups nothing
+    val none = Similarity.semDedup(vecs, "vec_id", "embedding",
+        k = 2, iters = 2, tau = 0.999)
+      .filter(col("is_dup")).count()
+    assert(none == 0L)
+  }
+
   // Recall floor at data scale (round-7 verdict item 7): with FIXED
   // bucket/probe parameters (the q38/q58 production settings), recall@k
   // must not silently degrade as the corpus grows — candidate sets grow
