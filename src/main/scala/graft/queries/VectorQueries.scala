@@ -501,6 +501,72 @@ object VectorQueries {
         k = 8, iters = 3)
     },
 
+    // Product-quantization codes (Jégou et al. 2011): 4 subvectors × 16
+    // dims, k=4 codewords each, deterministic Lloyd — 64-dim float32
+    // compressed to 4 small codes. Oracle = 4 suffixed unrolled-kmeans
+    // chains over DuckDB list slices, joined on vec_id.
+    Q("q145_pq_codes", {
+      val (m, sub, k, iters) = (4, 16, 4, 2)
+      val chains = (0 until m).map { s =>
+        kmeansCtes(k, iters, sfx = s"p$s", dims = sub,
+          srcList = s"embedding[${s * sub + 1}:${(s + 1) * sub}]")
+      }.mkString(",\n")
+      val joins = (0 until m).map(s => s"JOIN ap$s$iters USING (vec_id)").mkString("\n")
+      val cols = (0 until m).map(s => s"ap$s$iters.cid AS code_$s").mkString(", ")
+      s"""WITH $chains,
+         |ids AS (SELECT vec_id FROM embeddings)
+         |SELECT ids.vec_id, $cols
+         |FROM ids
+         |$joins""".stripMargin
+    }) { (s, dir) =>
+      Similarity.pqCodes(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        m = 4, subDims = 16, k = 4, iters = 2)
+    },
+
+    // PQ asymmetric-distance top-10 (the q145 codebook's query path):
+    // per-subvector k-entry distance tables vs exact-integer centroids
+    // of the final assignment; ADC = fixed-order sum of m lookups —
+    // bit-deterministic, so set AND order replay exactly.
+    Q("q146_pq_adc_topk", {
+      val (m, sub, k, iters) = (4, 16, 4, 2)
+      val chains = (0 until m).map { s =>
+        val sfx = s"p$s"
+        s"""${kmeansCtes(k, iters, sfx = sfx, dims = sub,
+             srcList = s"embedding[${s * sub + 1}:${(s + 1) * sub}]")},
+           |uF$s AS (SELECT a.cid, d, CAST(SUM(ed$sfx.qv[d]) AS BIGINT) AS s,
+           |           COUNT(*) AS n
+           |         FROM a$sfx$iters a JOIN ed$sfx USING (vec_id)
+           |         CROSS JOIN range(1, ${sub + 1}) r(d) GROUP BY a.cid, d),
+           |cF$s AS (SELECT cid, array_agg(CAST(s AS DOUBLE) / n ORDER BY d) AS cv
+           |         FROM uF$s GROUP BY cid),
+           |qq$s AS (SELECT list_transform(embedding[${s * sub + 1}:${(s + 1) * sub}],
+           |           x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE)) AS qd
+           |         FROM embeddings ORDER BY vec_id LIMIT 1),
+           |dt$s AS (SELECT cid,
+           |           list_reduce(list_transform(generate_series(1, $sub),
+           |             d -> (qq.qd[d] - cv[d]) * (qq.qd[d] - cv[d])), (x, y) -> x + y) AS ds
+           |         FROM cF$s CROSS JOIN qq$s qq)""".stripMargin
+      }.mkString(",\n")
+      val joins = (0 until m).map(s =>
+        s"JOIN ap$s$iters a$s USING (vec_id) JOIN dt$s ON a$s.cid = dt$s.cid")
+        .mkString("\n")
+      val adc = (0 until m).map(s => s"dt$s.ds").mkString(" + ")
+      s"""WITH $chains,
+         |ids AS (SELECT vec_id FROM embeddings),
+         |anchor AS (SELECT MIN(vec_id) AS q_id FROM embeddings)
+         |SELECT ids.vec_id, ROUND($adc, 6) AS adc_dist
+         |FROM ids
+         |$joins
+         |CROSS JOIN anchor
+         |WHERE ids.vec_id <> anchor.q_id
+         |ORDER BY $adc ASC, ids.vec_id LIMIT 10""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.pqAdcTopK(emb, "vec_id", "embedding",
+        query = emb.orderBy("vec_id").limit(1), topK = 10,
+        m = 4, subDims = 16, k = 4, iters = 2)
+    },
+
     // SemDeDup (Abbas et al. 2023): semantic near-duplicates — k-means
     // blocking, intra-cluster cosine ≥ 0.35 pairs (threshold chosen
     // against the synthetic embedding distribution: ~271 over-threshold
@@ -646,31 +712,33 @@ object VectorQueries {
     * argmin — mirrors Clustering.kmeans exactly), ending in the final
     * assignment CTE `a{iters}(vec_id, cid)`. Shared by q97 and the
     * SemDeDup oracle. */
-  private def kmeansCtes(k: Int, iters: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int, sfx: String = "",
+      dims: Int = 64, srcList: String = "embedding"): String = {
     def assignCte(a: String, c: String): String =
       s"""$a AS (SELECT vec_id, cid FROM (
-         |  SELECT ed.vec_id, $c.cid, row_number() OVER (PARTITION BY ed.vec_id
-         |    ORDER BY list_reduce(list_transform(generate_series(1, 64),
-         |      d -> (ed.dv[d] - $c.cv[d]) * (ed.dv[d] - $c.cv[d])),
+         |  SELECT ed$sfx.vec_id, $c.cid, row_number() OVER (PARTITION BY ed$sfx.vec_id
+         |    ORDER BY list_reduce(list_transform(generate_series(1, $dims),
+         |      d -> (ed$sfx.dv[d] - $c.cv[d]) * (ed$sfx.dv[d] - $c.cv[d])),
          |      (x, y) -> x + y) ASC, $c.cid) AS rn
-         |  FROM ed CROSS JOIN $c) t WHERE rn = 1)""".stripMargin
+         |  FROM ed$sfx CROSS JOIN $c) t WHERE rn = 1)""".stripMargin
     val steps = (1 until iters).map { i =>
-      s"""${assignCte(s"a$i", s"c${i - 1}")},
-         |u$i AS (SELECT a$i.cid, d, CAST(SUM(ed.qv[d]) AS BIGINT) AS s, COUNT(*) AS n
-         |        FROM a$i JOIN ed USING (vec_id) CROSS JOIN range(1, 65) r(d)
-         |        GROUP BY a$i.cid, d),
-         |c$i AS (SELECT cid, array_agg(CAST(s AS DOUBLE) / n ORDER BY d) AS cv
-         |        FROM u$i GROUP BY cid)""".stripMargin
+      s"""${assignCte(s"a$sfx$i", s"c$sfx${i - 1}")},
+         |u$sfx$i AS (SELECT a$sfx$i.cid, d, CAST(SUM(ed$sfx.qv[d]) AS BIGINT) AS s,
+         |          COUNT(*) AS n
+         |        FROM a$sfx$i JOIN ed$sfx USING (vec_id) CROSS JOIN range(1, ${dims + 1}) r(d)
+         |        GROUP BY a$sfx$i.cid, d),
+         |c$sfx$i AS (SELECT cid, array_agg(CAST(s AS DOUBLE) / n ORDER BY d) AS cv
+         |        FROM u$sfx$i GROUP BY cid)""".stripMargin
     }.mkString(",\n")
-    s"""e AS (
-       |  SELECT vec_id, list_transform(embedding,
+    s"""e$sfx AS (
+       |  SELECT vec_id, list_transform($srcList,
        |    x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
        |  FROM embeddings),
-       |ed AS (SELECT vec_id, qv, list_transform(qv, x -> CAST(x AS DOUBLE)) AS dv
-       |       FROM e),
-       |c0 AS (SELECT vec_id AS cid, dv AS cv FROM ed ORDER BY vec_id LIMIT $k),
+       |ed$sfx AS (SELECT vec_id, qv, list_transform(qv, x -> CAST(x AS DOUBLE)) AS dv
+       |       FROM e$sfx),
+       |c${sfx}0 AS (SELECT vec_id AS cid, dv AS cv FROM ed$sfx ORDER BY vec_id LIMIT $k),
        |$steps,
-       |${assignCte(s"a$iters", s"c${iters - 1}")}""".stripMargin
+       |${assignCte(s"a$sfx$iters", s"c$sfx${iters - 1}")}""".stripMargin
   }
 
   private def kmeansOracle(k: Int, iters: Int): String =

@@ -384,6 +384,88 @@ object Similarity {
         aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long")))
   }
 
+  /** Product-quantization codes (Jégou, Douze & Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search") — the vector-store
+    * compression step beyond per-vector int8 ([[quantizeInt8]]): split
+    * each vector into `m` contiguous `subDims`-dim subvectors, learn a
+    * k-codeword codebook PER subvector with the deterministic
+    * [[Clustering.kmeans]], and store each vector as m small codes
+    * (64-dim float32 → m bytes at k ≤ 256: 32× compression, and ADC
+    * lookup tables replace full dot products at query time).
+    *
+    * Codes are the seed-vector ids of [[Clustering.kmeans]] — fully
+    * deterministic, so the whole codebook+assignment has an exact SQL
+    * oracle. Scale shape: m independent kmeans runs over sliced columns
+    * (each: broadcast centroids + one scan + a k·subDims-sized agg per
+    * iteration), then an m-way id-keyed join of the per-subvector code
+    * frames — all hash joins on the id, no pairwise work.
+    * Returns (idCol, code_0 … code_{m-1}). */
+  def pqCodes(
+      emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDims: Int, k: Int, iters: Int): DataFrame = {
+    val codes = (0 until m).map { s =>
+      val sub = emb.select(col(idCol),
+        slice(vecD(col(vecCol)), s * subDims + 1, subDims).as("sub"))
+      Clustering.kmeans(sub, idCol, "sub", k, iters)
+        .select(col(idCol), col("cluster").as(s"code_$s"))
+    }
+    codes.reduce(_.join(_, Seq(idCol)))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k search — the query path of
+    * [[pqCodes]] (Jégou et al. 2011 §III): the query stays exact while
+    * corpus vectors are represented by their codeword centroids, so a
+    * per-subvector distance TABLE (k entries each) replaces the full
+    * dot product — each corpus row costs m table lookups + m−1 adds.
+    *
+    * Determinism end-to-end: centroids are exact-integer means of the
+    * final assignment (one extra update step over the quantized grid),
+    * the query is quantized to the same grid, distance folds are
+    * left-to-right, and the m partial distances add in fixed subvector
+    * order — every double is bit-identical cross-engine, so the top-k
+    * set AND order have an exact SQL oracle.
+    *
+    * Scale shape: m kmeans runs + per-subvector (k-row) distance tables
+    * broadcast onto the code frames; the ranking is one TakeOrdered.
+    * No corpus×corpus work. Returns (idCol, adc_dist) ascending. */
+  def pqAdcTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, topK: Int,
+      m: Int, subDims: Int, k: Int, iters: Int): DataFrame = {
+    val qId = broadcast(query.limit(1).select(col(idCol).as("q_id")))
+    val joined = (0 until m).map { s =>
+      val sub = emb.select(col(idCol),
+        slice(vecD(col(vecCol)), s * subDims + 1, subDims).as("sub"))
+      val asg = Clustering.kmeans(sub, idCol, "sub", k, iters)
+      // exact-integer codebook centroids of the final assignment
+      val qsub = sub.select(col(idCol), Clustering.quantize(col("sub")).as("qv"))
+      val cent = asg.join(qsub, idCol)
+        .select(col("cluster").as("cid"), posexplode(col("qv")).as(Seq("d", "q")))
+        .groupBy("cid", "d")
+        .agg(sum("q").as("s"), count(lit(1)).as("n"))
+        .groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("d").as("d"),
+            (col("s").cast("double") / col("n")).as("m")))),
+          x => x.getField("m")).as("cv"))
+      val qv = broadcast(query.limit(1).select(
+        Clustering.quantize(slice(vecD(col(vecCol)), s * subDims + 1, subDims))
+          .cast("array<double>").as("qd")))
+      val dt = broadcast(cent.crossJoin(qv)
+        .select(col("cid"), Clustering.sqDist(col("qd"), col("cv")).as(s"d_$s")))
+      asg.join(dt, col("cluster") === col("cid"))
+        .select(col(idCol), col(s"d_$s"))
+    }
+    val full = joined.reduce(_.join(_, Seq(idCol)))
+    val adc = (0 until m).map(s => col(s"d_$s")).reduce(_ + _)
+    full.crossJoin(qId)
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col(idCol), adc.as("raw"))
+      .orderBy(col("raw").asc, col(idCol).asc)
+      .limit(topK)
+      .select(col(idCol), round(col("raw"), 6).as("adc_dist"))
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998) —
     * the diversity-aware retrieval step RAG stacks put between ANN
     * candidates and the LLM context window: greedily select k documents

@@ -165,6 +165,38 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int, Double)].collect().map(_._1).toSeq == Seq(20L, 10L))
   }
 
+  test("pqCodes: per-subvector codes equal kmeans on the slice") {
+    import graft.vector.Clustering
+    val out = Similarity.pqCodes(vecs, "vec_id", "embedding",
+        m = 2, subDims = 2, k = 2, iters = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // cross-check each subvector against a direct kmeans on that slice
+    for (s <- 0 until 2) {
+      val sub = vecs.select(col("vec_id"),
+        slice(col("embedding").cast("array<double>"), s * 2 + 1, 2).as("sub"))
+      val direct = Clustering.kmeans(sub, "vec_id", "sub", k = 2, iters = 2)
+        .as[(Long, Long)].collect().toMap
+      for ((id, codes) <- out)
+        assert((if (s == 0) codes._1 else codes._2) == direct(id),
+          s"subvector $s code mismatch for vec $id")
+    }
+    // every vector gets a code row; codes come from the seed-id space
+    assert(out.size == 5 && out.values.forall(c => Set(c._1, c._2).subsetOf(Set(0L, 1L))))
+  }
+
+  test("pqAdcTopK: excludes query, ranks codeword-mates first, deterministic") {
+    val q = vecs.filter(col("vec_id") === 0)
+    def run() = Similarity.pqAdcTopK(vecs, "vec_id", "embedding", q,
+        topK = 4, m = 2, subDims = 2, k = 2, iters = 2)
+      .as[(Long, Double)].collect().toSeq
+    val out = run()
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L, 4L)) // self excluded
+    // 0's codeword-mates (1, 4 — the x-axis-ish cluster) beat 2 and 3
+    assert(Set(1L, 4L).contains(out.head._1))
+    assert(out.map(_._2) == out.map(_._2).sorted) // ascending distance
+    assert(run() == out) // bit-deterministic rerun
+  }
+
   test("retrievalMetrics: MRR, P@k, NDCG@k match a hand-traced ranking") {
     // anchor 0 (label 0): ranking by cosine = 1(.994, rel), 4(.970),
     // 2(0, rel), 3(-1) → n_rel 2, first 1, MRR 1, P@10 0.2,
