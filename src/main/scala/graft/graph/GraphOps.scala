@@ -246,7 +246,14 @@ object GraphOps {
     val bc = resolveBroadcastState(broadcastState, edges)
     val pre0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val ownPre = !callerCached(edges)
-    val pre = if (ownPre) pre0.persist() else pre0
+    // localCheckpoint, NOT persist: the superstep loop references this
+    // frame twice per superstep and every block action re-renders the
+    // full logical plan — persist caches the DATA but keeps the deep
+    // caller lineage in the plan, and a kmeans-chain input made CC on a
+    // 1,168-edge τ-graph take 85 s in plan-rendering time alone (q143).
+    // Truncation roots every superstep plan at a LogicalRDD leaf; lazy,
+    // so the first block action is still the materializer.
+    val pre = if (ownPre) pre0.localCheckpoint(eager = false) else pre0
     val und0 = pre.union(pre.select(col("dst").as("src"), col("src").as("dst")))
     // Self-loops make the superstep a pure aggregation over the static
     // edge table — new label = min over (self ∪ neighbors) — so the
@@ -301,7 +308,7 @@ object GraphOps {
       iter += steps
     }
     und.unpersist(blocking = false)
-    if (ownPre) pre.unpersist(blocking = false)
+    if (ownPre) releaseLocalCheckpoint(pre) // labels snap is materialized
     labels.withColumnRenamed("label", "component")
   }
 

@@ -344,10 +344,14 @@ object Similarity {
   def semDedup(
       emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, tau: Double): DataFrame = {
-    val clusters = Clustering.kmeans(emb, idCol, vecCol, k, iters)
+    // persist the clustered-vector frame: it feeds BOTH sides of the
+    // pair join AND the final projection — without the cache every
+    // consumer re-executes the full Lloyd chain (measured 31 s → ~8 s
+    // for q143 at sf0.1)
     val v = emb.select(col(idCol), vecD(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
-      .join(clusters, idCol)
+      .join(Clustering.kmeans(emb, idCol, vecCol, k, iters), idCol)
+      .persist()
     val a = v.select(col(idCol).as("ia"), col("cluster"),
       col("v").as("va"), col("nrm").as("na"))
     val b = v.select(col(idCol).as("ib"), col("cluster"),
@@ -357,11 +361,15 @@ object Similarity {
       .filter(cosine(col("va"), col("vb"), col("na"), col("nb")) >= tau)
       .select(col("ia").as("src"), col("ib").as("dst"))
     val comp = graft.graph.GraphOps.ccEdges(pairs, "src", "dst")
-    v.select(col(idCol), col("cluster"))
+    val out = v.select(col(idCol), col("cluster"))
       .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), col("cluster"),
         coalesce(col("component"), col(idCol)).as("keep_id"))
       .withColumn("is_dup", col("keep_id") =!= col(idCol))
+      .persist()
+    out.count()
+    v.unpersist(blocking = false)
+    out
   }
 
   /** Symmetric int8 quantization of an embedding column — the 4×
