@@ -1064,6 +1064,48 @@ object GraphOps {
     out
   }
 
+  /** Multi-resolution Leiden ladder: [[lpaLouvainRefineMulti]]'s γ
+    * ladder with the well-connectedness split applied PER RESOLUTION —
+    * the reference's full community stack (leidenalg at resolutions
+    * [2.0, 0.5, 0.1] with split-refinement, neo4j_helpers.py:237-268
+    * via /root/reference). The splits for ALL resolutions run as ONE
+    * constrained-CC pass: vertex ids are γ-namespaced (id·n + γindex),
+    * the edge set is replicated once per γ within its namespace, and
+    * min-label propagation runs over the disjoint union — one superstep
+    * loop instead of |γ| loops (the supersteps are fixed-overhead-bound,
+    * so this is ~|γ|× cheaper than per-γ splits). Labels decode as
+    * label·n + idx → label (min of id·n+idx over a component is
+    * (min id)·n + idx, so integer division inverts exactly).
+    * Returns (gamma_pct, id, label). */
+  def lpaLeidenRefineMulti(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      lpaIters: Int, rounds: Int, gammaPcts: Seq[Long],
+      broadcastState: Option[Boolean] = None): DataFrame = {
+    val refined = lpaLouvainRefineMulti(edges, srcCol, dstCol,
+      lpaIters, rounds, gammaPcts, broadcastState)
+    val n = gammaPcts.size.toLong
+    val idxOf = gammaPcts.zipWithIndex.foldLeft(lit(-1L)) {
+      case (acc, (g, i)) =>
+        when(col("gamma_pct") === g, lit(i.toLong)).otherwise(acc)
+    }
+    val asgN = refined.select(
+      (col("id") * n + idxOf).as("id"), col("label"))
+    val gi = broadcast(edges.sparkSession.range(n).toDF("gi"))
+    val eN = edges.select(col(srcCol).as("s0"), col(dstCol).as("d0"))
+      .crossJoin(gi)
+      .select((col("s0") * n + col("gi")).as("src"),
+        (col("d0") * n + col("gi")).as("dst"))
+    val split = wellConnectedSplit(eN, "src", "dst", asgN, "id", "label",
+      broadcastState = broadcastState)
+    val gammaOf = gammaPcts.zipWithIndex.foldLeft(lit(-1L)) {
+      case (acc, (g, i)) =>
+        when(pmod(col("id"), lit(n)) === i, lit(g)).otherwise(acc)
+    }
+    split.select(gammaOf.as("gamma_pct"),
+      expr(s"CAST(id DIV $n AS BIGINT)").as("id"),
+      expr(s"CAST(label DIV $n AS BIGINT)").as("label"))
+  }
+
   /** Leiden-style refinement: the gated Louvain local-move pass
     * ([[louvainRefine]], RB-configuration modularity at γ = gammaPct/100)
     * followed by the well-connectedness split — the two phases the

@@ -420,15 +420,7 @@ object GraphQueries {
       // and the refine+split semantics need structure, not volume — the
       // deterministic order sample keeps ~240k edges and the same
       // disconnected-community pathology the split exists for
-      val li = Tables(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 5 === 0)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      // co-purchase edges: per-order C(k,2) pairs, k ≤ order line count
-      // (bounded small) — never a global part×part product
-      val e = li.as("a").join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").cast("long").as("src"), col("b.p").cast("long").as("dst"))
-        .distinct()
+      val e = coPurchase(s, dir, orderMod = 5)
         .localCheckpoint() // consumed by the refine loop AND the split
       val refined = GraphOps.lpaLouvainRefineMulti(e, "src", "dst",
           lpaIters = 2, rounds = 1, gammaPcts = Seq(100L))
@@ -436,7 +428,39 @@ object GraphQueries {
       GraphOps.wellConnectedSplit(e, "src", "dst", refined, "id", "label")
         .select(col("id").as("key"), col("label"))
     },
+
+    // The reference's FULL community stack in one operator: the 3-γ
+    // resolution ladder (RB-configuration [2.0, 0.5, 0.1]) with the
+    // well-connectedness split applied per resolution — leidenalg's
+    // find_partition × 3 resolutions (neo4j_helpers.py:237-268). The
+    // three splits run as ONE constrained-CC pass over γ-namespaced
+    // vertex ids (id·3 + γindex): the superstep loop is fixed-overhead-
+    // bound, so the union costs ~1 split instead of 3. o % 10 sample
+    // keeps the 3-γ composite in the q134/q140 cost family.
+    Q("q147_leiden_multires",
+      leidenMultiOracle(lpaIters = 2, rounds = 1, Seq(200L, 50L, 10L),
+        orderMod = 10)) { (s, dir) =>
+      val e = coPurchase(s, dir, orderMod = 10)
+        .localCheckpoint() // refine loop + namespaced split both consume it
+      GraphOps.lpaLeidenRefineMulti(e, "src", "dst",
+          lpaIters = 2, rounds = 1, gammaPcts = Seq(200L, 50L, 10L))
+        .select(col("gamma_pct"), col("id").as("key"), col("label"))
+    },
   )
+
+  /** The part co-purchase UNIPARTITE graph (parts sharing an order),
+    * deterministically sampled to orders with key % orderMod = 0 —
+    * per-order C(k,2) pairs, never a global part×part product. */
+  private def coPurchase(s: org.apache.spark.sql.SparkSession, dir: String,
+      orderMod: Int): org.apache.spark.sql.DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .filter(col("l_orderkey") % orderMod === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").cast("long").as("src"), col("b.p").cast("long").as("dst"))
+      .distinct()
+  }
 
   /** The part–supplier bipartite edge set shared by the graph queries
     * (part → 2k, supplier → 2k+1). */
@@ -678,6 +702,50 @@ object GraphQueries {
     s"""${louvainPrelude(lpaIters)},
        |$blocks
        |$sel""".stripMargin
+  }
+
+  /** q147 oracle: co-purchase prelude, shared unrolled LPA, one
+    * louvainSteps block per γ (exact reduced rationals, as q134), then
+    * per γ the constrained min-reachability split (the q140 pattern),
+    * unioned with the γ tag. */
+  private def leidenMultiOracle(lpaIters: Int, rounds: Int,
+      gammaPcts: Seq[Long], orderMod: Int): String = {
+    val blocks = gammaPcts.map { g =>
+      val gcd = java.math.BigInteger.valueOf(g)
+        .gcd(java.math.BigInteger.valueOf(100L)).longValueExact()
+      louvainSteps(s"g$g", "abase", rounds, gp = g / gcd, gq = 100L / gcd)
+    }.mkString(",\n")
+    val perG = gammaPcts.map { g =>
+      s"""afg$g AS MATERIALIZED (SELECT id, c FROM ag$g$rounds),
+         |intrag$g AS MATERIALIZED (
+         |  SELECT u.src, u.dst FROM und u
+         |  JOIN afg$g x ON u.src = x.id JOIN afg$g y ON u.dst = y.id
+         |  WHERE x.c = y.c),
+         |reachg$g AS (SELECT src AS id, src AS comp FROM intrag$g
+         |          UNION
+         |          SELECT u.src AS id, r.comp
+         |          FROM intrag$g u JOIN reachg$g r ON u.dst = r.id),
+         |ccg$g AS (SELECT id, MIN(comp) AS comp FROM reachg$g GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    val sels = gammaPcts.map { g =>
+      s"""SELECT $g AS gamma_pct, a.id AS key, COALESCE(ccg$g.comp, a.id) AS label
+         |FROM afg$g a LEFT JOIN ccg$g ON a.id = ccg$g.id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE
+       |li AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS o,
+       |                                    CAST(l_partkey AS BIGINT) AS p
+       |                    FROM lineitem WHERE l_orderkey % $orderMod = 0),
+       |e AS MATERIALIZED (SELECT DISTINCT a.p AS src, b.p AS dst
+       |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+       |und AS MATERIALIZED (
+       |  SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+       |${lpaSteps("und", "l", lpaIters)},
+       |deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS kv FROM und GROUP BY src),
+       |mm AS MATERIALIZED (SELECT COUNT(*) AS m2 FROM und),
+       |abase AS MATERIALIZED (SELECT id, label AS c FROM l$lpaIters),
+       |$blocks,
+       |$perG
+       |$sels""".stripMargin
   }
 
   private def lpaOracle(iters: Int): String =

@@ -449,6 +449,35 @@ class GraphSpec extends SparkSpec {
     assert(s2(20L) == 20L && s2(21L) == 21L && s2(22L) == 21L)
   }
 
+  test("lpaLeidenRefineMulti: namespaced union split equals per-gamma splits") {
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val e = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(11L, 12L, 13L, 14L)) ++
+      Seq((4L, 11L), (20L, 21L))).toDF("src", "dst")
+    val gammas = Seq(200L, 50L, 10L)
+    val fused = GraphOps.lpaLeidenRefineMulti(e, "src", "dst",
+        lpaIters = 2, rounds = 2, gammaPcts = gammas)
+      .as[(Long, Long, Long)].collect().toSet
+    // reference composition: per-γ refine, then per-γ split
+    val refined = GraphOps.lpaLouvainRefineMulti(e, "src", "dst",
+      lpaIters = 2, rounds = 2, gammaPcts = gammas)
+    val perGamma = gammas.flatMap { g =>
+      GraphOps.wellConnectedSplit(e, "src", "dst",
+          refined.filter(col("gamma_pct") === g), "id", "label")
+        .as[(Long, Long)].collect().map { case (id, l) => (g, id, l) }
+    }.toSet
+    assert(fused == perGamma)
+    // every resolution's output is already well-connected: re-splitting
+    // any γ level changes nothing
+    for (g <- gammas) {
+      val lvl = fused.filter(_._1 == g).toSeq.map(t => (t._2, t._3))
+        .toDF("id", "label")
+      val re = GraphOps.wellConnectedSplit(e, "src", "dst", lvl, "id", "label")
+        .as[(Long, Long)].collect().toSet
+      assert(re == fused.filter(_._1 == g).map(t => (t._2, t._3)))
+    }
+  }
+
   test("multiSourceBfs: nearest landmark with smallest-id tie-break") {
     // path 1-2-3-4-5 with landmarks {1, 5}: 2→1, 4→5, 3 ties → 1
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
