@@ -76,7 +76,11 @@ class PlanSpec extends SparkSpec {
       "q131_matryoshka_recall", // broadcast query vector per prefix length
       "q133_skew_report", // broadcast 1-row totals + 1-row top-keys string
       "q137_cooccurrence_pmi", // broadcast 1-row N(docs) scalar
-      "q139_hard_negatives") // broadcast 4-row anchor set
+      "q139_hard_negatives", // broadcast 4-row anchor set
+      "q143_semdedup",       // broadcast k-row centroid table (kmeans)
+      "q144_retrieval_metrics", // broadcast 4-row anchor set (as q139)
+      "q145_pq_codes",       // broadcast k-row centroid tables per subvector
+      "q146_pq_adc_topk")    // centroid tables + 1-row query vector/id
     // Known blind spot: the iterative queries (q42/q60/q80/q81) run
     // their superstep jobs eagerly inside fn, so only their FINAL frame
     // is inspected here; the supersteps' own plan shapes are covered by
