@@ -610,6 +610,45 @@ object TextQueries {
       TextStats.lmScore(Tables(s, dir, "documents"), "doc_id", "text")
     },
 
+    // DSIR-style importance weighting (Xie et al. 2023): score non-'en'
+    // documents by the add-1-smoothed unigram likelihood ratio between
+    // the 'en' (target) and non-'en' (source) corpora — bits/token > 0
+    // reads more target-like (DSIR's data-selection signal). Float
+    // discipline = q111's (ln of integer counts, fixed order, term-
+    // sorted per-doc folds).
+    Q("q148_importance_weights",
+      """WITH tk AS (
+        |  SELECT doc_id, lang = 'en' AS is_target,
+        |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, is_target, term, COUNT(*) AS c
+        |       FROM tk GROUP BY doc_id, is_target, term),
+        |cft AS (SELECT term, CAST(SUM(c) AS BIGINT) AS cft FROM tf WHERE is_target GROUP BY term),
+        |cfs AS (SELECT term, CAST(SUM(c) AS BIGINT) AS cfs FROM tf WHERE NOT is_target GROUP BY term),
+        |k AS (SELECT
+        |        (SELECT COALESCE(CAST(SUM(cft) AS BIGINT), 0) FROM cft) AS tot_t,
+        |        (SELECT COALESCE(CAST(SUM(cfs) AS BIGINT), 0) FROM cfs) AS tot_s,
+        |        (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) FROM tk) AS v),
+        |r AS (SELECT tf.doc_id, tf.term, tf.c,
+        |        CAST(tf.c AS DOUBLE) *
+        |          (ln(CAST(COALESCE(cft.cft, 0) AS DOUBLE) + 1.0)
+        |           - ln(CAST(k.tot_t + k.v AS DOUBLE))
+        |           - ln(CAST(cfs.cfs AS DOUBLE) + 1.0)
+        |           + ln(CAST(k.tot_s + k.v AS DOUBLE))) AS s
+        |      FROM tf LEFT JOIN cft USING (term) JOIN cfs USING (term), k
+        |      WHERE NOT tf.is_target),
+        |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |            array_agg(s ORDER BY term)), (a, b) -> a + b) AS raw
+        |        FROM r GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  ROUND(raw / n_tokens / ln(2.0), 6) AS bits_per_token,
+        |  raw >= 0.0 AS selected
+        |FROM agg""".stripMargin) { (s, dir) =>
+      TextStats.importanceWeights(Tables(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "en")
+    },
+
     // The full Gopher document-quality rule set (Rae et al. 2021 §A1.1)
     // — every signal column + the composite pass verdict; a pure
     // projection (no shuffle), identical RE2-safe regexes both engines.

@@ -262,6 +262,58 @@ object TextStats {
     * aggregation-order dependence. Scale: two explode→hash-agg passes;
     * the term-frequency join is vocabulary-sized (AQE picks the
     * strategy); the 1-row corpus total is the only broadcast. */
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", public): score
+    * every SOURCE document by how much more likely its tokens are under
+    * the TARGET distribution than the source distribution —
+    * log w(x) = Σ_term c·(ln p̂_t(term) − ln p̂_s(term)) with add-1
+    * smoothed unigram models (V = corpus-wide distinct terms, so unseen-
+    * in-target terms contribute a finite penalty, never −∞). Positive
+    * bits-per-token ⇒ the doc reads more like the target corpus —
+    * DSIR's selection signal (the paper resamples ∝ w; the deterministic
+    * in-engine form exposes the weight and a ≥0 `selected` flag, and a
+    * caller wanting exact quotas composes with budgetSelect/hashSplit).
+    *
+    * Float discipline = [[lmScore]]'s (the proven q111 shape): ln only
+    * on exact integer counts cast to double, fixed intra-expression
+    * order, per-doc sums folded over the term-sorted list. Scale shape:
+    * one explode, three hash aggs (tf, target cf, source cf), two
+    * term-keyed joins (AQE-broadcast when small), 1-row scalar
+    * broadcast — no pairwise work, no driver collect. */
+  def importanceWeights(
+      docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame = {
+    val toks = docs
+      .select(col(idCol), isTarget.as("is_target"), explode(tokens(textCol)).as("term"))
+    val tf = toks.groupBy(col(idCol), col("is_target"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val cfT = tf.filter(col("is_target")).groupBy("term").agg(sum("c").as("cft"))
+    val cfS = tf.filter(!col("is_target")).groupBy("term").agg(sum("c").as("cfs"))
+    val consts = broadcast(
+      cfT.agg(coalesce(sum(col("cft")), lit(0L)).as("tot_t"))
+        .crossJoin(cfS.agg(coalesce(sum(col("cfs")), lit(0L)).as("tot_s")))
+        .crossJoin(toks.agg(countDistinct(col("term")).as("v"))))
+    val rows = tf.filter(!col("is_target"))
+      .join(cfT, Seq("term"), "left")
+      .join(cfS, Seq("term"))
+      .crossJoin(consts)
+      .select(col(idCol), col("term"), col("c"),
+        (col("c").cast("double") *
+          (log(coalesce(col("cft"), lit(0L)).cast("double") + 1.0) -
+            log((col("tot_t") + col("v")).cast("double")) -
+            log(col("cfs").cast("double") + 1.0) +
+            log((col("tot_s") + col("v")).cast("double")))).as("s"))
+    rows.groupBy(col(idCol))
+      .agg(sum("c").as("n_tokens"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("term").as("t"), col("s").as("s")))),
+            x => x.getField("s")),
+          lit(0.0), _ + _).as("raw"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("raw") / col("n_tokens") / log(lit(2.0)), 6).as("bits_per_token"),
+        (col("raw") >= 0.0).as("selected"))
+  }
+
   def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol), explode(tokens(textCol)).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("c"))

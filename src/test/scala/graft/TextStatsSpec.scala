@@ -298,4 +298,26 @@ class TextStatsSpec extends SparkSpec {
     assert(math.abs(out(1L)._3 - BigDecimal(expect)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
+
+  test("importanceWeights: target-like source docs score positive, alien docs negative") {
+    import graft.text.TextStats
+    val docs = Seq(
+      (1L, "en", "cats and dogs play in the garden"),
+      (2L, "en", "dogs and cats sleep in the garden"),
+      (10L, "de", "cats dogs garden play"),           // target-like source doc
+      (11L, "de", "xylophon zebra quark flux umlaut") // alien source doc
+    ).toDF("doc_id", "lang", "text")
+    val out = TextStats.importanceWeights(docs, "doc_id", "text",
+        isTarget = col("lang") === "en")
+      .as[(Long, Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    // only SOURCE docs are scored
+    assert(out.keySet == Set(10L, 11L))
+    assert(out(10L)._2 == 4L && out(11L)._2 == 5L) // token counts
+    // the target-like doc reads more target-like than the alien one,
+    // is positive (selected), and the alien one is negative
+    assert(out(10L)._3 > 0.0 && out(10L)._4)
+    assert(out(11L)._3 < 0.0 && !out(11L)._4)
+    assert(out(10L)._3 > out(11L)._3)
+  }
+
 }
