@@ -80,7 +80,8 @@ class PlanSpec extends SparkSpec {
       "q143_semdedup",       // broadcast k-row centroid table (kmeans)
       "q144_retrieval_metrics", // broadcast 4-row anchor set (as q139)
       "q145_pq_codes",       // broadcast k-row centroid tables per subvector
-      "q146_pq_adc_topk")    // centroid tables + 1-row query vector/id
+      "q146_pq_adc_topk",    // centroid tables + 1-row query vector/id
+      "q148_importance_weights") // broadcast 1-row (tot_t, tot_s, V) scalar
     // Known blind spot: the iterative queries (q42/q60/q80/q81) run
     // their superstep jobs eagerly inside fn, so only their FINAL frame
     // is inspected here; the supersteps' own plan shapes are covered by
