@@ -312,6 +312,67 @@ object GraphOps {
     labels.withColumnRenamed("label", "component")
   }
 
+  /** Connected components in O(log n) ROUNDS — the high-diameter scale
+    * path (Shiloach–Vishkin-style pointer jumping; the MapReduce
+    * formulation is Kiveris et al. 2014's star contractions, public):
+    * [[ccEdges]]'s min-propagation needs O(diameter) supersteps, which
+    * is the right trade for the short-diameter graphs pipelines build
+    * but degenerates on path/chain shapes (a 10⁶-vertex chain would
+    * need 10⁶ supersteps). Here every round combines
+    *
+    *   1. one min-propagation step l(v) ← min(l(v), min_{u∈N(v)} l(u)),
+    *   2. one pointer-doubling step l(v) ← l(l(v)) (a label-keyed
+    *      self-join), which halves pointer-chain lengths,
+    *
+    * so convergence takes O(log n) rounds on ANY topology. Correctness
+    * invariant: l(v) is always the id of a vertex in v's component and
+    * never increases; at the joint fixpoint labels are constant per
+    * component, and since the min vertex's label can only be itself the
+    * constant IS the component min — identical output to [[ccEdges]]
+    * (AlgoRandomSpec asserts set-equality on random graphs; GraphSpec
+    * covers the long-path case ccEdges' default budget can't finish).
+    * Convergence via the exact decimal label-sum check, per round.
+    * Cost per round: one edge-sized agg + two vertex-sized joins —
+    * ~2× ccEdges' per-superstep work, won back exponentially on
+    * diameter. Returns (id, component). */
+  def ccStarEdges(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val pre0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val ownPre = !callerCached(edges)
+    val pre = if (ownPre) pre0.localCheckpoint(eager = false) else pre0
+    val und = pre.union(pre.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .persist()
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("l", col("id"))
+      .localCheckpoint(eager = false) // materialized by round 1's sum probe
+    var prevSum: java.math.BigDecimal = null
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val prop = und
+        .join(labels.select(col("id").as("dst"), col("l").as("ln")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("ln")).as("lp"))
+        .join(labels, "id")
+        .select(col("id"), least(col("l"), col("lp")).as("l"))
+      val doubled = prop.as("a")
+        .join(prop.select(col("id").as("pid"), col("l").as("pl")).as("p"),
+          col("a.l") === col("pid"), "left")
+        .select(col("a.id").as("id"), coalesce(col("pl"), col("a.l")).as("l"))
+        .localCheckpoint(eager = false)
+      // ONE action: materializes the round AND reads the convergence sum
+      val s = doubled.agg(sum(col("l").cast("decimal(38,0)"))).head().getDecimal(0)
+      converged = s == null || (prevSum != null && s.compareTo(prevSum) == 0)
+      prevSum = s
+      releaseLocalCheckpoint(labels) // doubled is materialized
+      labels = doubled
+      iter += 1
+    }
+    und.unpersist(blocking = false)
+    if (ownPre) releaseLocalCheckpoint(pre)
+    labels.withColumnRenamed("l", "component")
+  }
+
   /** Incremental connected components: fold a NEW edge batch into an
     * existing min-vertex-id labeling WITHOUT re-running CC over the full
     * graph — the maintenance operation a 100 TB graph needs when a

@@ -274,6 +274,24 @@ object GraphQueries {
         .select(col("c_custkey"), col("comp_label").as("component"))
     },
 
+    // O(log n)-round CC (pointer jumping): same result as q114's
+    // min-propagation loop — the high-diameter scale path where
+    // O(diameter) supersteps degenerate (GraphSpec runs it on a
+    // 300-vertex chain that ccEdges' default budget cannot finish).
+    Q("q149_cc_pointer_jumping",
+      """SELECT c_custkey, MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS component
+        |FROM customer""".stripMargin) { (s, dir) =>
+      val edges = Tables(s, dir, "customer")
+        .select((col("c_custkey") * 2).cast("long").as("src"),
+                (col("c_nationkey") * 2 + 1).cast("long").as("dst"))
+      val cc = GraphOps.ccStarEdges(edges, "src", "dst")
+      val cust = cc.filter(pmod(col("id"), lit(2)) === 0)
+        .select(shiftright(col("id"), 1).as("c_custkey"), col("component"))
+      val labels = cust.groupBy("component").agg(min("c_custkey").as("comp_label"))
+      cust.join(labels, "component")
+        .select(col("c_custkey"), col("comp_label").as("component"))
+    },
+
     // Incremental CC: the orderkey PATH graph (edge o—o+1 when both
     // keys exist and o%3≠0) splits into a base graph (o%5≠0) whose CC
     // labels are maintained, and a batch (o%5=0) folded in via

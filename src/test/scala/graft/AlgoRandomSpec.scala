@@ -640,6 +640,23 @@ class AlgoRandomSpec extends SparkSpec {
     }
   }
 
+  test("ccStarEdges equals ccEdges over random graphs") {
+    // the pointer-jumping variant must be bit-identical to min
+    // propagation (both label by component-min vertex id)
+    for (seed <- Seq(7, 41, 97)) {
+      val rnd = new Random(seed)
+      val n = 35
+      val edges = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("src", "dst")
+      val star = GraphOps.ccStarEdges(df, "src", "dst")
+        .as[(Long, Long)].collect().toMap
+      val prop = GraphOps.ccEdges(df, "src", "dst", maxIter = 40)
+        .as[(Long, Long)].collect().toMap
+      assert(star == prop, s"ccStar mismatch for seed $seed")
+    }
+  }
+
   test("incrementalCC equals full CC over random graphs and random batch splits") {
     // The contraction argument must survive arbitrary merges, chains of
     // merges through one batch, and batch-only vertices.

@@ -85,6 +85,21 @@ class GraphSpec extends SparkSpec {
     assert(dfCC(4L) == 1L && dfCC(12L) == 10L && dfCC(21L) == 20L)
   }
 
+  test("ccStarEdges: equals ccEdges on mixed graphs; finishes a 300-chain in O(log n) rounds") {
+    // mixed shape: path + clique + isolated pair
+    val e = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)) ++
+      (for (a <- 20L to 23L; b <- 20L to 23L if a < b) yield (a, b))).toDF("src", "dst")
+    val star = GraphOps.ccStarEdges(e, "src", "dst").as[(Long, Long)].collect().toMap
+    val prop = GraphOps.ccEdges(e, "src", "dst").as[(Long, Long)].collect().toMap
+    assert(star == prop)
+    // a 300-vertex chain: diameter 299 ≫ ccEdges' default 20-superstep
+    // budget, but pointer jumping converges in ~log2(300) rounds
+    val chain = (1L until 300L).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = GraphOps.ccStarEdges(chain, "src", "dst")
+      .as[(Long, Long)].collect()
+    assert(out.length == 300 && out.forall(_._2 == 1L))
+  }
+
   test("communityLevels: resolution ladder coarsens monotonically") {
     def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
     // two clique-pairs, bridged within pairs; pairs disconnected from each other
