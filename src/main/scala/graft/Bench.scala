@@ -44,6 +44,7 @@ object Bench {
     }
     val warmDir = "/root/testdata/sf0.001"
     val warm = if (new java.io.File(warmDir).isDirectory) warmDir else sfDir
+    val loadBefore = Provenance.loadAvg1m
     queries.foreach { case (_, fn) =>
       try fn(spark, warm).count() catch { case _: Throwable => () }
       clearCaches()
@@ -63,30 +64,35 @@ object Bench {
       }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // The driver keeps only the LAST 2000 chars of the run log and parses
-    // the JSON line out of that tail (BENCH_r02/r03 "parsed":null — the
-    // full-name ~2.5 KB line overflowed it). Short keys ("q42" for
-    // "q42_lpa_communities") + ms precision keep the line ~1.2 KB, inside
-    // the window even with sbt's trailing [success] line after it.
     def ms(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k.split("_")(0) + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k.split("_")(0) + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    // Provenance: the artifact should be reproducible from the repo — record
-    // the commit SHA and wall timestamp it was measured at (round-7 verdict
-    // item 4). Short fields; the line must stay inside the driver's 2000-char
-    // log tail (see above).
-    val sha = try {
-      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
-        .directory(new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")))
-        .start()
-      val out = new String(p.getInputStream.readAllBytes()).trim
-      if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
-    } catch { case _: Throwable => "unknown" }
-    val ts = java.time.Instant.now().toString.takeWhile(_ != '.') + "Z"
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","git":"$sha","at":"$ts"}""")
+    val sha = Provenance.gitSha
+    val ts = Provenance.timestamp
+    // Load context (round-8 verdict item 7): 1-min loadavg before/after the
+    // timed suite, so the artifact says whether the box was co-tenant-loaded.
+    val load = s"""[$loadBefore,${Provenance.loadAvg1m}]"""
+    // The driver keeps only the LAST 2000 chars of the run log and parses
+    // the JSON line out of that tail. At 149+ queries the full per-query map
+    // overflows that window (BENCH_r02/r03/r08 "parsed":null), so: the
+    // complete record — per-query seconds, errors, provenance, load — is
+    // ALWAYS written to a tracked file in the repo (bench_detail.json), and
+    // the stdout line carries the per-query map only when it provably fits,
+    // falling back to the compact summary otherwise.
+    val detail = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","git":"$sha","at":"$ts","load":$load}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo") + "/bench_detail.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail + "\n")
+    catch { case e: Throwable => System.err.println(s"BENCH detail write failed: ${e.getMessage}") }
+    // 1500-char budget leaves ~500 chars of the 2000-char tail for sbt's
+    // trailing [success]/timing lines after our line.
+    val line =
+      if (detail.length <= 1500) detail
+      else s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{"n":${results.size}},"errors":$errors,"sf":"$sfDir","git":"$sha","at":"$ts","load":$load,"detail":"bench_detail.json"}"""
+    println(line)
     spark.stop()
   }
 }

@@ -52,16 +52,8 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Provenance sidecar (round-7 verdict item 4): commit SHA + timestamp so
     // the dump is traceable to the exact source state it was produced from.
-    val sha = try {
-      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
-        .directory(new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")))
-        .start()
-      val out = new String(p.getInputStream.readAllBytes()).trim
-      if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
-    } catch { case _: Throwable => "unknown" }
-    val ts = java.time.Instant.now().toString.takeWhile(_ != '.') + "Z"
     Files.writeString(Paths.get(s"$outDir/provenance.json"),
-      s"""{"git":"$sha","at":"$ts","sf":${q(sfDir)}}""")
+      s"""{"git":"${Provenance.gitSha}","at":"${Provenance.timestamp}","sf":${q(sfDir)}}""")
     spark.stop()
     // A query that threw produced no parquet — the driver would record it
     // as silently MISSING (round 6: five queries vanished from

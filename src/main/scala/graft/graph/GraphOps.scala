@@ -1079,8 +1079,8 @@ object GraphOps {
     * level/γ.
     *
     * Implemented as constrained connected components: keep only
-    * intra-community edges (both endpoints share a label), run the
-    * [[ccEdges]] min-propagation over them, and give every resulting
+    * intra-community edges (both endpoints share a label), run
+    * [[ccStarEdges]] over them, and give every resulting
     * sub-component its min member id as its new community label;
     * vertices with no intra-community edge become singletons labeled by
     * their own id. Components never span communities (intra edges can't
@@ -1088,6 +1088,18 @@ object GraphOps {
     * construction, and min-member labels are globally unique across
     * sub-communities — so the output is a deterministic refinement of
     * the input partition.
+    *
+    * CC runs via [[ccStarEdges]] (pointer jumping, O(log n) rounds on
+    * ANY topology), not [[ccEdges]]: min-propagation needs O(diameter)
+    * supersteps, and a chain-shaped intra-community subgraph with
+    * diameter > the superstep budget would return UNCONVERGED labels —
+    * i.e. emit a still-internally-disconnected community with no error,
+    * violating the exact guarantee this function exists to provide.
+    * `maxIter` here bounds pointer-jumping ROUNDS (each round halves
+    * label-chain lengths, so the default 20 covers components of ~2^20
+    * hops — every real graph); `broadcastState` is kept for signature
+    * compatibility but the pointer-jumping loop is join-based and does
+    * not consult it.
     *
     * Scale shape: two vertex-sized equi-joins to mark intra edges
     * (AQE broadcasts the assignment when it fits) + the ccEdges loop
@@ -1115,7 +1127,7 @@ object GraphOps {
       .filter(col("cs") === col("cd"))
       .select(col("src"), col("dst"))
       .localCheckpoint(eager = false)
-    val comp = ccEdges(intra, "src", "dst", maxIter, broadcastState)
+    val comp = ccStarEdges(intra, "src", "dst", maxIter)
     val out = asg.join(comp, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("component"), col("id")).as("label"))
@@ -1137,6 +1149,23 @@ object GraphOps {
     * so this is ~|γ|× cheaper than per-γ splits). Labels decode as
     * label·n + idx → label (min of id·n+idx over a component is
     * (min id)·n + idx, so integer division inverts exactly).
+    *
+    * 100 TB note — the fused pass REPLICATES the edge set |γ|× (the
+    * broadcast-|γ|-row crossJoin below): it trades shuffle VOLUME for
+    * job COUNT. At bench scale the CC loop is fixed-overhead-bound
+    * (driver round-trips + planning dominate), so one fused loop beats
+    * |γ| loops measurably; at corpus scale, where a single edge pass is
+    * already minutes of shuffle I/O, the |γ|× volume becomes the cost
+    * that matters — run [[wellConnectedSplit]] per γ there (same
+    * results; the decode/encode below is the only fused-only code).
+    * |γ| is small (the reference ladder is 3 resolutions), so both
+    * shapes are linear in the graph; pick by which resource is scarce.
+    *
+    * Precondition (guarded): vertex ids must be ≥ 0 and ≤
+    * Long.MaxValue/|γ| — the id·n+idx namespacing mis-decodes negative
+    * ids (Spark's DIV truncates toward zero) and overflows near
+    * Long.MaxValue. The guard is one tiny agg over the already-persisted
+    * refine output.
     * Returns (gamma_pct, id, label). */
   def lpaLeidenRefineMulti(
       edges: DataFrame, srcCol: String, dstCol: String,
@@ -1145,6 +1174,17 @@ object GraphOps {
     val refined = lpaLouvainRefineMulti(edges, srcCol, dstCol,
       lpaIters, rounds, gammaPcts, broadcastState)
     val n = gammaPcts.size.toLong
+    // refineCore returns its output persisted+counted, so this probe is a
+    // cache scan, not a recompute. Row may be all-null on an empty graph —
+    // nothing to guard then.
+    val bounds = refined.agg(min(col("id")), max(col("id"))).head()
+    if (!bounds.isNullAt(0)) {
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      require(lo >= 0 && hi <= Long.MaxValue / n,
+        s"lpaLeidenRefineMulti needs vertex ids in [0, ${Long.MaxValue / n}] " +
+          s"for the |γ|=$n namespacing (got [$lo, $hi]); " +
+          "re-key the graph (e.g. zipWithIndex) before the ladder")
+    }
     val idxOf = gammaPcts.zipWithIndex.foldLeft(lit(-1L)) {
       case (acc, (g, i)) =>
         when(col("gamma_pct") === g, lit(i.toLong)).otherwise(acc)
