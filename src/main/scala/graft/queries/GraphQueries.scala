@@ -464,6 +464,89 @@ object GraphQueries {
           lpaIters = 2, rounds = 1, gammaPcts = Seq(200L, 50L, 10L))
         .select(col("gamma_pct"), col("id").as("key"), col("label"))
     },
+
+    // The reference's CAPSTONE DAG as ONE lazy program — the path every
+    // real user runs end-to-end: graph build → full Leiden ladder
+    // (q147's fused 3-γ machinery) → per-community metadata in single
+    // groupBys (q43's one-pass rewrite of detect_communities.py:294-330's
+    // per-community Python loop) → community name rule + doc-id
+    // templating (generate_community_summaries.py:28-50,
+    // ingest_community_summaries.py:156) → idempotent upsert split
+    // (anti-join, ingest_community_summaries.py:136-178 / q54 shape).
+    // No stage materializes to disk: the ladder output feeds the
+    // metadata joins lazily, and the upsert is an anti-join + union in
+    // the same plan. Analog mapping: parts = artists, p_brand = genre,
+    // p_type = country, co-purchase degree = similar_artists
+    // connectivity (detect_communities.py:138-165), γ index = level.
+    Q("q150_graphrag_capstone",
+      graphragCapstoneOracle(lpaIters = 2, rounds = 1, Seq(200L, 50L, 10L),
+        orderMod = 10)) { (s, dir) =>
+      val e = coPurchase(s, dir, orderMod = 10)
+        .localCheckpoint() // ladder loop + degree agg both consume it
+      // Stages 1-2: build + the fused multi-resolution Leiden ladder
+      val ladder = GraphOps.lpaLeidenRefineMulti(e, "src", "dst",
+        lpaIters = 2, rounds = 1, gammaPcts = Seq(200L, 50L, 10L))
+      // connectivity = undirected co-purchase degree (the reference ranks
+      // representatives by similar_artists list length)
+      val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      // Stage 3: member attributes; persisted because four aggregations
+      // (stats, brand top-N, container top-1, representatives) branch on it
+      val part = Tables(s, dir, "part").select(
+        col("p_partkey").cast("long").as("id"), col("p_brand"), col("p_type"))
+      val base = ladder.join(part, "id").join(deg, Seq("id"), "left")
+        .select(col("gamma_pct"), col("label"), col("id"),
+          col("p_brand"), col("p_type"),
+          coalesce(col("deg"), lit(0L)).as("deg"))
+        .persist()
+      val grp = Seq("gamma_pct", "label")
+      val stats = base.groupBy(grp.map(col): _*)
+        .agg(count(lit(1)).as("member_count"),
+          countDistinct("p_brand").as("n_brands"))
+      val btop = R.topNFrequent(
+        base.select("gamma_pct", "label", "p_brand"), grp, "p_brand", n = 2)
+      val topBrands = btop.groupBy(grp.map(col): _*)
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("rn"), col("p_brand")))),
+            x => x.getField("p_brand")),
+          ", ").as("top_brands"))
+      val brand1 = btop.filter(col("rn") === 1)
+        .select(col("gamma_pct"), col("label"), col("p_brand").as("brand1"))
+      val cont1 = R.topNFrequent(
+          base.select("gamma_pct", "label", "p_type"), grp, "p_type", n = 1)
+        .select(col("gamma_pct"), col("label"), col("p_type").as("cont1"))
+      // representatives: top-3 by (connectivity desc, id asc), joined in
+      // rank order (negated deg in the sort struct = desc)
+      val reps = R.topKPerGroup(base.select("gamma_pct", "label", "id", "deg"),
+          grp, Seq(col("deg").desc, col("id").asc), k = 3)
+        .groupBy(grp.map(col): _*)
+        .agg(array_join(
+          transform(array_sort(collect_list(struct((-col("deg")).as("nd"), col("id")))),
+            x => x.getField("id").cast("string")),
+          ", ").as("rep_members"))
+      // Stage 4: name rule (top country + top genre, with the reference's
+      // fallback structure) + doc-id synthesis
+      val meta = stats
+        .join(topBrands, grp).join(brand1, grp).join(cont1, grp).join(reps, grp)
+        .withColumn("level",
+          when(col("gamma_pct") === 200, 0).when(col("gamma_pct") === 50, 1)
+            .otherwise(2))
+        .withColumn("name",
+          when(col("cont1").isNotNull && col("cont1") =!= "",
+            concat(col("cont1"), lit(" "), coalesce(col("brand1"), lit("Electronic"))))
+            .otherwise(coalesce(col("brand1"), lit("Electronic"))))
+        .withColumn("doc_id",
+          concat(lit("community_L"), col("level").cast("string"),
+            lit("_"), col("label").cast("string")))
+        .drop("brand1", "cont1")
+      // Stage 5: idempotent upsert — "already in the collection" modeled as
+      // the deterministic even-label half; new docs arrive via anti-join
+      // (exactly q54's plan shape, minus the disk hop)
+      val existing = meta.filter(pmod(col("label"), lit(2)) === 0)
+      val fresh = meta.join(existing.select("gamma_pct", "label"), grp, "left_anti")
+      existing.withColumn("status", lit("existing"))
+        .unionByName(fresh.withColumn("status", lit("inserted")))
+    },
   )
 
   /** The part co-purchase UNIPARTITE graph (parts sharing an order),
@@ -722,12 +805,14 @@ object GraphQueries {
        |$sel""".stripMargin
   }
 
-  /** q147 oracle: co-purchase prelude, shared unrolled LPA, one
-    * louvainSteps block per γ (exact reduced rationals, as q134), then
-    * per γ the constrained min-reachability split (the q140 pattern),
-    * unioned with the γ tag. */
-  private def leidenMultiOracle(lpaIters: Int, rounds: Int,
-      gammaPcts: Seq[Long], orderMod: Int): String = {
+  /** Shared CTE body for the multi-resolution Leiden oracles (q147,
+    * q150): co-purchase prelude, shared unrolled LPA, one louvainSteps
+    * block per γ (exact reduced rationals, as q134), then per γ the
+    * constrained min-reachability split (the q140 pattern). Returns
+    * (cteBody, ladderSelect) where ladderSelect is the γ-tagged union
+    * yielding (gamma_pct, key, label). */
+  private def leidenMultiBody(lpaIters: Int, rounds: Int,
+      gammaPcts: Seq[Long], orderMod: Int): (String, String) = {
     val blocks = gammaPcts.map { g =>
       val gcd = java.math.BigInteger.valueOf(g)
         .gcd(java.math.BigInteger.valueOf(100L)).longValueExact()
@@ -749,21 +834,87 @@ object GraphQueries {
       s"""SELECT $g AS gamma_pct, a.id AS key, COALESCE(ccg$g.comp, a.id) AS label
          |FROM afg$g a LEFT JOIN ccg$g ON a.id = ccg$g.id""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH RECURSIVE
-       |li AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS o,
-       |                                    CAST(l_partkey AS BIGINT) AS p
-       |                    FROM lineitem WHERE l_orderkey % $orderMod = 0),
-       |e AS MATERIALIZED (SELECT DISTINCT a.p AS src, b.p AS dst
-       |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
-       |und AS MATERIALIZED (
-       |  SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
-       |${lpaSteps("und", "l", lpaIters)},
-       |deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS kv FROM und GROUP BY src),
-       |mm AS MATERIALIZED (SELECT COUNT(*) AS m2 FROM und),
-       |abase AS MATERIALIZED (SELECT id, label AS c FROM l$lpaIters),
-       |$blocks,
-       |$perG
-       |$sels""".stripMargin
+    val body =
+      s"""WITH RECURSIVE
+         |li AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS o,
+         |                                    CAST(l_partkey AS BIGINT) AS p
+         |                    FROM lineitem WHERE l_orderkey % $orderMod = 0),
+         |e AS MATERIALIZED (SELECT DISTINCT a.p AS src, b.p AS dst
+         |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+         |und AS MATERIALIZED (
+         |  SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+         |${lpaSteps("und", "l", lpaIters)},
+         |deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS kv FROM und GROUP BY src),
+         |mm AS MATERIALIZED (SELECT COUNT(*) AS m2 FROM und),
+         |abase AS MATERIALIZED (SELECT id, label AS c FROM l$lpaIters),
+         |$blocks,
+         |$perG""".stripMargin
+    (body, sels)
+  }
+
+  /** q147 oracle: the ladder body's γ-tagged union, verbatim. */
+  private def leidenMultiOracle(lpaIters: Int, rounds: Int,
+      gammaPcts: Seq[Long], orderMod: Int): String = {
+    val (body, sels) = leidenMultiBody(lpaIters, rounds, gammaPcts, orderMod)
+    s"$body\n$sels"
+  }
+
+  /** q150 oracle: the full capstone replay — the q147 ladder as a CTE,
+    * then the metadata aggregations (member count, brand top-2 /
+    * container top-1 with the (cnt DESC, value ASC) tie-break, degree-
+    * ranked representatives), the name/doc-id templating, and the
+    * upsert status split. γ → level via position in `gammaPcts`. */
+  private def graphragCapstoneOracle(lpaIters: Int, rounds: Int,
+      gammaPcts: Seq[Long], orderMod: Int): String = {
+    val (body, sels) = leidenMultiBody(lpaIters, rounds, gammaPcts, orderMod)
+    val levelCase = gammaPcts.zipWithIndex.init
+      .map { case (g, i) => s"WHEN s.gamma_pct = $g THEN $i" }
+      .mkString("CASE ", " ", s" ELSE ${gammaPcts.size - 1} END")
+    s"""$body,
+       |ladder AS MATERIALIZED (
+       |$sels),
+       |base AS MATERIALIZED (
+       |  SELECT l.gamma_pct, l.label, l.key AS id, p.p_brand, p.p_type,
+       |         COALESCE(d.kv, 0) AS deg
+       |  FROM ladder l JOIN part p ON l.key = p.p_partkey
+       |  LEFT JOIN deg d ON l.key = d.id),
+       |stats AS (SELECT gamma_pct, label, COUNT(*) AS member_count,
+       |                 COUNT(DISTINCT p_brand) AS n_brands
+       |          FROM base GROUP BY 1, 2),
+       |bcnt AS (SELECT gamma_pct, label, p_brand, COUNT(*) AS cnt
+       |         FROM base GROUP BY 1, 2, 3),
+       |btop AS (SELECT gamma_pct, label, p_brand, row_number() OVER (
+       |           PARTITION BY gamma_pct, label ORDER BY cnt DESC, p_brand) AS rn
+       |         FROM bcnt),
+       |tb AS (SELECT gamma_pct, label, string_agg(p_brand, ', ' ORDER BY rn) AS top_brands
+       |       FROM btop WHERE rn <= 2 GROUP BY 1, 2),
+       |b1 AS (SELECT gamma_pct, label, p_brand AS brand1 FROM btop WHERE rn = 1),
+       |ccnt AS (SELECT gamma_pct, label, p_type, COUNT(*) AS cnt
+       |         FROM base GROUP BY 1, 2, 3),
+       |c1 AS (SELECT gamma_pct, label, p_type AS cont1 FROM (
+       |         SELECT gamma_pct, label, p_type, row_number() OVER (
+       |           PARTITION BY gamma_pct, label ORDER BY cnt DESC, p_type) AS rn
+       |         FROM ccnt) t WHERE rn = 1),
+       |reps AS (SELECT gamma_pct, label,
+       |           string_agg(CAST(id AS VARCHAR), ', ' ORDER BY rn) AS rep_members
+       |         FROM (SELECT gamma_pct, label, id, row_number() OVER (
+       |                 PARTITION BY gamma_pct, label ORDER BY deg DESC, id) AS rn
+       |               FROM base) t WHERE rn <= 3 GROUP BY 1, 2),
+       |meta AS (
+       |  SELECT s.gamma_pct, s.label, s.member_count, s.n_brands,
+       |         tb.top_brands, reps.rep_members,
+       |         $levelCase AS level,
+       |         CASE WHEN c1.cont1 IS NOT NULL AND c1.cont1 <> ''
+       |              THEN c1.cont1 || ' ' || COALESCE(b1.brand1, 'Electronic')
+       |              ELSE COALESCE(b1.brand1, 'Electronic') END AS name
+       |  FROM stats s
+       |  JOIN tb USING (gamma_pct, label) JOIN b1 USING (gamma_pct, label)
+       |  JOIN c1 USING (gamma_pct, label) JOIN reps USING (gamma_pct, label))
+       |SELECT gamma_pct, label, member_count, n_brands, top_brands, rep_members,
+       |       level, name,
+       |       'community_L' || CAST(level AS VARCHAR) || '_' || CAST(label AS VARCHAR) AS doc_id,
+       |       CASE WHEN label % 2 = 0 THEN 'existing' ELSE 'inserted' END AS status
+       |FROM meta""".stripMargin
   }
 
   private def lpaOracle(iters: Int): String =

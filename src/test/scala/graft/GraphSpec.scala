@@ -507,4 +507,51 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().map(_._1).toSet
     assert(h1 == Set(1L, 2L, 4L, 5L))
   }
+
+  test("q150 capstone: one lazy program, consistent stages, no inter-stage disk hop") {
+    val q150 = SparkEntry.registry.find(_.name == "q150_graphrag_capstone").get
+    val q147 = SparkEntry.registry.find(_.name == "q147_leiden_multires").get
+    val sf = "/root/testdata/sf0.001"
+    val out = q150.fn(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // upsert split is exactly label parity, statuses nothing else
+    rows.foreach { r =>
+      val label = r.getAs[Long]("label")
+      val status = r.getAs[String]("status")
+      assert(status == (if (label % 2 == 0) "existing" else "inserted"))
+      // doc-id synthesis: level from the γ index, label verbatim
+      val level = r.getAs[Int]("level")
+      assert(r.getAs[String]("doc_id") == s"community_L${level}_$label")
+      val gp = r.getAs[Long]("gamma_pct")
+      assert(level == (if (gp == 200L) 0 else if (gp == 50L) 1 else 2))
+      // name rule: "<top type> <top brand>" — both parts always present here
+      assert(r.getAs[String]("name").nonEmpty)
+      assert(r.getAs[Long]("member_count") >= 1L)
+      // representatives are capped at 3 and never exceed the membership
+      val nReps = r.getAs[String]("rep_members").split(", ").length
+      assert(nReps <= 3 && nReps <= r.getAs[Long]("member_count"))
+    }
+    // stage consistency: the capstone's community set per γ IS the q147
+    // ladder's label set (metadata/templating must not add, drop, or
+    // relabel communities)
+    val ladder = q147.fn(spark, sf)
+      .select(col("gamma_pct"), col("label")).distinct()
+      .as[(Long, Long)].collect().toSet
+    val capstone = rows.map(r =>
+      (r.getAs[Long]("gamma_pct"), r.getAs[Long]("label"))).toSet
+    assert(capstone == ladder)
+    // no inter-stage disk hop: the only file scans in the final plan are
+    // the base parquet tables (part for attributes, lineitem for edges) —
+    // no stage writes + re-reads an intermediate
+    val scans = out.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan")).mkString("\n")
+    assert(!scans.linesIterator.exists(l =>
+        !l.contains("part.parquet") && !l.contains("lineitem.parquet")),
+      s"unexpected file scan in capstone plan:\n$scans")
+    out.unpersist()
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
 }
