@@ -420,6 +420,60 @@ object Similarity {
     codes.reduce(_.join(_, Seq(idCol)))
   }
 
+  /** A fitted PQ model — the reusable artifact a real pipeline fits ONCE
+    * and serves every search from (re-fitting m k-means runs per query
+    * was q146's measured ~2× fit cost). Per subvector `s`:
+    * `asg(s)` = the corpus code assignment (idCol, cluster), persisted;
+    * `cent(s)` = the exact-integer codebook centroids (cid, cv), k rows,
+    * persisted. [[release]] drops both cache sets. */
+  final case class PqModel(
+      m: Int, subDims: Int,
+      asg: Seq[DataFrame], cent: Seq[DataFrame]) {
+    def release(): Unit = {
+      asg.foreach(_.unpersist(blocking = false))
+      cent.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** Fit the PQ model: m independent deterministic k-means runs over the
+    * subvector slices (exactly [[pqCodes]]' fits) PLUS the exact-integer
+    * final-assignment centroids [[pqAdcTopK]] searches against. Both
+    * frames are persisted and materialized here so downstream consumers
+    * (code extraction, any number of ADC searches) never re-run a fit.
+    * Scale shape unchanged from pqCodes/pqAdcTopK: broadcast centroids,
+    * k·subDims-bounded aggs, no pairwise work. */
+  def pqFit(
+      emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDims: Int, k: Int, iters: Int): PqModel = {
+    val fitted = (0 until m).map { s =>
+      val sub = emb.select(col(idCol),
+        slice(vecD(col(vecCol)), s * subDims + 1, subDims).as("sub"))
+      val asg = Clustering.kmeans(sub, idCol, "sub", k, iters)
+        .select(col(idCol), col("cluster")).persist()
+      val qsub = sub.select(col(idCol), Clustering.quantize(col("sub")).as("qv"))
+      val cent = asg.join(qsub, idCol)
+        .select(col("cluster").as("cid"), posexplode(col("qv")).as(Seq("d", "q")))
+        .groupBy("cid", "d")
+        .agg(sum("q").as("s"), count(lit(1)).as("n"))
+        .groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("d").as("d"),
+            (col("s").cast("double") / col("n")).as("m")))),
+          x => x.getField("m")).as("cv"))
+        .persist()
+      cent.count() // materializes cent AND populates asg's cache
+      (asg, cent)
+    }
+    PqModel(m, subDims, fitted.map(_._1), fitted.map(_._2))
+  }
+
+  /** PQ codes read off a fitted model — bit-identical to [[pqCodes]]
+    * (same deterministic fits), zero additional k-means work. */
+  def pqCodesFromModel(model: PqModel, idCol: String): DataFrame =
+    model.asg.zipWithIndex.map { case (a, s) =>
+      a.select(col(idCol), col("cluster").as(s"code_$s"))
+    }.reduce(_.join(_, Seq(idCol)))
+
   /** PQ asymmetric-distance (ADC) top-k search — the query path of
     * [[pqCodes]] (Jégou et al. 2011 §III): the query stays exact while
     * corpus vectors are represented by their codeword centroids, so a
@@ -440,32 +494,33 @@ object Similarity {
       emb: DataFrame, idCol: String, vecCol: String,
       query: DataFrame, topK: Int,
       m: Int, subDims: Int, k: Int, iters: Int): DataFrame = {
+    val model = pqFit(emb, idCol, vecCol, m, subDims, k, iters)
+    val out = pqAdcTopK(model, idCol, vecCol, query, topK).persist()
+    out.count() // materialize before dropping the model's caches
+    model.release()
+    out
+  }
+
+  /** ADC search against a pre-fitted [[PqModel]] — the serving path:
+    * only the per-subvector k-row distance tables (broadcast) and the
+    * final TakeOrdered run per query; zero fit work. Bit-identical
+    * results to the fit-inline overload (the fits are deterministic). */
+  def pqAdcTopK(
+      model: PqModel, idCol: String, vecCol: String,
+      query: DataFrame, topK: Int): DataFrame = {
     val qId = broadcast(query.limit(1).select(col(idCol).as("q_id")))
-    val joined = (0 until m).map { s =>
-      val sub = emb.select(col(idCol),
-        slice(vecD(col(vecCol)), s * subDims + 1, subDims).as("sub"))
-      val asg = Clustering.kmeans(sub, idCol, "sub", k, iters)
-      // exact-integer codebook centroids of the final assignment
-      val qsub = sub.select(col(idCol), Clustering.quantize(col("sub")).as("qv"))
-      val cent = asg.join(qsub, idCol)
-        .select(col("cluster").as("cid"), posexplode(col("qv")).as(Seq("d", "q")))
-        .groupBy("cid", "d")
-        .agg(sum("q").as("s"), count(lit(1)).as("n"))
-        .groupBy("cid")
-        .agg(transform(
-          array_sort(collect_list(struct(col("d").as("d"),
-            (col("s").cast("double") / col("n")).as("m")))),
-          x => x.getField("m")).as("cv"))
+    val joined = (0 until model.m).map { s =>
       val qv = broadcast(query.limit(1).select(
-        Clustering.quantize(slice(vecD(col(vecCol)), s * subDims + 1, subDims))
+        Clustering.quantize(
+            slice(vecD(col(vecCol)), s * model.subDims + 1, model.subDims))
           .cast("array<double>").as("qd")))
-      val dt = broadcast(cent.crossJoin(qv)
+      val dt = broadcast(model.cent(s).crossJoin(qv)
         .select(col("cid"), Clustering.sqDist(col("qd"), col("cv")).as(s"d_$s")))
-      asg.join(dt, col("cluster") === col("cid"))
+      model.asg(s).join(dt, col("cluster") === col("cid"))
         .select(col(idCol), col(s"d_$s"))
     }
     val full = joined.reduce(_.join(_, Seq(idCol)))
-    val adc = (0 until m).map(s => col(s"d_$s")).reduce(_ + _)
+    val adc = (0 until model.m).map(s => col(s"d_$s")).reduce(_ + _)
     full.crossJoin(qId)
       .filter(col(idCol) =!= col("q_id"))
       .select(col(idCol), adc.as("raw"))

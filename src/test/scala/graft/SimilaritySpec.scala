@@ -197,6 +197,29 @@ class SimilaritySpec extends SparkSpec {
     assert(run() == out) // bit-deterministic rerun
   }
 
+  test("pqFit model reuse: codes and ADC search bit-equal the fit-inline paths") {
+    val model = Similarity.pqFit(vecs, "vec_id", "embedding",
+      m = 2, subDims = 2, k = 2, iters = 2)
+    // codes off the model == standalone pqCodes (same deterministic fits)
+    val fromModel = Similarity.pqCodesFromModel(model, "vec_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val standalone = Similarity.pqCodes(vecs, "vec_id", "embedding",
+        m = 2, subDims = 2, k = 2, iters = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fromModel == standalone)
+    // ADC search off the model == the fit-inline overload, for two probes
+    for (qid <- Seq(0L, 3L)) {
+      val q = vecs.filter(col("vec_id") === qid)
+      val reuse = Similarity.pqAdcTopK(model, "vec_id", "embedding", q, topK = 4)
+        .as[(Long, Double)].collect().toSeq
+      val inline = Similarity.pqAdcTopK(vecs, "vec_id", "embedding", q,
+          topK = 4, m = 2, subDims = 2, k = 2, iters = 2)
+        .as[(Long, Double)].collect().toSeq
+      assert(reuse == inline, s"probe $qid diverged")
+    }
+    model.release()
+  }
+
   test("retrievalMetrics: MRR, P@k, NDCG@k match a hand-traced ranking") {
     // anchor 0 (label 0): ranking by cosine = 1(.994, rel), 4(.970),
     // 2(0, rel), 3(-1) → n_rel 2, first 1, MRR 1, P@10 0.2,
