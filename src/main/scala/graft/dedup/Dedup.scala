@@ -359,6 +359,42 @@ object Dedup {
       corpus, idCol, textCol, shingleN, jaccNum, jaccDen,
       numHashes = numHashes, bands = bands)
 
+  /** Write the corpus band index as a bucketed table — the ONE-time
+    * shuffle that [[incrementalNearDupWithIndex]] then rides forever:
+    * bucketBy(band_key) makes the table's layout satisfy the band
+    * join's distribution, so every subsequent batch joins the index
+    * with zero index-side exchange (PlanSpec walks the executed plan).
+    * Columns: (old_id, band, band_key). */
+  def writeBandIndex(
+      table: String, corpus: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      buckets: Int = 8): Unit =
+    minhashBands(corpus, idCol, textCol, shingleN, numHashes, bands)
+      .select(col(idCol).as("old_id"), col("band"), col("band_key"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "band_key").sortBy("band_key")
+      .saveAsTable(table)
+
+  /** MAINTAIN the band index: fold a processed batch's bands INTO the
+    * bucketed table, so the next batch's dedup sees this batch's docs —
+    * the daily-ingest loop at 100 TB (re-deriving the index from the
+    * grown corpus would be corpus-sized; this append is batch-sized).
+    * The appended files carry the same bucketBy(band_key) layout, so
+    * the next batch's band join STILL plans zero index-side exchange
+    * (PlanSpec's two-batch case asserts exactly that). Parameters must
+    * match the index's build parameters — band keys are md5 over the
+    * band's minhash slice, so a mismatch silently yields no candidates
+    * (same caveat as [[incrementalNearDupWithIndex]]). */
+  def appendBandIndex(
+      table: String, batch: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      buckets: Int = 8): Unit =
+    minhashBands(batch, idCol, textCol, shingleN, numHashes, bands)
+      .select(col(idCol).as("old_id"), col("band"), col("band_key"))
+      .write.mode("append")
+      .bucketBy(buckets, "band_key").sortBy("band_key")
+      .saveAsTable(table)
+
   /** [[incrementalNearDup]] against a MAINTAINED corpus band index —
     * the 100 TB shape: the corpus side of the band join is a table of
     * (old_id, band, band_key) written ONCE (ideally `bucketBy` on

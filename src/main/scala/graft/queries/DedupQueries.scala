@@ -428,7 +428,7 @@ object DedupQueries {
     // equi-join (batch-sized cost), exact-Jaccard verify, smallest
     // existing dup id per new doc. Never batch×batch or index×index.
     Q("q132_incremental_neardup",
-      incrementalNearDupOracle) { (s, dir) =>
+      incrementalNearDupOracle()) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       Dedup.incrementalNearDup(
         newDocs = docs.filter(col("doc_id") % 10 === 0),
@@ -444,27 +444,46 @@ object DedupQueries {
     // paid once at write time (PlanSpec asserts the plan shape). Same
     // oracle as q132: the index representation must be invisible.
     Q("q141_neardup_bucketed_index",
-      incrementalNearDupOracle) { (s, dir) =>
-      val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
-      val tbl = s"graft_band_idx_$sfx"
-      // warehouse dir can outlive the in-memory catalog (q105 lesson)
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      val p = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+      incrementalNearDupOracle()) { (s, dir) =>
+      val tbl = dropIndexTable(s, dir, "graft_band_idx")
       val docs = Tables(s, dir, "documents")
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-      Dedup.minhashBands(corpus, "doc_id", "text",
-          shingleN = 3, numHashes = 16, bands = 4)
-        .select(col("doc_id").as("old_id"), col("band"), col("band_key"))
-        .write.mode("overwrite")
-        .bucketBy(8, "band_key").sortBy("band_key")
-        .saveAsTable(tbl)
+      Dedup.writeBandIndex(tbl, corpus, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4)
       Dedup.incrementalNearDupWithIndex(
         newDocs = docs.filter(col("doc_id") % 10 === 0),
         corpusBands = s.table(tbl),
         corpus = corpus, "doc_id", "text",
+        shingleN = 3, jaccNum = 1, jaccDen = 2, numHashes = 16, bands = 4)
+    },
+
+    // The band index MAINTAINED across ingest days (the q141 read side's
+    // missing write half): day-0 corpus builds the bucketed index, day-1's
+    // batch is deduped against it and its bands are APPENDED (batch-sized,
+    // bucket-layout-preserving), day-2's batch is deduped against the
+    // GROWN index — its dup hits against day-1 docs are only reachable
+    // through the appended bands. The oracle sees just the final
+    // semantics: day-2 vs everything older. PlanSpec's two-batch case
+    // asserts the appended index STILL joins with zero index-side
+    // exchange.
+    Q("q152_band_index_append",
+      incrementalNearDupOracle(newPred = "% 3 = 2", oldPred = "% 3 <> 2")) { (s, dir) =>
+      val tbl = dropIndexTable(s, dir, "graft_band_idx_app")
+      val docs = Tables(s, dir, "documents")
+      val day0 = docs.filter(col("doc_id") % 3 === 0)
+      val day1 = docs.filter(col("doc_id") % 3 === 1)
+      val day2 = docs.filter(col("doc_id") % 3 === 2)
+      Dedup.writeBandIndex(tbl, day0, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4)
+      // day-1 ingest: dedup against the index, then fold its bands in
+      Dedup.incrementalNearDupWithIndex(day1, s.table(tbl), day0,
+        "doc_id", "text", shingleN = 3, jaccNum = 1, jaccDen = 2,
+        numHashes = 16, bands = 4).count()
+      Dedup.appendBandIndex(tbl, day1, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4)
+      // day-2 ingest sees day-0 AND day-1 through the one grown index
+      Dedup.incrementalNearDupWithIndex(day2, s.table(tbl),
+        corpus = docs.filter(col("doc_id") % 3 =!= 2), "doc_id", "text",
         shingleN = 3, jaccNum = 1, jaccDen = 2, numHashes = 16, bands = 4)
     },
 
@@ -565,11 +584,26 @@ object DedupQueries {
     },
   )
 
-  /** Shared by q132 (recomputed index) and q141 (maintained bucketed
-    * index): the engine-side index representation must be invisible in
-    * results, so both replay the same DuckDB computation. */
-  private def incrementalNearDupOracle: String =
-    """WITH toks AS (
+  /** Drop-and-clean a managed index table (warehouse dir can outlive the
+    * in-memory catalog — the q105 lesson); returns the per-sf table name. */
+  private def dropIndexTable(s: org.apache.spark.sql.SparkSession,
+      dir: String, prefix: String): String = {
+    val tbl = s"${prefix}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val p = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    tbl
+  }
+
+  /** Shared by q132 (recomputed index), q141 (maintained bucketed index)
+    * and q152 (appended index): the engine-side index representation must
+    * be invisible in results, so all replay the same DuckDB computation,
+    * parametrized only by which docs are "new" vs "already ingested". */
+  private def incrementalNearDupOracle(
+      newPred: String = "% 10 = 0", oldPred: String = "% 10 <> 0"): String =
+    s"""WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, s FROM (
@@ -596,7 +630,7 @@ object DedupQueries {
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
         |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
-        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+        |  WHERE a.doc_id $newPred AND b.doc_id $oldPred),
         |ssize AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         |ins AS (
         |  SELECT c.new_id, c.old_id, COUNT(*) AS i
@@ -611,6 +645,6 @@ object DedupQueries {
         |  GROUP BY ins.new_id)
         |SELECT d.doc_id, dup.dup_of IS NOT NULL AS is_dup, dup.dup_of
         |FROM documents d LEFT JOIN dup ON d.doc_id = dup.new_id
-        |WHERE d.doc_id % 10 = 0""".stripMargin
+        |WHERE d.doc_id $newPred""".stripMargin
 
 }

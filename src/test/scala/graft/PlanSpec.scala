@@ -110,17 +110,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning(l_orderkey"))
   }
 
-  test("q141: maintained band index joins with zero index-side exchange") {
-    // the bucketed (band_key) layout must satisfy the band join's
-    // distribution: between the index table's scan and the band join
-    // there must be NO ShuffleExchange — only the batch side (and
-    // downstream aggs) shuffle. AQE is unwrapped explicitly; post-join
-    // exchanges contain the scan in their subtree and don't count.
+  // the bucketed (band_key) layout must satisfy the band join's
+  // distribution: between the index table's scan and the band join
+  // there must be NO ShuffleExchange — only the batch side (and
+  // downstream aggs) shuffle. AQE is unwrapped explicitly; post-join
+  // exchanges contain the scan in their subtree and don't count.
+  private def assertZeroIndexSideExchange(queryName: String): Unit = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
-    val plan0 = SparkEntry.queries("q141_neardup_bucketed_index")(spark, sf)
+    val plan0 = SparkEntry.queries(queryName)(spark, sf)
       .queryExecution.executedPlan
     val plan = plan0 match {
       case a: AdaptiveSparkPlanExec => a.inputPlan
@@ -140,6 +140,19 @@ class PlanSpec extends SparkSpec {
     val offending = innermost.collect { case e: ShuffleExchangeExec => e }
     assert(offending.isEmpty,
       s"index side must ride the bucket layout, not an exchange:\n$innermost")
+  }
+
+  test("q141: maintained band index joins with zero index-side exchange") {
+    assertZeroIndexSideExchange("q141_neardup_bucketed_index")
+  }
+
+  test("q152: the APPENDED band index still joins with zero index-side exchange") {
+    // q152's fn runs two consecutive ingest days — builds the index from
+    // day-0, dedups+appends day-1, and returns day-2's dedup plan over
+    // the GROWN index. The returned plan is therefore exactly the
+    // second-consecutive-batch case: the appended files must ride the
+    // bucket layout like the original ones.
+    assertZeroIndexSideExchange("q152_band_index_append")
   }
 
   test("q83: packing plans exactly one group repartition, no global sort") {
