@@ -230,20 +230,31 @@ object Similarity {
     * same `cent` table and nothing else changes. Scale shape: centroids
     * broadcast, assignment is one scan + hash-agg argmax (no window
     * sort), probe is an equi-join on the cell id. */
-  def annIvf(
-      emb: DataFrame, idCol: String, vecCol: String,
-      query: DataFrame, k: Int, nCells: Int): DataFrame = {
+  /** The IVF coarse-quantizer cell assignment — (cell_id, cell) for
+    * every corpus vector. Centroids are the `nCells` lowest-id vectors
+    * (deterministic, training-free — see [[annIvf]]); assignment is one
+    * broadcast scan + hash-agg argmax, no window sort. */
+  def ivfCells(
+      emb: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame = {
     val corpus = emb.select(col(idCol), vecD(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
     val cent = broadcast(corpus.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cnrm")))
-    val cells = corpus.crossJoin(cent)
+    corpus.crossJoin(cent)
       .select(col(idCol),
         cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).as("ccos"),
         col("cid"))
       .groupBy(col(idCol))
       .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("best"))
       .select(col(idCol).as("cell_id"), (-col("best.ncid")).as("cell"))
+  }
+
+  def annIvf(
+      emb: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, k: Int, nCells: Int): DataFrame = {
+    val corpus = emb.select(col(idCol), vecD(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cells = ivfCells(emb, idCol, vecCol, nCells)
     val q = broadcast(query.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("qv"))
       .withColumn("q_nrm", norm(col("qv")))
       .join(cells.select(col("cell_id").as("q_id"), col("cell").as("q_cell")), "q_id"))
@@ -501,14 +512,12 @@ object Similarity {
     out
   }
 
-  /** ADC search against a pre-fitted [[PqModel]] — the serving path:
-    * only the per-subvector k-row distance tables (broadcast) and the
-    * final TakeOrdered run per query; zero fit work. Bit-identical
-    * results to the fit-inline overload (the fits are deterministic). */
-  def pqAdcTopK(
+  /** Per-corpus-row ADC distance to the query under a fitted model:
+    * broadcast k-row distance tables per subvector, m id-keyed joins,
+    * fixed-order sum. Returns (idCol, raw). */
+  private def adcDistances(
       model: PqModel, idCol: String, vecCol: String,
-      query: DataFrame, topK: Int): DataFrame = {
-    val qId = broadcast(query.limit(1).select(col(idCol).as("q_id")))
+      query: DataFrame): DataFrame = {
     val joined = (0 until model.m).map { s =>
       val qv = broadcast(query.limit(1).select(
         Clustering.quantize(
@@ -521,9 +530,66 @@ object Similarity {
     }
     val full = joined.reduce(_.join(_, Seq(idCol)))
     val adc = (0 until model.m).map(s => col(s"d_$s")).reduce(_ + _)
-    full.crossJoin(qId)
+    full.select(col(idCol), adc.as("raw"))
+  }
+
+  /** ADC search against a pre-fitted [[PqModel]] — the serving path:
+    * only the per-subvector k-row distance tables (broadcast) and the
+    * final TakeOrdered run per query; zero fit work. Bit-identical
+    * results to the fit-inline overload (the fits are deterministic). */
+  def pqAdcTopK(
+      model: PqModel, idCol: String, vecCol: String,
+      query: DataFrame, topK: Int): DataFrame = {
+    val qId = broadcast(query.limit(1).select(col(idCol).as("q_id")))
+    adcDistances(model, idCol, vecCol, query)
+      .crossJoin(qId)
       .filter(col(idCol) =!= col("q_id"))
-      .select(col(idCol), adc.as("raw"))
+      .select(col(idCol), col("raw"))
+      .orderBy(col("raw").asc, col(idCol).asc)
+      .limit(topK)
+      .select(col(idCol), round(col("raw"), 6).as("adc_dist"))
+  }
+
+  /** IVF-PQ: the realistic billion-vector index shape (Jégou et al. 2011
+    * §V, faiss's IVFPQ with by_residual=false) — the coarse IVF
+    * quantizer routes the search to the query's cell, and ONLY that
+    * cell's PQ codes are ranked by ADC distance. Cost per query =
+    * |cell| ADC lookups (≈ corpus/nCells) instead of the whole corpus;
+    * the PQ model is the same raw-vector codebook as [[pqCodes]] (no
+    * residual encoding — documented deviation, kept for the exact
+    * integer-grid determinism that gives every stage a SQL oracle).
+    *
+    * Scale shape: cells is one broadcast argmax scan, the model is
+    * fitted once ([[pqFit]]) and persisted, the cell restriction is an
+    * id equi-join, distance tables are broadcast k-rows. No
+    * corpus×corpus work anywhere. Returns (idCol, adc_dist) ascending. */
+  def annIvfPq(
+      emb: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, topK: Int, nCells: Int,
+      m: Int, subDims: Int, k: Int, iters: Int): DataFrame = {
+    val cells = ivfCells(emb, idCol, vecCol, nCells)
+    val model = pqFit(emb, idCol, vecCol, m, subDims, k, iters)
+    val out = ivfPqTopK(model, cells, idCol, vecCol, query, topK).persist()
+    out.count() // materialize before dropping the model's caches
+    model.release()
+    out
+  }
+
+  /** The IVF-PQ serving path: both index structures — the fitted
+    * [[PqModel]] AND the cell assignment — are reused across queries;
+    * each call costs the broadcast distance tables, one cell equi-join,
+    * and a TakeOrdered over ≈|corpus|/nCells candidates. */
+  def ivfPqTopK(
+      model: PqModel, cells: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, topK: Int): DataFrame = {
+    val q = broadcast(query.limit(1).select(col(idCol).as("q_id"))
+      .join(cells.select(col("cell_id").as("q_id"), col("cell").as("q_cell")),
+        "q_id"))
+    val cand = cells
+      .join(q, col("cell") === col("q_cell") && col("cell_id") =!= col("q_id"))
+      .select(col("cell_id").as(idCol))
+    cand
+      .join(adcDistances(model, idCol, vecCol, query), idCol)
       .orderBy(col("raw").asc, col(idCol).asc)
       .limit(topK)
       .select(col(idCol), round(col("raw"), 6).as("adc_dist"))
