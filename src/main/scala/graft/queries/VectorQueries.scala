@@ -695,6 +695,72 @@ object VectorQueries {
         m = 4, subDims = 16, k = 4, iters = 2)
     },
 
+    // Multi-probe IVF-PQ (faiss's nprobe knob): rank the PQ codes of the
+    // query's 4 nearest cells, not just its own — the recall lever whose
+    // per-query cost is nProbe·|cell| (still ≪ corpus). Probe ranking
+    // uses the same (cosine desc, cid asc) total order as the cell
+    // assignment, so the oracle reads the probes straight off iasg's
+    // rn <= 4 rows.
+    Q("q154_ivf_pq_nprobe", {
+      val (m, sub, k, iters, nProbe) = (4, 16, 4, 2, 4)
+      val chains = (0 until m).map { s =>
+        val sfx = s"p$s"
+        s"""${kmeansCtes(k, iters, sfx = sfx, dims = sub,
+             srcList = s"embedding[${s * sub + 1}:${(s + 1) * sub}]")},
+           |uF$s AS (SELECT a.cid, d, CAST(SUM(ed$sfx.qv[d]) AS BIGINT) AS s,
+           |           COUNT(*) AS n
+           |         FROM a$sfx$iters a JOIN ed$sfx USING (vec_id)
+           |         CROSS JOIN range(1, ${sub + 1}) r(d) GROUP BY a.cid, d),
+           |cF$s AS (SELECT cid, array_agg(CAST(s AS DOUBLE) / n ORDER BY d) AS cv
+           |         FROM uF$s GROUP BY cid),
+           |qq$s AS (SELECT list_transform(embedding[${s * sub + 1}:${(s + 1) * sub}],
+           |           x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE)) AS qd
+           |         FROM embeddings ORDER BY vec_id LIMIT 1),
+           |dt$s AS (SELECT cid,
+           |           list_reduce(list_transform(generate_series(1, $sub),
+           |             d -> (qq.qd[d] - cv[d]) * (qq.qd[d] - cv[d])), (x, y) -> x + y) AS ds
+           |         FROM cF$s CROSS JOIN qq$s qq)""".stripMargin
+      }.mkString(",\n")
+      val joins = (0 until m).map(s =>
+        s"JOIN ap$s$iters a$s ON ic.cell_id = a$s.vec_id JOIN dt$s ON a$s.cid = dt$s.cid")
+        .mkString("\n")
+      val adc = (0 until m).map(s => s"dt$s.ds").mkString(" + ")
+      s"""$normCte,
+         |icent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 16),
+         |iasg AS (
+         |  SELECT n.vec_id, cid,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      list_reduce(list_transform(generate_series(1, 64), k -> n.v[k] * cv[k]),
+         |        (x, y) -> x + y) / (n.nrm * cnrm) DESC, cid) AS rn
+         |  FROM n CROSS JOIN icent),
+         |icells AS (SELECT vec_id AS cell_id, cid AS cell FROM iasg WHERE rn = 1),
+         |qa AS (SELECT MIN(vec_id) AS q_id FROM embeddings),
+         |qprobes AS (SELECT iasg.cid AS q_cell FROM iasg, qa
+         |            WHERE iasg.vec_id = qa.q_id AND rn <= $nProbe),
+         |$chains
+         |SELECT ic.cell_id AS vec_id, ROUND($adc, 6) AS adc_dist
+         |FROM icells ic
+         |JOIN qprobes ON ic.cell = qprobes.q_cell
+         |$joins
+         |CROSS JOIN qa
+         |WHERE ic.cell_id <> qa.q_id
+         |ORDER BY $adc ASC, ic.cell_id
+         |LIMIT 10""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.orderBy("vec_id").limit(1)
+      val cells = Similarity.ivfCells(emb, "vec_id", "embedding", nCells = 16)
+      val model = Similarity.pqFit(emb, "vec_id", "embedding",
+        m = 4, subDims = 16, k = 4, iters = 2)
+      val probes = Similarity.ivfProbeCells(emb, "vec_id", "embedding", q,
+        nCells = 16, nProbe = 4)
+      val out = Similarity.ivfPqTopK(model, cells, probes,
+        "vec_id", "embedding", q, topK = 10).persist()
+      out.count() // materialize before releasing the model caches
+      model.release()
+      out
+    },
+
     // SemDeDup (Abbas et al. 2023): semantic near-duplicates — k-means
     // blocking, intra-cluster cosine ≥ 0.35 pairs (threshold chosen
     // against the synthetic embedding distribution: ~271 over-threshold

@@ -595,6 +595,51 @@ object Similarity {
       .select(col(idCol), round(col("raw"), 6).as("adc_dist"))
   }
 
+  /** The query's `nProbe` nearest IVF cells (faiss's nprobe knob) —
+    * centroids ranked by cosine to the query with the same
+    * (cosine desc, cid asc) order the cell ASSIGNMENT uses, so
+    * nProbe=1 probes exactly the query's own cell. Returns `q_cell`
+    * (nProbe rows); a pure broadcast computation. */
+  def ivfProbeCells(
+      emb: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, nCells: Int, nProbe: Int): DataFrame = {
+    val cent = broadcast(
+      emb.select(col(idCol), vecD(col(vecCol)).as("v"))
+        .withColumn("nrm", norm(col("v")))
+        .orderBy(col(idCol)).limit(nCells)
+        .select(col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cnrm")))
+    val q = query.limit(1).select(vecD(col(vecCol)).as("qv"))
+      .withColumn("q_nrm", norm(col("qv")))
+    q.crossJoin(cent)
+      .select(col("cid"),
+        cosine(col("qv"), col("cv"), col("q_nrm"), col("cnrm")).as("ccos"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+      .limit(nProbe)
+      .select(col("cid").as("q_cell"))
+  }
+
+  /** Multi-probe IVF-PQ: rank the PQ codes of the `nProbe` nearest
+    * cells instead of just the query's own — the standard recall lever
+    * (per-query cost scales linearly with nProbe, still ≪ the corpus).
+    * `probes` is [[ivfProbeCells]]' output (or any q_cell list). */
+  def ivfPqTopK(
+      model: PqModel, cells: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String,
+      query: DataFrame, topK: Int): DataFrame = {
+    val qId = broadcast(query.limit(1).select(col(idCol).as("q_id")))
+    val cand = cells
+      .join(broadcast(probes.select(col("q_cell"))),
+        col("cell") === col("q_cell"))
+      .crossJoin(qId)
+      .filter(col("cell_id") =!= col("q_id"))
+      .select(col("cell_id").as(idCol))
+    cand
+      .join(adcDistances(model, idCol, vecCol, query), idCol)
+      .orderBy(col("raw").asc, col(idCol).asc)
+      .limit(topK)
+      .select(col(idCol), round(col("raw"), 6).as("adc_dist"))
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998) —
     * the diversity-aware retrieval step RAG stacks put between ANN
     * candidates and the LLM context window: greedily select k documents
