@@ -1102,8 +1102,8 @@ object GraphOps {
     * not consult it.
     *
     * Scale shape: two vertex-sized equi-joins to mark intra edges
-    * (AQE broadcasts the assignment when it fits) + the ccEdges loop
-    * bounded by the INTRA edge subset (≤ the graph, often ≪ after a
+    * (AQE broadcasts the assignment when it fits) + the pointer-jumping
+    * loop bounded by the INTRA edge subset (≤ the graph, often ≪ after a
     * sensible pre-partition) — no pairwise work, no driver collect.
     *
     * Returns (id, label) for every vertex of `assignment`. */
