@@ -8,6 +8,7 @@ import graft.vector.{Clustering, Similarity}
 object Q143Timing {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val k = args.headOption.map(_.toInt).getOrElse(8) // SemDeDup: scale k with corpus
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -23,7 +24,7 @@ object Q143Timing {
     }
     val emb = graft.Tables(spark, sfDir, "embeddings")
     val km = t("kmeans alone") {
-      val r = Clustering.kmeans(emb, "vec_id", "embedding", 8, 2)
+      val r = Clustering.kmeans(emb, "vec_id", "embedding", k, 2)
       println("  rows=" + r.count()); r
     }
     val v = t("v persist+count") {
@@ -51,7 +52,7 @@ object Q143Timing {
       println("  comp rows=" + c.count())
     }
     t("full semDedup") {
-      println("  out=" + Similarity.semDedup(emb, "vec_id", "embedding", 8, 2, 0.35).count())
+      println("  out=" + Similarity.semDedup(emb, "vec_id", "embedding", k, 2, 0.35).count())
     }
     spark.stop()
   }
