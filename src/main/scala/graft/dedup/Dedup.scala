@@ -74,6 +74,37 @@ object Dedup {
     byte < thresh
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir", A-ES): per row draw
+    * key = ln(u)/w with u uniform in (0, 1]; the n LARGEST keys are
+    * distributed exactly as sequential weight-proportional draws without
+    * replacement. u derives from md5(id:seed)'s first 12 hex digits —
+    * the [[hashSplit3]]/[[mixtureKeep]] determinism discipline:
+    * membership depends only on (id, seed), reproducible, partitioning-
+    * independent, engine-portable (a seeded `sample()` is neither).
+    * Float discipline: h+1 ≤ 16¹² < 2⁵³ is exact in double, u is one
+    * IEEE division of exact integers, ln of such a double and the
+    * divide by the (integer-valued) weight are single IEEE ops — the
+    * q111-proven recipe, so selection AND order replay exactly in SQL.
+    * Rows with weight ≤ 0 are excluded (zero weight = never sampled).
+    *
+    * Scale: one projection + TakeOrderedAndProject — a single corpus
+    * pass with an n-row result, no full sort; the one-shot form of
+    * quality-weighted subsampling a mixture builder runs per source.
+    * Returns the sampled rows with their `skey` (drop it if unneeded). */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String,
+      n: Int, seed: Long): DataFrame = {
+    val h = conv(
+      substring(md5(concat(col(idCol).cast("string"), lit(s":$seed"))), 1, 12),
+      16, 10).cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(281474976710656.0) // 16^12
+    df.filter(col(weightCol) > 0)
+      .withColumn("skey", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("skey").desc, col(idCol).asc)
+      .limit(n)
+  }
+
   /** Temperature-based mixture rebalancing (the multilingual T-sampling
     * step, temperature fixed at 2): per-stratum keep THRESHOLDS derived
     * from the corpus itself so the kept distribution follows

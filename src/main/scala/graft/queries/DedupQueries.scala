@@ -487,6 +487,30 @@ object DedupQueries {
         shingleN = 3, jaccNum = 1, jaccDen = 2, numHashes = 16, bands = 4)
     },
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    // 100 docs drawn proportional to length (n_chars) — the
+    // quality/size-weighted reproducible subsample a mixture builder
+    // takes per source. Key = ln(u)/w with u from md5(id:seed); the
+    // oracle replays hash, key, and the top-n order bit-for-bit.
+    Q("q155_weighted_sample",
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    list_reduce(list_transform(generate_series(1, 12),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5(CAST(doc_id AS VARCHAR) || ':42'), i, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM documents WHERE n_chars > 0),
+        |k AS (SELECT doc_id, n_chars,
+        |        ln(CAST(hv + 1 AS DOUBLE) / 281474976710656.0)
+        |          / CAST(n_chars AS DOUBLE) AS skey
+        |      FROM h)
+        |SELECT doc_id, n_chars FROM k ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin) { (s, dir) =>
+      Dedup.weightedSample(
+        Tables(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", n = 100, seed = 42L)
+        .select("doc_id", "n_chars")
+    },
+
     // Substring-level duplicate spans (Lee et al. 2022 exact-substring
     // dedup): 50-char windows at stride 25, duplicated = same text in
     // ≥2 docs, overlapping windows merged to maximal per-doc spans.

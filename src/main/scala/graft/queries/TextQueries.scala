@@ -590,6 +590,50 @@ object TextQueries {
     // filter (CCNet/Gopher shape) without an external model. Per-term
     // addends fold left-to-right over the term-sorted list in both
     // engines (the q95 discipline) — no aggregation-order dependence.
+    // Stupid Backoff bigram LM scoring (Brants et al. 2007 §4): mean
+    // bigram surprisal against the doc_id%10=0 reference corpus, with
+    // the α=0.4 backoff to add-1-smoothed unigrams for reference-unseen
+    // bigrams — the word-ORDER-sensitive quality signal unigram q111
+    // lacks. ln(0.4) is one shared Scala-computed literal in both
+    // engines; all other lns are of integer-valued doubles (q111
+    // discipline), folds are bigram-sorted.
+    Q("q156_stupid_backoff", {
+      val lnA = graft.text.TextStats.LnBackoffAlpha.toString
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         |uni AS (SELECT unnest(t) AS w FROM toks WHERE doc_id % 10 = 0),
+         |cu AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM uni GROUP BY w),
+         |k AS (SELECT (SELECT CAST(SUM(cw) AS BIGINT) FROM cu) AS n,
+         |             (SELECT CAST(COUNT(*) AS BIGINT) FROM cu) AS v),
+         |big AS (SELECT doc_id, doc_id % 10 = 0 AS is_ref,
+         |          unnest(list_transform(generate_series(1, len(t) - 1),
+         |                 i -> t[i] || ' ' || t[i+1])) AS bg
+         |        FROM toks WHERE len(t) >= 2),
+         |bf AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg),
+         |cb AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cb FROM big WHERE is_ref GROUP BY bg),
+         |r AS (SELECT bf.doc_id, bf.bg, bf.c,
+         |        CAST(bf.c AS DOUBLE) *
+         |          (CASE WHEN cb.cb IS NOT NULL
+         |            THEN ln(CAST(cp.cw AS DOUBLE)) - ln(CAST(cb.cb AS DOUBLE))
+         |            ELSE ln(CAST(k.n + k.v AS DOUBLE))
+         |                 - ln(CAST(COALESCE(cs.cw, 0) AS DOUBLE) + 1.0)
+         |                 - ($lnA)
+         |           END) AS s
+         |      FROM bf
+         |      LEFT JOIN cb USING (bg)
+         |      LEFT JOIN cu cp ON cp.w = split_part(bf.bg, ' ', 1)
+         |      LEFT JOIN cu cs ON cs.w = split_part(bf.bg, ' ', 2)
+         |      CROSS JOIN k),
+         |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         |          list_reduce(array_agg(s ORDER BY bg), (a, b) -> a + b) AS raw
+         |        FROM r GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, ROUND(raw / n_bigrams / ln(2.0), 6) AS bits_per_bigram
+         |FROM agg""".stripMargin
+    }) { (s, dir) =>
+      TextStats.stupidBackoffScore(Tables(s, dir, "documents"),
+        "doc_id", "text", isRef = col("doc_id") % 10 === 0)
+    },
+
     Q("q111_lm_score",
       """WITH tk AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term

@@ -314,6 +314,76 @@ object TextStats {
         (col("raw") >= 0.0).as("selected"))
   }
 
+  /** ln(0.4) precomputed once in Scala and inlined as the SAME literal
+    * into both engines (the q144 shared-literal trick) — the one
+    * non-integer transcendental Stupid Backoff needs. */
+  val LnBackoffAlpha: Double = math.log(0.4)
+
+  /** Stupid Backoff bigram scoring (Brants, Popat, Xu, Och & Dean 2007,
+    * "Large Language Models in Machine Translation" §4) — the
+    * billion-token quality signal that upgrades [[lmScore]]'s unigram
+    * surprisal with local word ORDER: per scored document, mean
+    * surprisal −ln S(w_i | w_{i−1}) over its bigrams against a
+    * REFERENCE corpus (rows where `isRef`), with
+    *   S = c_ref(w_{i−1} w_i) / c_ref(w_{i−1})      when the reference
+    *                                                 has the bigram,
+    *   S = α · (c_ref(w_i)+1) / (N+V)               otherwise
+    * — the paper's α = 0.4 backoff, terminal add-1-smoothed (q148's
+    * smoothing) so reference-unseen unigrams still score finite.
+    * Scrambled or machine-garbled text backs off constantly and scores
+    * high-surprisal even when its unigram mix looks natural — exactly
+    * the failure mode unigram LM filtering passes through.
+    *
+    * Float discipline (q111): every ln is of a positive-integer-valued
+    * double, the per-doc sum folds over BIGRAM-SORTED terms, and ln α
+    * is the [[LnBackoffAlpha]] shared literal — bit-equal cross-engine.
+    *
+    * Scale shape: one bigram explode (corpus-linear), two reference
+    * hash aggs (vocab-sized), three equi-joins on bigram/term keys
+    * (AQE broadcasts the vocab sides when they fit), one per-doc fold.
+    * No pairwise work. Returns (idCol, n_bigrams, bits_per_bigram) for
+    * every document with ≥1 bigram. */
+  def stupidBackoffScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      isRef: Column): DataFrame = {
+    val t = docs.select(col(idCol), isRef.as("is_ref"), tokens(textCol).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bg = t.select(col(idCol), col("is_ref"), explode(expr(
+      "transform(sequence(1, size(t) - 1), " +
+        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("bg"))
+    val bf = bg.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .withColumn("pre", substring_index(col("bg"), " ", 1))
+      .withColumn("suf", substring_index(col("bg"), " ", -1))
+    // reference model: unigram counts, vocab size, token total, bigram counts
+    val runi = docs.filter(isRef)
+      .select(explode(tokens(textCol)).as("w"))
+    val cu = runi.groupBy("w").agg(count(lit(1)).as("cw"))
+    val consts = broadcast(cu.agg(
+      sum("cw").as("n"), count(lit(1)).as("v")))
+    val cb = bg.filter(col("is_ref")).groupBy("bg").agg(count(lit(1)).as("cb"))
+    val terms = bf
+      .join(cb, Seq("bg"), "left")
+      .join(cu.select(col("w").as("pre"), col("cw").as("cp")), Seq("pre"), "left")
+      .join(cu.select(col("w").as("suf"), col("cw").as("cs")), Seq("suf"), "left")
+      .crossJoin(consts)
+      .select(col(idCol), col("bg"), col("c"),
+        (col("c").cast("double") *
+          when(col("cb").isNotNull,
+            log(col("cp").cast("double")) - log(col("cb").cast("double")))
+          .otherwise(
+            log((col("n") + col("v")).cast("double"))
+              - log(coalesce(col("cs"), lit(0L)).cast("double") + 1.0)
+              - lit(LnBackoffAlpha))).as("s"))
+    terms.groupBy(col(idCol))
+      .agg(sum("c").as("n_bigrams"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("bg").as("b"), col("s").as("s")))),
+            x => x.getField("s")),
+          lit(0.0), _ + _).as("raw"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("raw") / col("n_bigrams") / log(lit(2.0)), 6).as("bits_per_bigram"))
+  }
+
   def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol), explode(tokens(textCol)).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("c"))

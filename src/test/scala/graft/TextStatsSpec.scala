@@ -299,6 +299,37 @@ class TextStatsSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("stupidBackoffScore: word order matters, backoff fires on unseen bigrams") {
+    import graft.text.TextStats
+    val docs = Seq(
+      // reference: a consistent word order
+      (10L, "the cat sat on the mat"),
+      (20L, "the cat sat on the rug"),
+      // scored: reference-like order vs the SAME unigrams scrambled
+      (1L, "the cat sat on the mat"),
+      (3L, "mat the on sat cat the"),
+      // scored: reference-unseen unigrams → pure backoff, still finite
+      (7L, "zyx wvu tsr qpo"))
+      .toDF("doc_id", "text")
+    val out = TextStats.stupidBackoffScore(docs, "doc_id", "text",
+        isRef = col("doc_id") % 10 === 0)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // every ≥2-token doc scored, including the reference docs themselves
+    assert(out.keySet == Set(10L, 20L, 1L, 3L, 7L))
+    assert(out(1L)._2 == 5L && out(3L)._2 == 5L)
+    // identical unigram mix, scrambled order → strictly higher surprisal
+    assert(out(3L)._3 > out(1L)._3,
+      s"scrambled ${out(3L)._3} should exceed natural ${out(1L)._3}")
+    // all-unseen doc is finite (add-1 terminal) and worst of the three
+    assert(!out(7L)._3.isNaN && !out(7L)._3.isInfinite)
+    assert(out(7L)._3 > out(3L)._3)
+    // determinism
+    val again = TextStats.stupidBackoffScore(docs, "doc_id", "text",
+        isRef = col("doc_id") % 10 === 0)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(again == out)
+  }
+
   test("importanceWeights: target-like source docs score positive, alien docs negative") {
     import graft.text.TextStats
     val docs = Seq(
