@@ -63,6 +63,45 @@ object RagQueries {
           (abs(col("approx") - col("exact")) <= col("exact") * 0.05).as("within_tol"))
     },
 
+    // A6 scale variant #2: K-minimum-values distinct sketch (bottom-k,
+    // Bar-Yossef et al. 2002) as a custom typed Aggregator — unlike
+    // q56's opaque HLL++ buffer, KMV state is "the k smallest md5
+    // hashes": deterministic, bounded (≤k doubles per partial state,
+    // group cardinality notwithstanding), mergeable by union+truncate,
+    // and therefore EXACTLY replayable in SQL — estimate included.
+    Q("q157_kmv_distinct",
+      """WITH h AS (
+        |  SELECT DISTINCT o_orderpriority,
+        |    CAST(list_reduce(list_transform(generate_series(1, 12),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5(CAST(o_custkey AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) + 1 AS DOUBLE) / 281474976710656.0 AS hv
+        |  FROM orders),
+        |r AS (SELECT o_orderpriority, hv,
+        |        row_number() OVER (PARTITION BY o_orderpriority ORDER BY hv) AS rn,
+        |        COUNT(*) OVER (PARTITION BY o_orderpriority) AS nh
+        |      FROM h),
+        |est AS (SELECT o_orderpriority,
+        |          CASE WHEN MAX(nh) < 256 THEN CAST(MAX(nh) AS DOUBLE)
+        |               ELSE 255.0 / MAX(CASE WHEN rn = 256 THEN hv END) END AS e
+        |        FROM r GROUP BY o_orderpriority),
+        |ex AS (SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact
+        |       FROM orders GROUP BY 1)
+        |SELECT est.o_orderpriority, ROUND(est.e, 6) AS est_distinct, ex.exact,
+        |       ABS(est.e - ex.exact) <= 0.1 * ex.exact AS within_tol
+        |FROM est JOIN ex USING (o_orderpriority)""".stripMargin) { (s, dir) =>
+      import graft.functions.KmvSketch
+      val o = Tables(s, dir, "orders")
+      val est = o.groupBy("o_orderpriority")
+        .agg(KmvSketch.kmvDistinct(col("o_custkey"), k = 256).as("e"))
+      val exact = o.groupBy("o_orderpriority")
+        .agg(countDistinct("o_custkey").as("exact"))
+      est.join(exact, "o_orderpriority")
+        .select(col("o_orderpriority"), round(col("e"), 6).as("est_distinct"),
+          col("exact"),
+          (abs(col("e") - col("exact")) <= col("exact") * 0.1).as("within_tol"))
+    },
+
     // The composed RAG document pipeline in ONE lazy plan:
     // normalize (T1) → section parse (T2) → chunk (T3) → chunk ids (T5) →
     // context-header template (T4) → content-addressed vector ids (T6).

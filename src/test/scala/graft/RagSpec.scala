@@ -36,4 +36,25 @@ class RagSpec extends SparkSpec {
     assert(rows.forall(_.getString(4).matches("[0-9a-f]{32}")))
     assert(rows.forall(_.getString(3).startsWith("search_document: Topic: ")))
   }
+
+  test("KMV sketch: exact under k, ~6% over k, partition-invariant, duplicate-proof") {
+    import graft.functions.KmvSketch
+    // 10,000 distinct values, each duplicated 3x — duplicates must not move the estimate
+    val vals = (1L to 10000L).flatMap(v => Seq(v, v, v))
+    val df = vals.toDF("v").withColumn("g", lit("a"))
+    def estimate(parts: Int): Double =
+      df.repartition(parts).groupBy("g")
+        .agg(KmvSketch.kmvDistinct(col("v"), k = 256).as("e"))
+        .as[(String, Double)].collect().head._2
+    val e1 = estimate(1)
+    // mergeability/determinism: partitioning must not change the result AT ALL
+    assert(estimate(13) == e1 && estimate(32) == e1)
+    // accuracy: 1/sqrt(k-2) ~ 6.3%; allow 3 sigma
+    assert(math.abs(e1 - 10000.0) / 10000.0 < 0.19, s"estimate $e1 off >3sigma")
+    // below k the sketch IS the exact distinct count
+    val small = (1L to 100L).toDF("v").withColumn("g", lit("a"))
+      .groupBy("g").agg(KmvSketch.kmvDistinct(col("v"), k = 256).as("e"))
+      .as[(String, Double)].collect().head._2
+    assert(small == 100.0)
+  }
 }
