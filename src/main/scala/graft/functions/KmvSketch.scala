@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   * Input is the ALREADY-normalized hash (see [[KmvSketch.hash01]]) so
   * the hashing stays in codegen'd expression space and the aggregator
   * only maintains its bounded sorted array. */
-class KmvSketch(k: Int) extends Aggregator[Double, Array[Double], Double]
+abstract class KmvBase[OUT](k: Int) extends Aggregator[Double, Array[Double], OUT]
     with Serializable {
   require(k >= 2, s"KMV needs k >= 2, got $k")
 
@@ -63,15 +63,28 @@ class KmvSketch(k: Int) extends Aggregator[Double, Array[Double], Double]
   def merge(b1: Array[Double], b2: Array[Double]): Array[Double] =
     b2.foldLeft(b1)(reduce)
 
+  def bufferEncoder: Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+}
+
+class KmvSketch(k: Int) extends KmvBase[Double](k) {
   /** (k−1)/v_k, or the exact distinct count when < k hashes were kept.
     * Both branches are single IEEE ops over hash-derived doubles —
     * bit-equal cross-engine. */
   def finish(r: Array[Double]): Double =
     if (r.length < k) r.length.toDouble else (k - 1).toDouble / r(k - 1)
-
-  def bufferEncoder: Encoder[Array[Double]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
   def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
+
+/** The sketch ITSELF as the output — the mergeable artifact KMV set
+  * algebra composes: union = bottom-k of the (deduped) concatenation,
+  * Jaccard ≈ |M ∩ A ∩ B| / |M| with M the union's bottom-k (Beyer
+  * et al. 2007's KMV synopses estimator). Downstream algebra stays in
+  * codegen'd array expressions — see q158. */
+class KmvSketchArray(k: Int) extends KmvBase[Array[Double]](k) {
+  def finish(r: Array[Double]): Array[Double] = r
+  def outputEncoder: Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
 }
 
 object KmvSketch {
@@ -85,4 +98,14 @@ object KmvSketch {
   /** The sketch as an untyped aggregate column usable in groupBy.agg. */
   def kmvDistinct(c: Column, k: Int): Column =
     udaf(new KmvSketch(k)).apply(hash01(c))
+
+  /** The raw bottom-k hash array per group — the composable form. */
+  def kmvArray(c: Column, k: Int): Column =
+    udaf(new KmvSketchArray(k)).apply(hash01(c))
+
+  /** Distinct-count estimate from a kept bottom-k array (expression
+    * space — usable AFTER sketch algebra like union merges). */
+  def estimateFromArray(arr: Column, k: Int): Column =
+    when(size(arr) < k, size(arr).cast("double"))
+      .otherwise(lit((k - 1).toDouble) / element_at(arr, k))
 }

@@ -102,6 +102,58 @@ object RagQueries {
           (abs(col("e") - col("exact")) <= col("exact") * 0.1).as("within_tol"))
     },
 
+    // KMV set ALGEBRA (Beyer et al. 2007, "On synopses for distinct-
+    // value estimation under multiset operations"): pairwise union /
+    // Jaccard / intersection-size estimates between the 5 priority
+    // classes' customer sets from their q157 sketches ALONE — union =
+    // bottom-k of the deduped concatenation, J ≈ |M∩A∩B|/|M|, D∩ =
+    // J·D∪. The pair stage touches 5 k-double arrays, never the
+    // corpus: N corpora compare pairwise without pairwise scans.
+    Q("q158_kmv_set_algebra",
+      """WITH h AS (
+        |  SELECT DISTINCT o_orderpriority AS p,
+        |    CAST(list_reduce(list_transform(generate_series(1, 12),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5(CAST(o_custkey AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) + 1 AS DOUBLE) / 281474976710656.0 AS hv
+        |  FROM orders),
+        |r AS (SELECT p, hv, row_number() OVER (PARTITION BY p ORDER BY hv) AS rn FROM h),
+        |sk AS (SELECT p, array_agg(hv ORDER BY hv) AS hs FROM r WHERE rn <= 256 GROUP BY p),
+        |pr AS (SELECT a.p AS pa, a.hs AS ha, b.p AS pb, b.hs AS hb
+        |       FROM sk a JOIN sk b ON a.p < b.p),
+        |mm AS (SELECT pa, pb, ha, hb,
+        |         list_sort(list_distinct(ha || hb))[1:256] AS m FROM pr),
+        |c AS (SELECT pa, pb, CAST(len(m) AS BIGINT) AS m_size,
+        |        CAST(len(list_filter(m,
+        |          x -> list_contains(ha, x) AND list_contains(hb, x))) AS BIGINT) AS k_both,
+        |        CASE WHEN len(m) < 256 THEN CAST(len(m) AS DOUBLE)
+        |             ELSE 255.0 / m[256] END AS eu
+        |      FROM mm)
+        |SELECT pa, pb, m_size, k_both,
+        |  ROUND(eu, 6) AS est_union,
+        |  ROUND(CAST(k_both AS DOUBLE) / CAST(m_size AS DOUBLE), 6) AS est_jaccard,
+        |  ROUND(CAST(k_both AS DOUBLE) / CAST(m_size AS DOUBLE) * eu, 6) AS est_intersect
+        |FROM c""".stripMargin) { (s, dir) =>
+      import graft.functions.KmvSketch
+      val k = 256
+      val g = Tables(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(KmvSketch.kmvArray(col("o_custkey"), k).as("hs"))
+      val a = g.select(col("o_orderpriority").as("pa"), col("hs").as("ha"))
+      val b = g.select(col("o_orderpriority").as("pb"), col("hs").as("hb"))
+      a.join(b, col("pa") < col("pb"))
+        .withColumn("m", slice(array_sort(array_union(col("ha"), col("hb"))), 1, k))
+        .withColumn("m_size", size(col("m")).cast("long"))
+        .withColumn("k_both",
+          size(array_intersect(array_intersect(col("m"), col("ha")), col("hb")))
+            .cast("long"))
+        .withColumn("eu", KmvSketch.estimateFromArray(col("m"), k))
+        .withColumn("ej", col("k_both").cast("double") / col("m_size").cast("double"))
+        .select(col("pa"), col("pb"), col("m_size"), col("k_both"),
+          round(col("eu"), 6).as("est_union"),
+          round(col("ej"), 6).as("est_jaccard"),
+          round(col("ej") * col("eu"), 6).as("est_intersect"))
+    },
+
     // The composed RAG document pipeline in ONE lazy plan:
     // normalize (T1) → section parse (T2) → chunk (T3) → chunk ids (T5) →
     // context-header template (T4) → content-addressed vector ids (T6).

@@ -57,4 +57,24 @@ class RagSpec extends SparkSpec {
       .as[(String, Double)].collect().head._2
     assert(small == 100.0)
   }
+
+  test("KMV set algebra: union/Jaccard estimates track planted overlap") {
+    import graft.functions.KmvSketch
+    val k = 256
+    // A = 1..8000, B = 4001..12000 → |A∪B| = 12000, J = 4000/12000 = 1/3
+    val df = ((1L to 8000L).map(v => ("A", v)) ++
+      (4001L to 12000L).map(v => ("B", v))).toDF("g", "v")
+    val g = df.groupBy("g").agg(KmvSketch.kmvArray(col("v"), k).as("hs"))
+    val row = g.filter(col("g") === "A").select(col("hs").as("ha"))
+      .crossJoin(g.filter(col("g") === "B").select(col("hs").as("hb")))
+      .withColumn("m", slice(array_sort(array_union(col("ha"), col("hb"))), 1, k))
+      .select(
+        KmvSketch.estimateFromArray(col("m"), k).as("eu"),
+        (size(array_intersect(array_intersect(col("m"), col("ha")), col("hb")))
+          .cast("double") / size(col("m")).cast("double")).as("ej"))
+      .as[(Double, Double)].collect().head
+    // ~3σ bands: union σ≈1/√254, Jaccard σ≈√(J(1−J)/k)
+    assert(math.abs(row._1 - 12000.0) / 12000.0 < 0.19, s"union est ${row._1}")
+    assert(math.abs(row._2 - 1.0 / 3.0) < 0.09, s"jaccard est ${row._2}")
+  }
 }
