@@ -590,6 +590,24 @@ object TextQueries {
     // filter (CCNet/Gopher shape) without an external model. Per-term
     // addends fold left-to-right over the term-sorted list in both
     // engines (the q95 discipline) — no aggregation-order dependence.
+    // EXACT heavy hitters via Misra-Gries candidates + recount: top-20
+    // corpus terms WITHOUT shuffling the vocabulary — pass 1 is a
+    // bounded 4096-counter per-partition summary (guaranteed to hold
+    // every term with count > N/4097), pass 2 recounts candidates only.
+    // Output is exact (and says so: guarantee_ok), so the oracle is the
+    // plain exact top-20.
+    Q("q159_heavy_hitters",
+      """WITH tk AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY term),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tk)
+        |SELECT term, cnt, cnt * 4097 > n.n AS guarantee_ok
+        |FROM c, n ORDER BY cnt DESC, term LIMIT 20""".stripMargin) { (s, dir) =>
+      TextStats.heavyHittersExact(Tables(s, dir, "documents"), "text",
+        k = 20, capacity = 4096)
+    },
+
     // Stupid Backoff bigram LM scoring (Brants et al. 2007 §4): mean
     // bigram surprisal against the doc_id%10=0 reference corpus, with
     // the α=0.4 backoff to add-1-smoothed unigrams for reference-unseen

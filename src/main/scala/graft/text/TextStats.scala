@@ -384,6 +384,58 @@ object TextStats {
         round(col("raw") / col("n_bigrams") / log(lit(2.0)), 6).as("bits_per_bigram"))
   }
 
+  /** EXACT top-k most frequent terms via Misra–Gries candidate
+    * generation + recount (Misra & Gries 1982, "Finding repeated
+    * elements") — the 100 TB shape for heavy hitters over a vocabulary
+    * too large to shuffle: a full `groupBy(term).count()` (q88's
+    * vocabulary) shuffles EVERY distinct term; here pass 1 runs a
+    * bounded `capacity`-counter summary PER PARTITION (the documented
+    * genuine-per-partition-imperative case — mapPartitions, O(capacity)
+    * memory), whose union is guaranteed to contain every term with
+    * global count > N/(capacity+1); pass 2 recounts ONLY the candidate
+    * terms exactly (broadcast semi-join) and takes the top-k.
+    *
+    * The result is EXACT — and provably so when the k-th returned count
+    * exceeds N/(capacity+1) (no non-candidate can reach the top-k);
+    * that guarantee is emitted as `guarantee_ok` so a mis-sized
+    * capacity fails loudly, not wrongly. The final output depends only
+    * on the data (candidates are a superset whatever the partitioning),
+    * so it is partition-layout-invariant and SQL-oracle-checkable.
+    * Returns k rows: (term, cnt, guarantee_ok) by (cnt desc, term). */
+  def heavyHittersExact(
+      docs: DataFrame, textCol: String,
+      k: Int, capacity: Int = 4096): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(tokens(textCol)).as("term")).persist()
+    val cand = toks.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        m.get(t) match {
+          case Some(c) => m(t) = c + 1
+          case None if m.size < capacity => m(t) = 1L
+          case None => // decrement-all, drop zeros; new key not admitted
+            val dead = List.newBuilder[String]
+            m.foreach { case (kk, v) => if (v == 1L) dead += kk else m(kk) = v - 1 }
+            dead.result().foreach(m.remove)
+        }
+      }
+      m.keysIterator
+    }.toDF("term").distinct()
+    val n = broadcast(toks.agg(count(lit(1)).as("n")))
+    val out = toks.join(broadcast(cand), "term")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(k)
+      .crossJoin(n)
+      .select(col("term"), col("cnt"),
+        (col("cnt") * (capacity + 1) > col("n")).as("guarantee_ok"))
+      .persist()
+    out.count()
+    toks.unpersist(blocking = false)
+    out
+  }
+
   def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol), explode(tokens(textCol)).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("c"))

@@ -86,7 +86,8 @@ class PlanSpec extends SparkSpec {
       "q153_ann_ivf_pq",     // q58's centroid + q146's table/query shapes
       "q154_ivf_pq_nprobe",  // q153's shapes + broadcast 4-row probe set
       "q156_stupid_backoff", // broadcast 1-row (N, V) reference scalar
-      "q158_kmv_set_algebra") // 5-row sketch-table pair join (theta <)
+      "q158_kmv_set_algebra", // 5-row sketch-table pair join (theta <)
+      "q159_heavy_hitters")  // broadcast 1-row corpus-token-total scalar
     // Known blind spot: the iterative queries (q42/q60/q80/q81) run
     // their superstep jobs eagerly inside fn, so only their FINAL frame
     // is inspected here; the supersteps' own plan shapes are covered by

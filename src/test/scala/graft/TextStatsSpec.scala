@@ -299,6 +299,31 @@ class TextStatsSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("heavyHittersExact: matches full groupBy top-k, partition-invariant, honest guarantee") {
+    import graft.text.TextStats
+    // Zipf-ish corpus: term_i appears ~1000/i times, i = 1..50
+    val words = (1 to 50).flatMap(i => Seq.fill(1000 / i)(s"w$i"))
+    val docs = words.grouped(97).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    def run(parts: Int, cap: Int) =
+      TextStats.heavyHittersExact(docs.repartition(parts), "text", k = 10, capacity = cap)
+        .as[(String, Long, Boolean)].collect().toSeq
+    val exact = docs.select(explode(expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("t"))
+      .groupBy("t").count()
+      .orderBy(col("count").desc, col("t").asc).limit(10)
+      .as[(String, Long)].collect().toSeq
+    val hh = run(4, cap = 64)
+    assert(hh.map(r => (r._1, r._2)) == exact) // exact top-10, exact counts
+    assert(hh.forall(_._3), "capacity 64 should prove the guarantee here")
+    assert(run(13, cap = 64).map(r => (r._1, r._2)) == exact) // layout-invariant
+    // a too-small capacity must SAY so (guarantee_ok false on tail rows),
+    // not silently claim exactness
+    val tight = run(4, cap = 8)
+    assert(tight.exists(!_._3), "cap=8 cannot prove top-10 exactness on 50 terms")
+  }
+
   test("stupidBackoffScore: word order matters, backoff fires on unseen bigrams") {
     import graft.text.TextStats
     val docs = Seq(
