@@ -503,15 +503,17 @@ object GraphQueries {
       val stats = base.groupBy(grp.map(col): _*)
         .agg(count(lit(1)).as("member_count"),
           countDistinct("p_brand").as("n_brands"))
-      val btop = R.topNFrequent(
-        base.select("gamma_pct", "label", "p_brand"), grp, "p_brand", n = 2)
-      val topBrands = btop.groupBy(grp.map(col): _*)
-        .agg(array_join(
-          transform(array_sort(collect_list(struct(col("rn"), col("p_brand")))),
-            x => x.getField("p_brand")),
-          ", ").as("top_brands"))
-      val brand1 = btop.filter(col("rn") === 1)
-        .select(col("gamma_pct"), col("label"), col("p_brand").as("brand1"))
+      // ONE agg yields both the joined top-2 string and the top-1 value
+      // (element 1 of the same rn-sorted array) — one community-sized
+      // join fewer than separate top_brands/brand1 frames
+      val brandAgg = R.topNFrequent(
+          base.select("gamma_pct", "label", "p_brand"), grp, "p_brand", n = 2)
+        .groupBy(grp.map(col): _*)
+        .agg(transform(array_sort(collect_list(struct(col("rn"), col("p_brand")))),
+          x => x.getField("p_brand")).as("brands"))
+        .select(col("gamma_pct"), col("label"),
+          array_join(col("brands"), ", ").as("top_brands"),
+          element_at(col("brands"), 1).as("brand1"))
       val cont1 = R.topNFrequent(
           base.select("gamma_pct", "label", "p_type"), grp, "p_type", n = 1)
         .select(col("gamma_pct"), col("label"), col("p_type").as("cont1"))
@@ -527,7 +529,7 @@ object GraphQueries {
       // Stage 4: name rule (top country + top genre, with the reference's
       // fallback structure) + doc-id synthesis
       val meta = stats
-        .join(topBrands, grp).join(brand1, grp).join(cont1, grp).join(reps, grp)
+        .join(brandAgg, grp).join(cont1, grp).join(reps, grp)
         .withColumn("level",
           when(col("gamma_pct") === 200, 0).when(col("gamma_pct") === 50, 1)
             .otherwise(2))
