@@ -92,18 +92,38 @@ object Dedup {
     * pass with an n-row result, no full sort; the one-shot form of
     * quality-weighted subsampling a mixture builder runs per source.
     * Returns the sampled rows with their `skey` (drop it if unneeded). */
-  def weightedSample(
-      df: DataFrame, idCol: String, weightCol: String,
-      n: Int, seed: Long): DataFrame = {
+  /** The A-ES key ln(u)/w — see [[weightedSample]] for the discipline. */
+  private def aesKey(idCol: String, weightCol: String, seed: Long): Column = {
     val h = conv(
       substring(md5(concat(col(idCol).cast("string"), lit(s":$seed"))), 1, 12),
       16, 10).cast("long")
     val u = (h + lit(1L)).cast("double") / lit(281474976710656.0) // 16^12
+    log(u) / col(weightCol).cast("double")
+  }
+
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String,
+      n: Int, seed: Long): DataFrame =
     df.filter(col(weightCol) > 0)
-      .withColumn("skey", log(u) / col(weightCol).cast("double"))
+      .withColumn("skey", aesKey(idCol, weightCol, seed))
       .orderBy(col("skey").desc, col(idCol).asc)
       .limit(n)
-  }
+
+  /** Per-stratum [[weightedSample]]: the A-ES keys ranked WITHIN each
+    * stratum — weight-proportional per-source quotas in ONE pass (the
+    * [[domainCap]] shape, but picks are weight-proportional draws
+    * instead of hash-arbitrary). One window shuffle on the stratum
+    * columns; same determinism and oracle story as weightedSample. */
+  def weightedSamplePerGroup(
+      df: DataFrame, idCol: String, weightCol: String,
+      groupCols: Seq[String], nPerGroup: Int, seed: Long): DataFrame =
+    df.filter(col(weightCol) > 0)
+      .withColumn("skey", aesKey(idCol, weightCol, seed))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(groupCols.map(col): _*)
+          .orderBy(col("skey").desc, col(idCol).asc)))
+      .filter(col("__rn") <= nPerGroup)
+      .drop("__rn")
 
   /** Temperature-based mixture rebalancing (the multilingual T-sampling
     * step, temperature fixed at 2): per-stratum keep THRESHOLDS derived

@@ -511,6 +511,32 @@ object DedupQueries {
         .select("doc_id", "n_chars")
     },
 
+    // Per-stratum weighted quotas: 20 docs PER LANGUAGE drawn
+    // proportional to n_chars in one pass — q89's per-domain cap shape
+    // with A-ES weight-proportional picks instead of hash-arbitrary
+    // ones; the per-source sampling step of mixture construction.
+    Q("q160_weighted_sample_per_group",
+      """WITH h AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    list_reduce(list_transform(generate_series(1, 12),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5(CAST(doc_id AS VARCHAR) || ':7'), i, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM documents WHERE n_chars > 0),
+        |k AS (SELECT doc_id, lang, n_chars,
+        |        ln(CAST(hv + 1 AS DOUBLE) / 281474976710656.0)
+        |          / CAST(n_chars AS DOUBLE) AS skey
+        |      FROM h),
+        |r AS (SELECT doc_id, lang, n_chars,
+        |        row_number() OVER (PARTITION BY lang ORDER BY skey DESC, doc_id) AS rn
+        |      FROM k)
+        |SELECT lang, doc_id, n_chars FROM r WHERE rn <= 20""".stripMargin) { (s, dir) =>
+      Dedup.weightedSamplePerGroup(
+        Tables(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "doc_id", "n_chars", groupCols = Seq("lang"), nPerGroup = 20, seed = 7L)
+        .select("lang", "doc_id", "n_chars")
+    },
+
     // Substring-level duplicate spans (Lee et al. 2022 exact-substring
     // dedup): 50-char windows at stride 25, duplicated = same text in
     // ≥2 docs, overlapping windows merged to maximal per-doc spans.

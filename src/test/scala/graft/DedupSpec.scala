@@ -134,6 +134,24 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.weightedSample(df, "id", "w", n = 500, seed = 1L).count() == 105)
   }
 
+  test("weightedSamplePerGroup: per-stratum quotas, global-sample consistency") {
+    val df = ((1L to 200L).map(i => (i, "a", 1L)) ++
+      (201L to 250L).map(i => (i, "b", 10L))).toDF("id", "g", "w")
+    val out = Dedup.weightedSamplePerGroup(df, "id", "w",
+        groupCols = Seq("g"), nPerGroup = 15, seed = 7L)
+      .select("g", "id").as[(String, Long)].collect().toSeq
+    assert(out.count(_._1 == "a") == 15 && out.count(_._1 == "b") == 15)
+    // within one stratum the quota IS weightedSample of that stratum
+    val aOnly = Dedup.weightedSample(df.filter(col("g") === "a"), "id", "w",
+        n = 15, seed = 7L)
+      .select("id").as[Long].collect().toSet
+    assert(out.filter(_._1 == "a").map(_._2).toSet == aOnly)
+    // quota larger than a stratum returns the whole stratum
+    val all = Dedup.weightedSamplePerGroup(df, "id", "w",
+      groupCols = Seq("g"), nPerGroup = 100, seed = 7L)
+    assert(all.filter(col("g") === "b").count() == 50)
+  }
+
   test("ngram jaccard: identity 1.0, near-dup high, blocked pairs only") {
     val blocked = docs.withColumn("blk", lit(1))
     val out = Dedup.ngramJaccardPairs(blocked, "doc_id", "text", Seq(col("blk")))
