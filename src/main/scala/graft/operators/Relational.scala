@@ -332,4 +332,32 @@ object Relational {
   def finishAggState(state: DataFrame, keyCol: String): DataFrame =
     state.select(col(keyCol), col("n"), col("s").cast(DoubleType).as("s"),
       col("mn"), col("mx"))
+
+  /** Snapshot diff between two versions of a keyed table — the dataset-
+    * versioning audit a pipeline runs between ingests: every key is
+    * classified added / removed / changed / unchanged by comparing an
+    * md5 row fingerprint over `compareCols` (null-safe: each column
+    * coalesces to a U+0000 sentinel before the U+0001-separated concat,
+    * so NULL ≠ '' and column boundaries can't alias). One full outer
+    * hash join on the keys; both sides project only keys + fingerprint,
+    * so the shuffle carries two thin columns however wide the table —
+    * the 100 TB version-diff shape. Callers pick `compareCols` with
+    * engine-stable string casts (ints/strings/dates) when the result
+    * must replay in SQL. Returns (status, n). */
+  def datasetDiff(
+      oldDf: DataFrame, newDf: DataFrame,
+      keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
+    def fp(df: DataFrame, as: String): DataFrame =
+      df.select(keyCols.map(col) :+
+        md5(concat_ws("\u0001",
+          compareCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+          .as(as): _*)
+    fp(oldDf, "h_old").join(fp(newDf, "h_new"), keyCols, "full_outer")
+      .select(
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n"))
+  }
 }

@@ -627,5 +627,42 @@ object RelationalQueries {
       R.finishAggState(
         R.mergeAggStates(even, odd, "l_returnflag"), "l_returnflag")
     },
+
+    // Dataset-version diff: classify every key added / removed /
+    // changed / unchanged between two snapshots by md5 row fingerprint
+    // — the ingest-to-ingest audit a versioned pipeline runs. Both
+    // versions derive deterministically from orders (old drops
+    // key%1000=7, new drops %1000=13 and rewrites priority on %500=21),
+    // so the counts replay exactly; the join ships only (key,
+    // fingerprint) however wide the table.
+    Q("q161_dataset_diff",
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus, o_orderpriority
+        |           FROM orders),
+        |old AS (SELECT k, md5(concat_ws(chr(1),
+        |          COALESCE(CAST(o_custkey AS VARCHAR), chr(0)),
+        |          COALESCE(o_orderstatus, chr(0)),
+        |          COALESCE(o_orderpriority, chr(0)))) AS h
+        |        FROM o WHERE k % 1000 <> 7),
+        |new AS (SELECT k, md5(concat_ws(chr(1),
+        |          COALESCE(CAST(o_custkey AS VARCHAR), chr(0)),
+        |          COALESCE(o_orderstatus, chr(0)),
+        |          COALESCE(CASE WHEN k % 500 = 21 THEN '9-CHANGED'
+        |                        ELSE o_orderpriority END, chr(0)))) AS h
+        |        FROM o WHERE k % 1000 <> 13),
+        |j AS (SELECT CASE WHEN old.h IS NULL THEN 'added'
+        |                  WHEN new.h IS NULL THEN 'removed'
+        |                  WHEN old.h <> new.h THEN 'changed'
+        |                  ELSE 'unchanged' END AS status
+        |      FROM old FULL OUTER JOIN new USING (k))
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY status""".stripMargin) { (s, dir) =>
+      val o = Tables(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey"), col("o_orderstatus"), col("o_orderpriority"))
+      val vOld = o.filter(col("k") % 1000 =!= 7)
+      val vNew = o.filter(col("k") % 1000 =!= 13)
+        .withColumn("o_orderpriority",
+          when(col("k") % 500 === 21, "9-CHANGED").otherwise(col("o_orderpriority")))
+      R.datasetDiff(vOld, vNew, keyCols = Seq("k"),
+        compareCols = Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+    },
   )
 }

@@ -238,4 +238,26 @@ class RelationalSpec extends SparkSpec {
       ("A", 3, "x", 5 * M, None, 1L),        // re-appearing attr = new version
       ("B", 1, "z", 1 * M, None, 1L)))       // open-ended current version
   }
+
+  test("datasetDiff: added/removed/changed/unchanged; null-safe and alias-proof fingerprints") {
+    import graft.operators.{Relational => R}
+    def t(rows: Seq[(Long, Option[String], String)]) =
+      rows.toDF("k", "a", "b")
+    val old_ = t(Seq(
+      (1L, Some("x"), "p"),   // unchanged
+      (2L, Some("x"), "p"),   // changed: value edit
+      (3L, None, "p"),        // changed: NULL -> '' must NOT look equal
+      (4L, Some("ab"), "c"),  // changed: boundary shift "ab","c" -> "a","bc"
+      (5L, Some("x"), "p"))) // removed
+    val new_ = t(Seq(
+      (1L, Some("x"), "p"),
+      (2L, Some("y"), "p"),
+      (3L, Some(""), "p"),
+      (4L, Some("a"), "bc"),
+      (6L, Some("x"), "p"))) // added
+    val out = R.datasetDiff(old_, new_, keyCols = Seq("k"), compareCols = Seq("a", "b"))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("unchanged" -> 1L, "changed" -> 3L,
+      "removed" -> 1L, "added" -> 1L))
+  }
 }
