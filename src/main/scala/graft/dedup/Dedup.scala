@@ -528,6 +528,45 @@ object Dedup {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Cross-source contamination MATRIX — [[decontaminateNgrams]]
+    * generalized from one held-out set to EVERY source pair: for
+    * sources a < b, the number of distinct word n-grams appearing in
+    * both, plus each side's containment share — the leak audit run
+    * before mixing corpora (which crawls duplicate which, whether a
+    * benchmark suite bleeds into a training source).
+    *
+    * Shape: distinct (source, n-gram) — one hash agg — then a
+    * gram-keyed self-join whose per-gram fan-out is bounded by
+    * C(|sources|, 2), then one pair-keyed groupBy: work is
+    * |distinct grams| + |matches|, never doc×doc and never a per-pair
+    * corpus scan. At corpus scale swap the join key for xxhash64(ng)
+    * (the duplicateSpans trick — 8-byte shuffle keys; kept raw here so
+    * the oracle is collision-free exact). Returns one row per
+    * overlapping pair: (source_a, source_b, shared_ngrams, tot_a,
+    * tot_b, containment_a, containment_b). */
+  def crossSourceNgramOverlap(
+      docs: DataFrame, sourceCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val toks = docs
+      .select(col(sourceCol).as("src"), wordTokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= n)
+    val sg = toks
+      .select(col("src"), explode(wordShingles(col("t"), n)).as("ng"))
+      .distinct()
+    val tot = sg.groupBy(col("src")).agg(count(lit(1)).as("tot"))
+    val pairs = sg.as("a")
+      .join(sg.as("b"), col("a.ng") === col("b.ng") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+    pairs
+      .join(tot.select(col("src").as("source_a"), col("tot").as("tot_a")), "source_a")
+      .join(tot.select(col("src").as("source_b"), col("tot").as("tot_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("shared_ngrams"),
+        col("tot_a"), col("tot_b"),
+        round(col("shared_ngrams").cast("double") / col("tot_a"), 6).as("containment_a"),
+        round(col("shared_ngrams").cast("double") / col("tot_b"), 6).as("containment_b"))
+  }
+
   /** Substring-level duplicate-span detection — exact-substring dedup in
     * the style of Lee et al. 2022 ("Deduplicating Training Data Makes
     * Language Models Better": memorized spans repeat VERBATIM across

@@ -537,6 +537,36 @@ object DedupQueries {
         .select("lang", "doc_id", "n_chars")
     },
 
+    // Cross-source contamination matrix: distinct 8-gram overlap +
+    // containment between every source pair — the leak audit before
+    // corpus mixing (q82's decontamination generalized from one
+    // held-out set to all pairs). Work = |distinct grams| + |matches|;
+    // per-gram fan-out bounded by C(|sources|,2).
+    Q("q162_cross_source_overlap",
+      """WITH tk AS (
+        |  SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT source,
+        |    unnest(list_transform(generate_series(1, len(t) - 7),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |           t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])) AS ng
+        |  FROM tk WHERE len(t) >= 8),
+        |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS tot FROM g GROUP BY source),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |        CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+        |      FROM g a JOIN g b ON a.ng = b.ng AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b, p.shared_ngrams,
+        |  ta.tot AS tot_a, tb.tot AS tot_b,
+        |  ROUND(CAST(p.shared_ngrams AS DOUBLE) / ta.tot, 6) AS containment_a,
+        |  ROUND(CAST(p.shared_ngrams AS DOUBLE) / tb.tot, 6) AS containment_b
+        |FROM p JOIN tot ta ON p.source_a = ta.source
+        |       JOIN tot tb ON p.source_b = tb.source""".stripMargin) { (s, dir) =>
+      Dedup.crossSourceNgramOverlap(
+        Tables(s, dir, "documents"), "source", "text", n = 8)
+    },
+
     // Substring-level duplicate spans (Lee et al. 2022 exact-substring
     // dedup): 50-char windows at stride 25, duplicated = same text in
     // ≥2 docs, overlapping windows merged to maximal per-doc spans.

@@ -134,6 +134,26 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.weightedSample(df, "id", "w", n = 500, seed = 1L).count() == 105)
   }
 
+  test("crossSourceNgramOverlap: shared passage counted once, disjoint pair absent") {
+    val passage = "one two three four five six seven eight nine"
+    val docs = Seq(
+      (1L, "A", s"$passage alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "A", passage), // same passage twice in A — distinct grams count once
+      (3L, "B", s"intro words here then $passage"),
+      (4L, "C", "totally different words that never overlap with anything else at all"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.crossSourceNgramOverlap(docs, "source", "text", n = 8)
+      .as[(String, String, Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // the 9-word passage has two 8-grams; both appear in A and B
+    assert(out.keySet == Set(("A", "B"))) // C overlaps nothing
+    val ab = out(("A", "B"))
+    assert(ab._3 == 2L)
+    // containment = shared / per-source distinct totals
+    assert(ab._6 == BigDecimal(2.0 / ab._4).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(ab._7 == BigDecimal(2.0 / ab._5).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("weightedSamplePerGroup: per-stratum quotas, global-sample consistency") {
     val df = ((1L to 200L).map(i => (i, "a", 1L)) ++
       (201L to 250L).map(i => (i, "b", 10L))).toDF("id", "g", "w")
