@@ -500,6 +500,29 @@ object Dedup {
       .select(col(idCol), col("cluster"),
         hashSplit3(col("cluster")).as("split"))
 
+  /** Dedup RESOLUTION — the "which copy do we keep" step after
+    * [[fuzzyDedup]]: pick one canonical document per near-dup cluster
+    * by a QUALITY order (descending `qualityCol`, ties to the smaller
+    * id) instead of fuzzyDedup's arbitrary min-id convention — real
+    * pipelines keep the longest / highest-scoring copy, not the
+    * lowest-keyed one. One hash-agg argmax per cluster (the
+    * argmaxPerGroup fast path — no window sort), then one cluster-keyed
+    * join back. Returns (idCol, cluster, canonical_id, keep). */
+  def canonicalPerCluster(
+      asg: DataFrame, clusterCol: String, idCol: String,
+      qualityCol: String): DataFrame = {
+    val canon = graft.operators.Relational.argmaxPerGroup(
+        asg.select(col(clusterCol), col(idCol), col(qualityCol)),
+        groupCols = Seq(clusterCol),
+        sortKey = Seq(col(qualityCol), -col(idCol)),
+        payload = Seq(idCol))
+      .withColumnRenamed(idCol, "canonical_id")
+    asg.select(col(idCol), col(clusterCol))
+      .join(canon.select(col(clusterCol), col("canonical_id")), clusterCol)
+      .select(col(idCol), col(clusterCol), col("canonical_id"),
+        (col(idCol) === col("canonical_id")).as("keep"))
+  }
+
   /** Test-set decontamination (the C4/Dolma preprocessing step): flag
     * every document sharing at least one word n-gram with the test
     * subset. One explode per side into (id, n-gram) rows, distinct

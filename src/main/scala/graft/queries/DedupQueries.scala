@@ -302,51 +302,7 @@ object DedupQueries {
     // CTEs), verifies candidates relationally, and closes clusters with a
     // recursive min-reachability CTE.
     Q("q91_fuzzy_dedup",
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, s FROM (
-        |    SELECT doc_id,
-        |      unnest(list_transform(generate_series(1, len(t) - 2),
-        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |    FROM toks WHERE len(t) >= 3)),
-        |hh AS (
-        |  SELECT doc_id,
-        |    list_reduce(list_transform(generate_series(1, 12),
-        |      i -> CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)),
-        |      (a, b) -> a * 16 + b) AS h1,
-        |    list_reduce(list_transform(generate_series(13, 24),
-        |      i -> CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)),
-        |      (a, b) -> a * 16 + b) * 2 + 1 AS h2
-        |  FROM sh),
-        |sig AS (
-        |  SELECT doc_id, i, MIN((h1 + i * h2) % 281474976710656) AS mh
-        |  FROM hh CROSS JOIN range(16) r(i) GROUP BY doc_id, i),
-        |bk AS (
-        |  SELECT doc_id, i // 4 AS band,
-        |         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS band_key
-        |  FROM sig GROUP BY doc_id, i // 4),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
-        |  WHERE a.doc_id < b.doc_id),
-        |ssize AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |ins AS (
-        |  SELECT c.id_a, c.id_b, COUNT(*) AS i
-        |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
-        |              JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
-        |  GROUP BY c.id_a, c.id_b),
-        |ver AS (
-        |  SELECT ins.id_a, ins.id_b
-        |  FROM ins JOIN ssize sa ON sa.doc_id = ins.id_a
-        |           JOIN ssize sb ON sb.doc_id = ins.id_b
-        |  WHERE ins.i * 2 >= (sa.n + sb.n - ins.i) * 1),
-        |und AS (SELECT id_a AS s, id_b AS d FROM ver
-        |        UNION ALL SELECT id_b AS s, id_a AS d FROM ver),
-        |reach AS (SELECT s AS id, s AS comp FROM und
-        |          UNION
-        |          SELECT u.s AS id, r.comp FROM und u JOIN reach r ON u.d = r.id),
-        |cc AS (SELECT id, MIN(comp) AS cluster FROM reach GROUP BY id)
+      s"""$fuzzyCcCtes
         |SELECT d.doc_id,
         |       COALESCE(cc.cluster, d.doc_id) AS cluster,
         |       COALESCE(cc.cluster, d.doc_id) = d.doc_id AS keep
@@ -361,51 +317,7 @@ object DedupQueries {
     // doc-keyed split like q73 permits). Oracle = q91's banding +
     // recursive-CC chain + the q73 md5-byte split on the cluster id.
     Q("q130_leakage_safe_split",
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, s FROM (
-        |    SELECT doc_id,
-        |      unnest(list_transform(generate_series(1, len(t) - 2),
-        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |    FROM toks WHERE len(t) >= 3)),
-        |hh AS (
-        |  SELECT doc_id,
-        |    list_reduce(list_transform(generate_series(1, 12),
-        |      i -> CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)),
-        |      (a, b) -> a * 16 + b) AS h1,
-        |    list_reduce(list_transform(generate_series(13, 24),
-        |      i -> CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)),
-        |      (a, b) -> a * 16 + b) * 2 + 1 AS h2
-        |  FROM sh),
-        |sig AS (
-        |  SELECT doc_id, i, MIN((h1 + i * h2) % 281474976710656) AS mh
-        |  FROM hh CROSS JOIN range(16) r(i) GROUP BY doc_id, i),
-        |bk AS (
-        |  SELECT doc_id, i // 4 AS band,
-        |         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS band_key
-        |  FROM sig GROUP BY doc_id, i // 4),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
-        |  WHERE a.doc_id < b.doc_id),
-        |ssize AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |ins AS (
-        |  SELECT c.id_a, c.id_b, COUNT(*) AS i
-        |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
-        |              JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
-        |  GROUP BY c.id_a, c.id_b),
-        |ver AS (
-        |  SELECT ins.id_a, ins.id_b
-        |  FROM ins JOIN ssize sa ON sa.doc_id = ins.id_a
-        |           JOIN ssize sb ON sb.doc_id = ins.id_b
-        |  WHERE ins.i * 2 >= (sa.n + sb.n - ins.i) * 1),
-        |und AS (SELECT id_a AS s, id_b AS d FROM ver
-        |        UNION ALL SELECT id_b AS s, id_a AS d FROM ver),
-        |reach AS (SELECT s AS id, s AS comp FROM und
-        |          UNION
-        |          SELECT u.s AS id, r.comp FROM und u JOIN reach r ON u.d = r.id),
-        |cc AS (SELECT id, MIN(comp) AS cluster FROM reach GROUP BY id),
+      s"""$fuzzyCcCtes,
         |asg AS (
         |  SELECT d.doc_id, COALESCE(cc.cluster, d.doc_id) AS cluster
         |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id)
@@ -537,6 +449,31 @@ object DedupQueries {
         .select("lang", "doc_id", "n_chars")
     },
 
+    // Dedup resolution: q91's near-dup clusters resolved to a CANONICAL
+    // copy by quality (longest text, ties to the smaller id) — the
+    // keep-the-best-copy step real pipelines run instead of keeping the
+    // arbitrary min-id member. Oracle = the shared fuzzy-CC chain + a
+    // per-cluster quality argmax window.
+    Q("q163_dedup_canonical",
+      s"""$fuzzyCcCtes,
+        |asg AS (
+        |  SELECT d.doc_id, d.n_chars, COALESCE(cc.cluster, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id),
+        |canon AS (SELECT cluster, doc_id AS canonical_id FROM (
+        |  SELECT cluster, doc_id, row_number() OVER (
+        |    PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM asg) t WHERE rn = 1)
+        |SELECT a.doc_id, a.cluster, c.canonical_id,
+        |       a.doc_id = c.canonical_id AS keep
+        |FROM asg a JOIN canon c USING (cluster)""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val asg = Dedup.fuzzyDedup(s, docs, "doc_id", "text",
+          shingleN = 3, numHashes = 16, bands = 4, jaccNum = 1, jaccDen = 2)
+        .select("doc_id", "cluster")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+      Dedup.canonicalPerCluster(asg, "cluster", "doc_id", "n_chars")
+    },
+
     // Cross-source contamination matrix: distinct 8-gram overlap +
     // containment between every source pair — the leak audit before
     // corpus mixing (q82's decontamination generalized from one
@@ -663,6 +600,56 @@ object DedupQueries {
         .reduce(_ unionByName _)
     },
   )
+
+  /** Shared q91/q130/q163 oracle prefix: MinHash banding, candidate
+    * generation, exact-Jaccard verify, and the near-dup components as a
+    * min-reachability recursive CTE, ending at `cc(id, cluster)`. */
+  private def fuzzyCcCtes: String =
+    """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(t) - 2),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |    FROM toks WHERE len(t) >= 3)),
+        |hh AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(generate_series(1, 12),
+        |      i -> CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS h1,
+        |    list_reduce(list_transform(generate_series(13, 24),
+        |      i -> CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) * 2 + 1 AS h2
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, i, MIN((h1 + i * h2) % 281474976710656) AS mh
+        |  FROM hh CROSS JOIN range(16) r(i) GROUP BY doc_id, i),
+        |bk AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS band_key
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id < b.doc_id),
+        |ssize AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |ins AS (
+        |  SELECT c.id_a, c.id_b, COUNT(*) AS i
+        |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+        |              JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+        |  GROUP BY c.id_a, c.id_b),
+        |ver AS (
+        |  SELECT ins.id_a, ins.id_b
+        |  FROM ins JOIN ssize sa ON sa.doc_id = ins.id_a
+        |           JOIN ssize sb ON sb.doc_id = ins.id_b
+        |  WHERE ins.i * 2 >= (sa.n + sb.n - ins.i) * 1),
+        |und AS (SELECT id_a AS s, id_b AS d FROM ver
+        |        UNION ALL SELECT id_b AS s, id_a AS d FROM ver),
+        |reach AS (SELECT s AS id, s AS comp FROM und
+        |          UNION
+        |          SELECT u.s AS id, r.comp FROM und u JOIN reach r ON u.d = r.id),
+        |cc AS (SELECT id, MIN(comp) AS cluster FROM reach GROUP BY id)""".stripMargin
 
   /** Drop-and-clean a managed index table (warehouse dir can outlive the
     * in-memory catalog — the q105 lesson); returns the per-sf table name. */

@@ -134,6 +134,21 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.weightedSample(df, "id", "w", n = 500, seed = 1L).count() == 105)
   }
 
+  test("canonicalPerCluster: quality argmax, singleton self-canonical, id tie-break") {
+    val asg = Seq(
+      (1L, 100L, 50L),  // cluster 100: doc 2 is longest → canonical
+      (2L, 100L, 80L),
+      (3L, 100L, 80L),  // quality tie with 2 → smaller id (2) wins
+      (9L, 9L, 10L))    // singleton cluster → itself
+      .toDF("doc_id", "cluster", "n_chars")
+    val out = Dedup.canonicalPerCluster(asg, "cluster", "doc_id", "n_chars")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._3 == 2L && !out(1L)._4)
+    assert(out(2L)._3 == 2L && out(2L)._4)
+    assert(out(3L)._3 == 2L && !out(3L)._4)
+    assert(out(9L)._3 == 9L && out(9L)._4)
+  }
+
   test("crossSourceNgramOverlap: shared passage counted once, disjoint pair absent") {
     val passage = "one two three four five six seven eight nine"
     val docs = Seq(
