@@ -101,4 +101,32 @@ object Checks {
     counts.unpersist(blocking = false)
     out
   }
+
+  /** Column profile in ONE table scan — the first thing run on a new
+    * 100 TB drop: per column (col_name, n_rows, n_nulls, n_distinct,
+    * min_value, max_value as strings). All columns' aggregates ride a
+    * single `agg` (Catalyst plans the multi-distinct via one Expand —
+    * rows × |cols| pre-aggregation, still one pass over storage; swap
+    * `countDistinct` for `approx_count_distinct` when exact per-column
+    * cardinality isn't worth the expand at full corpus scale), then an
+    * explode pivots the 1-row result to one row per column. Callers
+    * pick columns whose string casts are engine-stable (ints, strings,
+    * dates — not doubles) when the result must replay in SQL. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    df.agg(count(lit(1)).as("__n"), aggs: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"), col("__n").as("n_rows"),
+        col(s"__nn_$c").as("n_nulls"), col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_value"), col(s"__mx_$c").as("max_value"))): _*))
+        .as("p"))
+      .select("p.*")
+  }
 }

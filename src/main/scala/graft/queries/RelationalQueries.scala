@@ -664,5 +664,26 @@ object RelationalQueries {
       R.datasetDiff(vOld, vNew, keyCols = Seq("k"),
         compareCols = Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
     },
+
+    // Column profile in one scan — the first op run on a new data drop:
+    // per column nulls / distinct / min / max (engine-stable string
+    // casts). One agg, one Expand for the multi-distinct, one explode
+    // pivot to rows.
+    Q("q164_column_profile", {
+      val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
+      val sels = cols.map { c =>
+        s"""SELECT '$c' AS col_name, n.n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_value,
+           |  CAST(MAX($c) AS VARCHAR) AS max_value
+           |FROM orders, n GROUP BY n.n_rows""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders)
+         |$sels""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.Checks.profileColumns(Tables(s, dir, "orders"),
+        Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
+    },
   )
 }

@@ -239,6 +239,20 @@ class RelationalSpec extends SparkSpec {
       ("B", 1, "z", 1 * M, None, 1L)))       // open-ended current version
   }
 
+  test("profileColumns: nulls, distinct (null-excluded), min/max, single row per column") {
+    import graft.operators.Checks
+    val df = Seq(
+      (1L, Some("b")), (2L, Some("a")), (3L, None), (4L, Some("a")))
+      .toDF("k", "v")
+    val out = Checks.profileColumns(df, Seq("k", "v"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set("k", "v"))
+    assert(out("k") == ("k", 4L, 0L, 4L, "1", "4"))
+    // countDistinct excludes the null; min/max ignore it
+    assert(out("v") == ("v", 4L, 1L, 2L, "a", "b"))
+  }
+
   test("datasetDiff: added/removed/changed/unchanged; null-safe and alias-proof fingerprints") {
     import graft.operators.{Relational => R}
     def t(rows: Seq[(Long, Option[String], String)]) =
