@@ -489,6 +489,66 @@ object VectorQueries {
         .select(col("rank").as("rnk"), col("id").as("vec_id"), col("qsim"))
     },
 
+    // The RETRIEVAL-side funnel — the read-path complement of the q150
+    // ingest capstone, composed the way a RAG serving stack chains the
+    // kernels: ANN candidate pool (top-12 cosine) → document fetch →
+    // exact-content dedup among candidates (md5 keep-min-id — near-dup
+    // corpus copies must not crowd the context window) → MMR rerank of
+    // the survivors (λ=0.70) → top-5 with source metadata. One lazy
+    // plan; the oracle replays pool, dedup, and every greedy MMR step.
+    Q("q165_retrieval_funnel", {
+      val dotAQ = "list_reduce(list_transform(generate_series(1, 64), " +
+        "k -> a.v[k] * q.qv[k]), (x, y) -> x + y)"
+      val dotXY = "list_reduce(list_transform(generate_series(1, 64), " +
+        "k -> x.v[k] * y.v[k]), (s, t) -> s + t)"
+      val steps = (2 to 5).map { r =>
+        s"""s$r AS (SELECT $r AS rnk, c.id, c.qsim
+           |  FROM cand c JOIN (SELECT ia, MAX(psim) AS pen FROM pair
+           |                    WHERE ib IN (SELECT id FROM sel${r - 1}) GROUP BY ia) p
+           |       ON c.id = p.ia
+           |  WHERE c.id NOT IN (SELECT id FROM sel${r - 1})
+           |  ORDER BY 70 * c.qsim - 30 * p.pen DESC, c.id LIMIT 1),
+           |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
+      }.mkString(",\n")
+      s"""$normCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n ORDER BY vec_id LIMIT 1),
+         |pool AS (
+         |  SELECT a.vec_id AS id, a.v, a.nrm,
+         |    CAST(floor($dotAQ / (a.nrm * q.qn) * 1000000000000) AS BIGINT) AS qsim
+         |  FROM n a CROSS JOIN q WHERE a.vec_id <> q.q_id
+         |  ORDER BY qsim DESC, id LIMIT 12),
+         |dd AS (SELECT MIN(p.id) AS id
+         |       FROM pool p JOIN documents d ON p.id = d.doc_id
+         |       GROUP BY md5(d.text)),
+         |cand AS (SELECT p.* FROM pool p JOIN dd USING (id)),
+         |pair AS (
+         |  SELECT x.id AS ia, y.id AS ib,
+         |    CAST(floor($dotXY / (x.nrm * y.nrm) * 1000000000000) AS BIGINT) AS psim
+         |  FROM cand x JOIN cand y ON x.id <> y.id),
+         |sel1 AS (SELECT 1 AS rnk, id, qsim FROM cand ORDER BY qsim DESC, id LIMIT 1),
+         |$steps
+         |SELECT s.rnk, s.id AS doc_id, s.qsim, d.source
+         |FROM sel5 s JOIN documents d ON s.id = d.doc_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.{Relational => R}
+      val emb = Tables(s, dir, "embeddings")
+      val docs = Tables(s, dir, "documents")
+      val q = emb.orderBy("vec_id").limit(1)
+      val pool = Similarity.knnBrute(emb, "vec_id", "embedding", q, k = 12)
+      // exact-content dedup among the candidates: keep the smallest id
+      // per md5(text) (argmax on -id — the hash-agg fast path)
+      val keep = R.argmaxPerGroup(
+        pool.join(docs.select(col("doc_id").as("vec_id"), md5(col("text")).as("h")),
+          "vec_id"),
+        groupCols = Seq("h"), sortKey = Seq(-col("vec_id")), payload = Seq("vec_id"))
+      val survivors = emb.join(keep.select("vec_id"), "vec_id")
+      Similarity.mmrRerank(survivors, "vec_id", "embedding", q,
+          k = 5, lambdaPct = 70L, candidates = 12)
+        .join(docs.select(col("doc_id"), col("source")),
+          col("id") === col("doc_id"))
+        .select(col("rank").as("rnk"), col("doc_id"), col("qsim"), col("source"))
+    },
+
     // Deterministic distributed k-means (k=8, 3 Lloyd iterations) over
     // integer-quantized embeddings: exact integer centroid sums + IEEE
     // double quotients + left-to-right distance folds make the whole

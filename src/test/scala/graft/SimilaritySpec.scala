@@ -220,6 +220,40 @@ class SimilaritySpec extends SparkSpec {
     model.release()
   }
 
+  test("q165 retrieval funnel: planted duplicate candidate is deduped before MMR") {
+    // synthetic sf dir: doc 1 and 2 share IDENTICAL text (and near-identical
+    // embeddings, so both enter the ANN pool); the funnel must keep only
+    // doc 1 (min id per content hash). The shipped corpus has no exact
+    // dups, so this is where the dedup stage's firing path is proven.
+    val dir = java.nio.file.Files.createTempDirectory("graft_q165").toString
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (math.sin(seed * 97 + i) * 10).toFloat)
+    // the duplicate pair sits right next to the query in embedding space,
+    // so both top the ANN pool AND survive MMR's top-5 — making the
+    // dedup the only thing standing between doc 2 and the output
+    val dup = vec(0).map(x => x + 0.01f)
+    val emb = (Seq(
+      (0L, vec(0)),                                     // the query anchor
+      (1L, dup), (2L, dup.map(x => x + 0.001f))) ++     // near-identical pair
+      (3L to 7L).map(i => (i, vec(i.toInt))))
+      .toDF("vec_id", "embedding")
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val docs = (0L to 7L).map { i =>
+      val text = if (i == 2L) "copied article body" // identical to doc 1
+        else if (i == 1L) "copied article body"
+        else s"distinct article body number $i"
+      (i, text, s"src${i % 3}", text.length.toLong)
+    }.toDF("doc_id", "text", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q165_retrieval_funnel")(spark, dir)
+      .select("rnk", "doc_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(out.length == 5)
+    val ids = out.map(_._2).toSet
+    assert(ids.contains(1L) && !ids.contains(2L),
+      s"duplicate content must collapse to the min id: $ids")
+    assert(out.map(_._1).toSeq == Seq(1, 2, 3, 4, 5))
+  }
+
   test("retrievalMetrics: MRR, P@k, NDCG@k match a hand-traced ranking") {
     // anchor 0 (label 0): ranking by cosine = 1(.994, rel), 4(.970),
     // 2(0, rel), 3(-1) → n_rel 2, first 1, MRR 1, P@10 0.2,
