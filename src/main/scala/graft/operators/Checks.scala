@@ -102,6 +102,25 @@ object Checks {
     out
   }
 
+  /** Per-group ECDF probes — the length/size-distribution QA report:
+    * for each group, P(value ≤ x) at caller-chosen probe points, plus
+    * the group count. One hash agg, one scan; exact integer count
+    * ratios with a single rounded division per cell, so the whole
+    * report replays in SQL (unlike interpolated percentile forms whose
+    * float formulas drift across engines — the probe-point ECDF is the
+    * deterministic dual of a quantile table). */
+  def ecdfAt(df: DataFrame, groupCol: String, valueCol: String,
+      points: Seq[Long]): DataFrame = {
+    require(points.nonEmpty, "ecdfAt needs at least one probe point")
+    val aggs = points.map { x =>
+      round(
+        sum(when(col(valueCol) <= x, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6).as(s"p_le_$x")
+    }
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+  }
+
   /** Column profile in ONE table scan — the first thing run on a new
     * 100 TB drop: per column (col_name, n_rows, n_nulls, n_distinct,
     * min_value, max_value as strings). All columns' aggregates ride a

@@ -685,5 +685,21 @@ object RelationalQueries {
       graft.operators.Checks.profileColumns(Tables(s, dir, "orders"),
         Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
     },
+
+    // Length-distribution QA: per-source ECDF of n_chars at fixed probe
+    // points — the deterministic dual of a quantile table (probe-point
+    // count ratios replay exactly; interpolated percentiles don't).
+    Q("q166_length_ecdf", {
+      val points = Seq(200L, 500L, 1000L, 2000L)
+      val cells = points.map(x =>
+        s"ROUND(CAST(SUM(CASE WHEN n_chars <= $x THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS p_le_$x")
+        .mkString(",\n        |  ")
+      s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  $cells
+        |FROM documents GROUP BY source""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.Checks.ecdfAt(Tables(s, dir, "documents"),
+        "source", "n_chars", points = Seq(200L, 500L, 1000L, 2000L))
+    },
   )
 }

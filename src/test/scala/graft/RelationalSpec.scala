@@ -253,6 +253,16 @@ class RelationalSpec extends SparkSpec {
     assert(out("v") == ("v", 4L, 1L, 2L, "a", "b"))
   }
 
+  test("ecdfAt: probe-point ratios, monotone, boundary inclusive") {
+    import graft.operators.Checks
+    val df = Seq(("a", 100L), ("a", 200L), ("a", 300L), ("a", 400L), ("b", 200L))
+      .toDF("g", "v")
+    val out = Checks.ecdfAt(df, "g", "v", points = Seq(200L, 350L))
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("a") == ("a", 4L, 0.5, 0.75)) // <= 200 inclusive: 2 of 4
+    assert(out("b") == ("b", 1L, 1.0, 1.0))
+  }
+
   test("datasetDiff: added/removed/changed/unchanged; null-safe and alias-proof fingerprints") {
     import graft.operators.{Relational => R}
     def t(rows: Seq[(Long, Option[String], String)]) =
