@@ -439,12 +439,18 @@ object Dedup {
   def appendBandIndex(
       table: String, batch: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      buckets: Int = 8): Unit =
+      buckets: Int = 8): Unit = {
     minhashBands(batch, idCol, textCol, shingleN, numHashes, bands)
       .select(col(idCol).as("old_id"), col("band"), col("band_key"))
       .write.mode("append")
       .bucketBy(buckets, "band_key").sortBy("band_key")
       .saveAsTable(table)
+    // the writing session's relation cache would otherwise keep serving
+    // the pre-append file list to the NEXT batch's index read (bitten in
+    // the streaming foreachBatch loop, where each micro-batch runs in a
+    // cloned session — readers in OTHER sessions must refresh themselves)
+    batch.sparkSession.catalog.refreshTable(table)
+  }
 
   /** [[incrementalNearDup]] against a MAINTAINED corpus band index —
     * the 100 TB shape: the corpus side of the band join is a table of

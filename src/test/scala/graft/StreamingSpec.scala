@@ -262,6 +262,71 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming band-index maintenance: foreachBatch dedup+append, index hit from a streamed doc") {
+    // q152's ingest loop driven from Structured Streaming: each
+    // micro-batch is deduped against the BUCKETED band index via the
+    // library path (incrementalNearDupWithIndex), then folded in
+    // (appendBandIndex) along with its corpus rows — so a later batch's
+    // duplicate of an EARLIER STREAMED doc is caught through the
+    // appended bands, not just the day-0 seed.
+    implicit val sc = spark.sqlContext
+    val tbl = "graft_stream_band_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val wp = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tbl)
+    val wfs = wp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (wfs.exists(wp)) wfs.delete(wp, true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sbi").toString
+    val corpusPath = s"$dir/corpus"
+    val resultsPath = s"$dir/results"
+    val textA = "spark catalyst optimizes logical plans into physical plans " +
+      "with cost based rules and pushes filters into columnar scans today"
+    val textB = "a completely different text about pasta with tomato sauce " +
+      "basil and parmesan served in a warm bowl tonight for dinner guests"
+    val textC = "graph algorithms propagate labels across edges until the " +
+      "assignment reaches a fixed point after several synchronous supersteps"
+    // day-0 seed: index + corpus store
+    val day0 = Seq((10L, textA), (11L, textB)).toDF("doc_id", "text")
+    graft.dedup.Dedup.writeBandIndex(tbl, day0, "doc_id", "text")
+    day0.write.mode("overwrite").parquet(corpusPath)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // foreachBatch runs in a CLONED session — read the index through
+        // the batch's own session and refresh first, or the relation
+        // cache serves a file list from before the previous append
+        val bs = batch.sparkSession
+        bs.catalog.refreshTable(tbl)
+        val corpus = bs.read.parquet(corpusPath)
+        graft.dedup.Dedup.incrementalNearDupWithIndex(
+            batch, bs.table(tbl), corpus, "doc_id", "text")
+          .write.mode("append").parquet(resultsPath)
+        graft.dedup.Dedup.appendBandIndex(tbl, batch, "doc_id", "text")
+        batch.write.mode("append").parquet(corpusPath)
+      }
+      .start()
+    try {
+      mem.addData((20L, textA), (21L, textC)) // 20 dups the day-0 seed; 21 new
+      q.processAllAvailable()
+      mem.addData((30L, textC), (31L, "entirely unrelated content about " +
+        "mountain weather patterns and seasonal snowfall forecasts for the " +
+        "northern ranges published by the observatory"))
+      q.processAllAvailable()
+      val rep = spark.read.parquet(resultsPath)
+        .as[(Long, Boolean, Option[Long])].collect().map(r => r._1 -> r).toMap
+      assert(rep(20L)._2 && rep(20L)._3.contains(10L)) // hit via day-0 index
+      assert(!rep(21L)._2)                             // genuinely new
+      // the decisive case: 30 duplicates a doc that arrived BY STREAM —
+      // reachable only through the appended bands
+      assert(rep(30L)._2 && rep(30L)._3.contains(21L))
+      assert(!rep(31L)._2) // unrelated content stays clean
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("streaming dedup: duplicate event ids across micro-batches collapse") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
