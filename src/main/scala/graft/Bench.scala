@@ -44,11 +44,14 @@ object Bench {
     }
     val warmDir = "/root/testdata/sf0.001"
     val warm = if (new java.io.File(warmDir).isDirectory) warmDir else sfDir
-    val loadBefore = Provenance.loadAvg1m
     queries.foreach { case (_, fn) =>
       try fn(spark, warm).count() catch { case _: Throwable => () }
       clearCaches()
     }
+    // sampled AFTER the warmup loop (immediately before the timed suite)
+    // so the warmup's own CPU load isn't attributed to co-tenant noise
+    // (round-9 ADVICE)
+    val loadBefore = Provenance.loadAvg1m
     // A failed query must be unmistakable in the artifact: it reports time
     // -1 (never a plausible duration), lands in the "errors" list, and is
     // excluded from the total — a fail-fast exception can't pad the bench

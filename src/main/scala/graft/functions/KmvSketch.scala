@@ -38,8 +38,16 @@ abstract class KmvBase[OUT](k: Int) extends Aggregator[Double, Array[Double], OU
 
   /** Insert preserving (sorted, distinct, ≤ k): binary search; skip
     * duplicates; drop the largest when full. O(log k) search +
-    * O(k) arraycopy — k is small and constant. */
+    * O(k) arraycopy — k is small and constant.
+    *
+    * NULL guard: [[KmvSketch.hash01]] of a null input yields a null
+    * column, which the primitive-Double input encoder decodes as 0.0 —
+    * below hash01's (0, 1] range. Admitting it would enter the sketch
+    * as the smallest possible hash and bias (k−1)/v_k; instead any
+    * a ≤ 0 (or NaN) is SKIPPED, matching countDistinct's and the
+    * DuckDB oracle's null-excluding semantics (round-9 ADVICE). */
   def reduce(b: Array[Double], a: Double): Array[Double] = {
+    if (!(a > 0.0)) return b // null-decoded 0.0 / NaN — never a real hash
     val pos = java.util.Arrays.binarySearch(b, a)
     if (pos >= 0) b // duplicate hash — a set, not a bag
     else {

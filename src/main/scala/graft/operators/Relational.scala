@@ -343,16 +343,20 @@ object Relational {
     * so the shuffle carries two thin columns however wide the table —
     * the 100 TB version-diff shape. Callers pick `compareCols` with
     * engine-stable string casts (ints/strings/dates) when the result
-    * must replay in SQL. Returns (status, n). */
+    * must replay in SQL. Keys join NULL-SAFELY (`<=>`): a row whose
+    * key is null matches its counterpart instead of double-counting
+    * as one "added" plus one "removed" (plain equality never matches
+    * null). Returns (status, n). */
   def datasetDiff(
       oldDf: DataFrame, newDf: DataFrame,
       keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
-    def fp(df: DataFrame, as: String): DataFrame =
-      df.select(keyCols.map(col) :+
+    def fp(df: DataFrame, pfx: String, as: String): DataFrame =
+      df.select(keyCols.map(c => col(c).as(s"$pfx$c")) :+
         md5(concat_ws("\u0001",
           compareCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
           .as(as): _*)
-    fp(oldDf, "h_old").join(fp(newDf, "h_new"), keyCols, "full_outer")
+    val cond = keyCols.map(c => col(s"__o_$c") <=> col(s"__n_$c")).reduce(_ && _)
+    fp(oldDf, "__o_", "h_old").join(fp(newDf, "__n_", "h_new"), cond, "full_outer")
       .select(
         when(col("h_old").isNull, "added")
           .when(col("h_new").isNull, "removed")

@@ -602,7 +602,7 @@ object TextQueries {
         |  FROM documents),
         |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY term),
         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tk)
-        |SELECT term, cnt, cnt * 4097 > n.n AS guarantee_ok
+        |SELECT term, cnt, cnt > n.n // 4097 AS guarantee_ok
         |FROM c, n ORDER BY cnt DESC, term LIMIT 20""".stripMargin) { (s, dir) =>
       TextStats.heavyHittersExact(Tables(s, dir, "documents"), "text",
         k = 20, capacity = 4096)

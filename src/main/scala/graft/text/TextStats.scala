@@ -428,8 +428,13 @@ object TextStats {
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(k)
       .crossJoin(n)
+      // cnt > n div (capacity+1) — integer division, exactly equivalent
+      // to cnt·(capacity+1) > n for integer cnt but overflow-free: the
+      // multiplied form wraps Long once total tokens exceed ~2.2e15 at
+      // the default capacity — precisely the 100 TB corpus this function
+      // is documented for (round-9 ADVICE)
       .select(col("term"), col("cnt"),
-        (col("cnt") * (capacity + 1) > col("n")).as("guarantee_ok"))
+        (col("cnt") > expr(s"n div ${capacity + 1}")).as("guarantee_ok"))
       .persist()
     out.count()
     toks.unpersist(blocking = false)

@@ -77,4 +77,22 @@ class RagSpec extends SparkSpec {
     assert(math.abs(row._1 - 12000.0) / 12000.0 < 0.19, s"union est ${row._1}")
     assert(math.abs(row._2 - 1.0 / 3.0) < 0.09, s"jaccard est ${row._2}")
   }
+
+  test("KMV excludes nulls like countDistinct (round-9 ADVICE)") {
+    import graft.functions.KmvSketch
+    // null inputs used to decode as hash 0.0 — the smallest possible
+    // value — biasing (k−1)/v_k; they must be skipped entirely
+    val vals: Seq[Option[Long]] =
+      (1L to 50L).map(Some(_)) ++ Seq.fill(500)(Option.empty[Long])
+    val df = vals.toDF("v").withColumn("g", lit("a"))
+    val withNulls = df.groupBy("g")
+      .agg(KmvSketch.kmvDistinct(col("v"), k = 256).as("e"))
+      .as[(String, Double)].collect().head._2
+    assert(withNulls == 50.0, s"nulls leaked into the sketch: $withNulls")
+    // the array form drops them too (no 0.0 entry, same bottom-k)
+    val arr = df.groupBy("g")
+      .agg(KmvSketch.kmvArray(col("v"), k = 256).as("hs"))
+      .select(col("hs")).as[Seq[Double]].collect().head
+    assert(arr.length == 50 && arr.forall(_ > 0.0))
+  }
 }

@@ -284,4 +284,16 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map("unchanged" -> 1L, "changed" -> 3L,
       "removed" -> 1L, "added" -> 1L))
   }
+
+  test("datasetDiff: null keys match null-safely, not added+removed") {
+    // round-9 ADVICE: plain key equality never matches null, so an
+    // identical null-keyed row double-counted as added + removed
+    import graft.operators.{Relational => R}
+    def t(rows: Seq[(Option[Long], String)]) = rows.toDF("k", "a")
+    val old_ = t(Seq((Some(1L), "x"), (None, "p")))
+    val new_ = t(Seq((Some(1L), "x"), (None, "q"))) // null-keyed row edited
+    val out = R.datasetDiff(old_, new_, keyCols = Seq("k"), compareCols = Seq("a"))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("unchanged" -> 1L, "changed" -> 1L))
+  }
 }

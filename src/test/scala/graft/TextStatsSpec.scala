@@ -324,6 +324,33 @@ class TextStatsSpec extends SparkSpec {
     assert(tight.exists(!_._3), "cap=8 cannot prove top-10 exactness on 50 terms")
   }
 
+  test("heavyHitters guarantee predicate is overflow-free at 100 TB token counts") {
+    // round-9 ADVICE: cnt·(capacity+1) wraps Long once n exceeds ~2.2e15;
+    // the shipped predicate is cnt > n div (capacity+1). Replay both forms
+    // over corpus-scale literals and check against exact BigInt arithmetic.
+    val cap1 = 4097L // capacity 4096 + 1
+    val cases = Seq(
+      // (cnt, n): a genuinely heavy term in a 9e18-token corpus ...
+      (3_000_000_000_000_000L, 9_000_000_000_000_000_000L),
+      // ... a light term in the same corpus (must be false)
+      (1_000_000L, 9_000_000_000_000_000_000L),
+      // boundary: cnt exactly n/(cap+1) — strict inequality → false
+      (2_000_000_000_000L, 2_000_000_000_000L * 4097L),
+      (2_000_000_000_000L + 1, 2_000_000_000_000L * 4097L))
+    val df = cases.toDF("cnt", "n")
+    val out = df.select(col("cnt"), col("n"),
+        (col("cnt") > expr("n div 4097")).as("got"))
+      .as[(Long, Long, Boolean)].collect()
+    out.foreach { case (cnt, n, got) =>
+      val want = BigInt(cnt) * BigInt(cap1) > BigInt(n)
+      assert(got == want, s"cnt=$cnt n=$n: got $got want $want")
+      // and the old multiplied form is indeed wrong here (overflow), which
+      // is the regression this test pins
+      if ((cnt * cap1 > n) != want)
+        info(s"multiplied form overflows for cnt=$cnt n=$n (as expected)")
+    }
+  }
+
   test("stupidBackoffScore: word order matters, backoff fires on unseen bigrams") {
     import graft.text.TextStats
     val docs = Seq(
