@@ -448,8 +448,23 @@ object Dedup {
     // the writing session's relation cache would otherwise keep serving
     // the pre-append file list to the NEXT batch's index read (bitten in
     // the streaming foreachBatch loop, where each micro-batch runs in a
-    // cloned session — readers in OTHER sessions must refresh themselves)
+    // cloned session — readers in OTHER sessions go through
+    // [[readBandIndex]], which refreshes their own cache first)
     batch.sparkSession.catalog.refreshTable(table)
+  }
+
+  /** The GUARDED read path for a maintained band index: refresh the
+    * READING session's relation cache before handing out the DataFrame,
+    * so a session that didn't perform the append (a cloned foreachBatch
+    * session, a second interactive session, the next job in a chain)
+    * can never silently plan against the pre-append file list —
+    * [[appendBandIndex]] can only refresh the cache of the session that
+    * wrote (round-9 verdict item 5). The refresh is a catalog metadata
+    * call, not a scan; the returned frame keeps the bucketBy(band_key)
+    * layout, so the band join still plans zero index-side exchange. */
+  def readBandIndex(spark: SparkSession, table: String): DataFrame = {
+    spark.catalog.refreshTable(table)
+    spark.table(table)
   }
 
   /** [[incrementalNearDup]] against a MAINTAINED corpus band index —
@@ -513,15 +528,33 @@ object Dedup {
     * pipelines keep the longest / highest-scoring copy, not the
     * lowest-keyed one. One hash-agg argmax per cluster (the
     * argmaxPerGroup fast path — no window sort), then one cluster-keyed
-    * join back. Returns (idCol, cluster, canonical_id, keep). */
+    * join back. Returns (idCol, cluster, canonical_id, keep).
+    *
+    * The "ties to the smaller id" tie-break negates the id for the
+    * struct-max, which only works for NUMERIC ids — on a string id
+    * Spark's unary minus casts to double and yields null, silently
+    * flipping the tie-break to the LARGER id. So the negation is
+    * type-dispatched: numeric ids take the hash-agg fast path; any
+    * other id type falls back to a row_number window ordered
+    * (quality desc, id asc) — same result, per-cluster sort cost. */
   def canonicalPerCluster(
       asg: DataFrame, clusterCol: String, idCol: String,
       qualityCol: String): DataFrame = {
-    val canon = graft.operators.Relational.argmaxPerGroup(
+    val numericId = asg.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val canon = (if (numericId)
+      graft.operators.Relational.argmaxPerGroup(
         asg.select(col(clusterCol), col(idCol), col(qualityCol)),
         groupCols = Seq(clusterCol),
         sortKey = Seq(col(qualityCol), -col(idCol)),
         payload = Seq(idCol))
+    else
+      asg.select(col(clusterCol), col(idCol), col(qualityCol))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(clusterCol)
+            .orderBy(col(qualityCol).desc, col(idCol).asc)))
+        .filter(col("__rn") === 1)
+        .select(col(clusterCol), col(idCol)))
       .withColumnRenamed(idCol, "canonical_id")
     asg.select(col(idCol), col(clusterCol))
       .join(canon.select(col(clusterCol), col("canonical_id")), clusterCol)

@@ -364,7 +364,7 @@ object DedupQueries {
         shingleN = 3, numHashes = 16, bands = 4)
       Dedup.incrementalNearDupWithIndex(
         newDocs = docs.filter(col("doc_id") % 10 === 0),
-        corpusBands = s.table(tbl),
+        corpusBands = Dedup.readBandIndex(s, tbl),
         corpus = corpus, "doc_id", "text",
         shingleN = 3, jaccNum = 1, jaccDen = 2, numHashes = 16, bands = 4)
     },
@@ -388,13 +388,15 @@ object DedupQueries {
       Dedup.writeBandIndex(tbl, day0, "doc_id", "text",
         shingleN = 3, numHashes = 16, bands = 4)
       // day-1 ingest: dedup against the index, then fold its bands in
-      Dedup.incrementalNearDupWithIndex(day1, s.table(tbl), day0,
+      // (reads via readBandIndex — the guarded path that refreshes the
+      // reading session's relation cache first)
+      Dedup.incrementalNearDupWithIndex(day1, Dedup.readBandIndex(s, tbl), day0,
         "doc_id", "text", shingleN = 3, jaccNum = 1, jaccDen = 2,
         numHashes = 16, bands = 4).count()
       Dedup.appendBandIndex(tbl, day1, "doc_id", "text",
         shingleN = 3, numHashes = 16, bands = 4)
       // day-2 ingest sees day-0 AND day-1 through the one grown index
-      Dedup.incrementalNearDupWithIndex(day2, s.table(tbl),
+      Dedup.incrementalNearDupWithIndex(day2, Dedup.readBandIndex(s, tbl),
         corpus = docs.filter(col("doc_id") % 3 =!= 2), "doc_id", "text",
         shingleN = 3, jaccNum = 1, jaccDen = 2, numHashes = 16, bands = 4)
     },

@@ -149,6 +149,24 @@ class DedupSpec extends SparkSpec {
     assert(out(9L)._3 == 9L && out(9L)._4)
   }
 
+  test("canonicalPerCluster: STRING ids tie-break to the smaller id too") {
+    // round-9 ADVICE: -col(id) on a string id casts to double → null,
+    // silently flipping quality ties to the LARGEST id; the type-dispatched
+    // window fallback must keep the documented smaller-id convention
+    val asg = Seq(
+      ("doc_a", 100L, 80L),  // quality tie with doc_b → doc_a (smaller) wins
+      ("doc_b", 100L, 80L),
+      ("doc_c", 100L, 50L),
+      ("doc_z", 9L, 10L))    // singleton → itself
+      .toDF("doc_id", "cluster", "n_chars")
+    val out = Dedup.canonicalPerCluster(asg, "cluster", "doc_id", "n_chars")
+      .as[(String, Long, String, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out("doc_a")._3 == "doc_a" && out("doc_a")._4)
+    assert(out("doc_b")._3 == "doc_a" && !out("doc_b")._4)
+    assert(out("doc_c")._3 == "doc_a" && !out("doc_c")._4)
+    assert(out("doc_z")._3 == "doc_z" && out("doc_z")._4)
+  }
+
   test("crossSourceNgramOverlap: shared passage counted once, disjoint pair absent") {
     val passage = "one two three four five six seven eight nine"
     val docs = Seq(

@@ -293,14 +293,14 @@ class StreamingSpec extends SparkSpec {
     val q = mem.toDS().toDF("doc_id", "text")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        // foreachBatch runs in a CLONED session — read the index through
-        // the batch's own session and refresh first, or the relation
-        // cache serves a file list from before the previous append
+        // foreachBatch runs in a CLONED session — readBandIndex refreshes
+        // the batch session's own relation cache before reading, or it
+        // would serve a file list from before the previous append
         val bs = batch.sparkSession
-        bs.catalog.refreshTable(tbl)
         val corpus = bs.read.parquet(corpusPath)
         graft.dedup.Dedup.incrementalNearDupWithIndex(
-            batch, bs.table(tbl), corpus, "doc_id", "text")
+            batch, graft.dedup.Dedup.readBandIndex(bs, tbl), corpus,
+            "doc_id", "text")
           .write.mode("append").parquet(resultsPath)
         graft.dedup.Dedup.appendBandIndex(tbl, batch, "doc_id", "text")
         batch.write.mode("append").parquet(corpusPath)
@@ -325,6 +325,41 @@ class StreamingSpec extends SparkSpec {
       q.stop()
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
     }
+  }
+
+  test("readBandIndex: a second session sees post-append rows without manual refresh") {
+    // the documented silent-staleness trap (round-9 verdict item 5): a
+    // session that has ALREADY planned against the index caches its file
+    // list; an append from another session is invisible to it until a
+    // refresh. readBandIndex is the guarded read that makes the refresh
+    // impossible to forget.
+    val tbl = "graft_xsession_band_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val wp = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tbl)
+    val wfs = wp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (wfs.exists(wp)) wfs.delete(wp, true)
+    val textA = "spark catalyst optimizes logical plans into physical plans " +
+      "with cost based rules and pushes filters into columnar scans today"
+    val textB = "a completely different text about pasta with tomato sauce " +
+      "basil and parmesan served in a warm bowl tonight for dinner guests"
+    try {
+      graft.dedup.Dedup.writeBandIndex(tbl,
+        Seq((10L, textA)).toDF("doc_id", "text"), "doc_id", "text")
+      val reader = spark.newSession() // shares the catalog, own relation cache
+      // prime the reader's relation cache with the PRE-append file list
+      val before = graft.dedup.Dedup.readBandIndex(reader, tbl).count()
+      assert(reader.table(tbl).count() == before)
+      // append happens in the ORIGINAL session — the reader is not told
+      graft.dedup.Dedup.appendBandIndex(tbl,
+        Seq((20L, textB)).toDF("doc_id", "text"), "doc_id", "text")
+      // the guarded path sees the grown index; 4 bands per doc
+      val after = graft.dedup.Dedup.readBandIndex(reader, tbl)
+      assert(after.count() == before + 4,
+        s"stale read: expected ${before + 4} rows")
+      assert(after.select("old_id").distinct().as[Long].collect().toSet ==
+        Set(10L, 20L))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
   test("streaming dedup: duplicate event ids across micro-batches collapse") {
