@@ -204,6 +204,42 @@ object VectorQueries {
         .select(col("vec_id"), col("cell"), round(col("cos_raw"), 6).as("cos_sim"))
     },
 
+    // q58 with a TRAINED coarse quantizer (round-9 verdict item 3): the
+    // 16 cells come from deterministic k-means (q97's algorithm) instead
+    // of the 16 lowest-id vectors, so cell boundaries track the data
+    // distribution — measured recall@10 at sf0.1 rises vs the
+    // training-free cells (SimilaritySpec reports both + cell balance).
+    // Oracle = the unrolled-Lloyd chain as the cell assignment + q58's
+    // cell-restricted exact-cosine rank.
+    Q("q168_ann_ivf_trained",
+      s"""WITH ${kmeansCtes(16, 2)},
+         |cells AS (SELECT vec_id AS cell_id, cid AS cell FROM a2),
+         |vr AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |       FROM embeddings),
+         |nr AS (SELECT vec_id, v,
+         |         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+         |       FROM vr),
+         |q AS (
+         |  SELECT nr.vec_id AS q_id, nr.v AS qv, nr.nrm AS qn, cells.cell AS q_cell
+         |  FROM nr JOIN cells ON nr.vec_id = cells.cell_id
+         |  ORDER BY nr.vec_id LIMIT 1)
+         |SELECT a.vec_id, cells.cell,
+         |  ROUND(list_reduce(list_transform(generate_series(1, 64), k -> a.v[k] * q.qv[k]),
+         |        (x, y) -> x + y) / (a.nrm * q.qn), 6) AS cos_sim
+         |FROM nr a JOIN cells ON a.vec_id = cells.cell_id
+         |CROSS JOIN q
+         |WHERE cells.cell = q.q_cell AND a.vec_id <> q.q_id
+         |ORDER BY list_reduce(list_transform(generate_series(1, 64), k -> a.v[k] * q.qv[k]),
+         |        (x, y) -> x + y) / (a.nrm * q.qn) DESC, a.vec_id
+         |LIMIT 5""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val cells = Similarity.ivfCellsTrained(emb, "vec_id", "embedding",
+        nCells = 16, iters = 2)
+      Similarity.annIvfWithCells(emb, "vec_id", "embedding", cells,
+        query = emb.orderBy("vec_id").limit(1), k = 5)
+        .select(col("vec_id"), col("cell"), round(col("cos_raw"), 6).as("cos_sim"))
+    },
+
     // ANN self-evaluation: recall@10 of the LSH index against the exact
     // brute-force top-10 for the anchor query — the quality metric an
     // index deployment is judged by, computed inside the engine. 4
@@ -816,6 +852,85 @@ object VectorQueries {
         nCells = 16, nProbe = 4)
       val out = Similarity.ivfPqTopK(model, cells, probes,
         "vec_id", "embedding", q, topK = 10).persist()
+      out.count() // materialize before releasing the model caches
+      model.release()
+      out
+    },
+
+    // IVF-PQ + exact REFINE (faiss's refine stage): the ADC top-50 PER
+    // PROBED CELL (per-cell quota — pool(nProbe=4) ⊇ pool(nProbe=1) by
+    // construction, making the nprobe knob provably monotone; a global
+    // top-R pool shrinks per-cell as probes widen) is re-ranked by exact
+    // cosine and cut to 10. Closes the round-9 coarse-ADC displacement
+    // finding (nProbe=4 recall 0.30 < own-cell 0.33; refined: 0.73+).
+    // Oracle = q154's probe/ADC CTEs with a per-cell rank window and the
+    // exact-cosine re-rank fold.
+    Q("q167_ivf_pq_refine", {
+      val (m, sub, k, iters, nProbe, topR) = (4, 16, 4, 2, 4, 50)
+      val chains = (0 until m).map { s =>
+        val sfx = s"p$s"
+        s"""${kmeansCtes(k, iters, sfx = sfx, dims = sub,
+             srcList = s"embedding[${s * sub + 1}:${(s + 1) * sub}]")},
+           |uF$s AS (SELECT a.cid, d, CAST(SUM(ed$sfx.qv[d]) AS BIGINT) AS s,
+           |           COUNT(*) AS n
+           |         FROM a$sfx$iters a JOIN ed$sfx USING (vec_id)
+           |         CROSS JOIN range(1, ${sub + 1}) r(d) GROUP BY a.cid, d),
+           |cF$s AS (SELECT cid, array_agg(CAST(s AS DOUBLE) / n ORDER BY d) AS cv
+           |         FROM uF$s GROUP BY cid),
+           |qq$s AS (SELECT list_transform(embedding[${s * sub + 1}:${(s + 1) * sub}],
+           |           x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE)) AS qd
+           |         FROM embeddings ORDER BY vec_id LIMIT 1),
+           |dt$s AS (SELECT cid,
+           |           list_reduce(list_transform(generate_series(1, $sub),
+           |             d -> (qq.qd[d] - cv[d]) * (qq.qd[d] - cv[d])), (x, y) -> x + y) AS ds
+           |         FROM cF$s CROSS JOIN qq$s qq)""".stripMargin
+      }.mkString(",\n")
+      val joins = (0 until m).map(s =>
+        s"JOIN ap$s$iters a$s ON ic.cell_id = a$s.vec_id JOIN dt$s ON a$s.cid = dt$s.cid")
+        .mkString("\n")
+      val adc = (0 until m).map(s => s"dt$s.ds").mkString(" + ")
+      val dotAQf = "list_reduce(list_transform(generate_series(1, 64), " +
+        "k -> a.v[k] * qf.qv[k]), (x, y) -> x + y)"
+      s"""$normCte,
+         |icent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 16),
+         |iasg AS (
+         |  SELECT n.vec_id, cid,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      list_reduce(list_transform(generate_series(1, 64), k -> n.v[k] * cv[k]),
+         |        (x, y) -> x + y) / (n.nrm * cnrm) DESC, cid) AS rn
+         |  FROM n CROSS JOIN icent),
+         |icells AS (SELECT vec_id AS cell_id, cid AS cell FROM iasg WHERE rn = 1),
+         |qa AS (SELECT MIN(vec_id) AS q_id FROM embeddings),
+         |qprobes AS (SELECT iasg.cid AS q_cell FROM iasg, qa
+         |            WHERE iasg.vec_id = qa.q_id AND rn <= $nProbe),
+         |$chains,
+         |poolr AS (
+         |  SELECT vec_id FROM (
+         |    SELECT ic.cell_id AS vec_id,
+         |      row_number() OVER (PARTITION BY ic.cell
+         |        ORDER BY $adc ASC, ic.cell_id) AS prn
+         |    FROM icells ic
+         |    JOIN qprobes ON ic.cell = qprobes.q_cell
+         |    $joins
+         |    CROSS JOIN qa
+         |    WHERE ic.cell_id <> qa.q_id) t
+         |  WHERE prn <= $topR),
+         |qf AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n ORDER BY vec_id LIMIT 1)
+         |SELECT a.vec_id, ROUND($dotAQf / (a.nrm * qf.qn), 6) AS cos_sim
+         |FROM n a JOIN poolr p ON a.vec_id = p.vec_id
+         |CROSS JOIN qf
+         |ORDER BY $dotAQf / (a.nrm * qf.qn) DESC, a.vec_id
+         |LIMIT 10""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.orderBy("vec_id").limit(1)
+      val cells = Similarity.ivfCells(emb, "vec_id", "embedding", nCells = 16)
+      val model = Similarity.pqFit(emb, "vec_id", "embedding",
+        m = 4, subDims = 16, k = 4, iters = 2)
+      val probes = Similarity.ivfProbeCells(emb, "vec_id", "embedding", q,
+        nCells = 16, nProbe = 4)
+      val out = Similarity.ivfPqRefineTopK(model, cells, probes, emb,
+        "vec_id", "embedding", q, topR = 50, topK = 10).persist()
       out.count() // materialize before releasing the model caches
       model.release()
       out

@@ -220,6 +220,22 @@ class SimilaritySpec extends SparkSpec {
     model.release()
   }
 
+  test("ivfPqRefineTopK: exact re-rank recovers brute order once the pool covers") {
+    val q = vecs.filter(col("vec_id") === 0)
+    val cells = Similarity.ivfCells(vecs, "vec_id", "embedding", nCells = 2)
+    val model = Similarity.pqFit(vecs, "vec_id", "embedding",
+      m = 2, subDims = 2, k = 2, iters = 2)
+    val probes = Similarity.ivfProbeCells(vecs, "vec_id", "embedding", q,
+      nCells = 2, nProbe = 2)
+    // both cells probed + topR covers every candidate → the ADC ordering
+    // is irrelevant and the refine must reproduce exact-cosine order
+    val out = Similarity.ivfPqRefineTopK(model, cells, probes, vecs,
+        "vec_id", "embedding", q, topR = 4, topK = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    model.release()
+    assert(out == Seq(1L, 4L, 2L)) // knnBrute's order on the same fixture
+  }
+
   test("q165 retrieval funnel: planted duplicate candidate is deduped before MMR") {
     // synthetic sf dir: doc 1 and 2 share IDENTICAL text (and near-identical
     // embeddings, so both enter the ANN pool); the funnel must keep only
@@ -299,7 +315,7 @@ class SimilaritySpec extends SparkSpec {
   // holding at sf0.1 should hold (or improve) at sf1. The sf1 clause
   // activates when the ScaleGen output is present (/tmp/sf1), so the
   // suite stays hermetic in driver runs.
-  private def annRecallAt(dir: String, nQueries: Int): (Double, Double, Double, Double, Double) = {
+  private def annRecallAt(dir: String, nQueries: Int): (Double, Double, Double, Double, Double, Double, Double) = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val queries = emb.orderBy("vec_id").limit(nQueries)
       .select("vec_id").as[Long].collect()
@@ -336,9 +352,18 @@ class SimilaritySpec extends SparkSpec {
         nCells = 16, nProbe = 4)
       Similarity.ivfPqTopK(model, cells, probes, "vec_id", "embedding", q, topK = 10)
     }
+    // REFINED paths (q167): ADC top-50 pool re-ranked by exact cosine
+    def refined(nProbe: Int) = recallOf { q =>
+      val probes = Similarity.ivfProbeCells(emb, "vec_id", "embedding", q,
+        nCells = 16, nProbe = nProbe)
+      Similarity.ivfPqRefineTopK(model, cells, probes, emb,
+        "vec_id", "embedding", q, topR = 50, topK = 10)
+    }
+    val ivfpqR1 = refined(1)
+    val ivfpqR4 = refined(4)
     model.release()
     cells.unpersist(blocking = false)
-    (lsh1p, lshMp, ivf, ivfpq, ivfpq4)
+    (lsh1p, lshMp, ivf, ivfpq, ivfpq4, ivfpqR1, ivfpqR4)
   }
 
   test("ANN recall floor holds at sf0.1 (and sf1 when materialized)") {
@@ -348,8 +373,10 @@ class SimilaritySpec extends SparkSpec {
     // LSH and IVF. Under FIXED planes/nCells, candidate sets grow with
     // the corpus, so a floor holding at sf0.1 must hold at sf1.
     def check(dir: String, tag: String): Unit = {
-      val (lsh1p, lshMp, ivf, ivfpq, ivfpq4) = annRecallAt(dir, nQueries = 8)
-      info(f"$tag recall@10: lsh1p=$lsh1p%.2f lshMp=$lshMp%.2f ivf=$ivf%.2f ivfpq=$ivfpq%.2f ivfpq4=$ivfpq4%.2f")
+      val (lsh1p, lshMp, ivf, ivfpq, ivfpq4, ivfpqR1, ivfpqR4) =
+        annRecallAt(dir, nQueries = 8)
+      info(f"$tag recall@10: lsh1p=$lsh1p%.2f lshMp=$lshMp%.2f ivf=$ivf%.2f " +
+        f"ivfpq=$ivfpq%.2f ivfpq4=$ivfpq4%.2f ivfpqR1=$ivfpqR1%.2f ivfpqR4=$ivfpqR4%.2f")
       assert(lsh1p >= 0.05, f"single-probe LSH collapsed at $tag: $lsh1p%.2f")
       assert(lshMp >= 0.5, f"multi-probe LSH recall degraded at $tag: $lshMp%.2f")
       assert(ivf >= 0.5, f"annIvf recall degraded at $tag: $ivf%.2f")
@@ -363,6 +390,18 @@ class SimilaritySpec extends SparkSpec {
       // the gate is no-collapse, not strict monotonicity
       assert(ivfpq4 >= ivfpq - 0.1,
         f"nProbe=4 recall collapsed vs nProbe=1 at $tag: $ivfpq4%.2f < $ivfpq%.2f")
+      // q167's refine stage: as long as a true hit reaches the ADC top-50
+      // pool, the exact re-rank puts it in front — refined recall is
+      // provably >= the unrefined path's per query (pool ⊇ ADC top-10),
+      // and widening probes can now only grow the reachable pool
+      assert(ivfpqR1 >= ivfpq,
+        f"refined nProbe=1 under unrefined at $tag: $ivfpqR1%.2f < $ivfpq%.2f")
+      assert(ivfpqR4 >= ivfpq4,
+        f"refined nProbe=4 under unrefined at $tag: $ivfpqR4%.2f < $ivfpq4%.2f")
+      // the round-9 displacement finding, inverted: with the refine the
+      // nprobe knob is monotone (the whole point of the stage)
+      assert(ivfpqR4 >= ivfpqR1,
+        f"refine failed to make nprobe monotone at $tag: $ivfpqR4%.2f < $ivfpqR1%.2f")
     }
     check("/root/testdata/sf0.1", "sf0.1")
     if (new java.io.File("/tmp/sf1/embeddings.parquet").isDirectory)
