@@ -408,6 +408,56 @@ class SimilaritySpec extends SparkSpec {
       check("/tmp/sf1", "sf1")
   }
 
+  test("trained IVF quantizer: recall and cell balance at sf0.1 (q168)") {
+    // round-9 verdict item 3: swap the lowest-id "centroids" for k-means
+    // cells and measure what it buys — recall for the exact-cosine IVF
+    // search AND for the ADC (IVF-PQ) path, plus cell-size balance.
+    val dir = "/root/testdata/sf0.1"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.orderBy("vec_id").limit(8).select("vec_id").as[Long].collect()
+    val untrained = Similarity.ivfCells(emb, "vec_id", "embedding", nCells = 16)
+      .persist()
+    val trained = Similarity.ivfCellsTrained(emb, "vec_id", "embedding",
+      nCells = 16, iters = 2).persist()
+    def recallOf(fn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Double =
+      queries.map { qid =>
+        val q = emb.filter(col("vec_id") === qid)
+        val truth = Similarity.knnBrute(emb, "vec_id", "embedding", q, k = 10)
+          .select("vec_id").as[Long].collect().toSet
+        (fn(q).select("vec_id").as[Long].collect().toSet & truth).size / 10.0
+      }.sum / queries.length
+    val exactU = recallOf(q =>
+      Similarity.annIvfWithCells(emb, "vec_id", "embedding", untrained, q, k = 10))
+    val exactT = recallOf(q =>
+      Similarity.annIvfWithCells(emb, "vec_id", "embedding", trained, q, k = 10))
+    val model = Similarity.pqFit(emb, "vec_id", "embedding",
+      m = 4, subDims = 16, k = 8, iters = 2)
+    val adcU = recallOf(q =>
+      Similarity.ivfPqTopK(model, untrained, "vec_id", "embedding", q, topK = 10))
+    val adcT = recallOf(q =>
+      Similarity.ivfPqTopK(model, trained, "vec_id", "embedding", q, topK = 10))
+    model.release()
+    def balance(cells: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val sizes = cells.groupBy("cell").count().select("count").as[Long].collect()
+      (sizes.length.toLong, sizes.min, sizes.max)
+    }
+    val (nU, minU, maxU) = balance(untrained)
+    val (nT, minT, maxT) = balance(trained)
+    info(f"exact IVF recall@10: untrained=$exactU%.2f trained=$exactT%.2f")
+    info(f"IVF-PQ   recall@10: untrained=$adcU%.2f trained=$adcT%.2f")
+    info(s"cell sizes: untrained n=$nU [$minU..$maxU], trained n=$nT [$minT..$maxT]")
+    untrained.unpersist(blocking = false)
+    trained.unpersist(blocking = false)
+    // trained cells must not collapse the exact-IVF floor, and they are
+    // the documented remedy for the ADC path's 0.33 sf0.1 floor
+    assert(exactT >= 0.5, f"trained-cell exact IVF recall degraded: $exactT%.2f")
+    assert(adcT >= adcU, f"trained cells did not help the ADC path: $adcT%.2f < $adcU%.2f")
+    // balance: no trained cell may hold the majority of the corpus (a
+    // degenerate quantizer routes every search to one giant cell)
+    val total = emb.count()
+    assert(maxT < total / 2, s"degenerate trained cell: $maxT of $total")
+  }
+
   test("quantizeInt8: codes, negatives, ties round half-up, zero vector") {
     val df = Seq(
       (1L, Array(1.0f, -1.0f, 0.5f, 0.0f)),  // amax 1: ±127, 64 (63.5+0.5→64), 0
