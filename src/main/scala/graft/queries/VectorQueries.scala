@@ -936,6 +936,75 @@ object VectorQueries {
       out
     },
 
+    // Residual-coded IVF-PQ (faiss by_residual=true; round-9 stretch
+    // item 8): the PQ codebook fits CELL-RELATIVE residuals — exact
+    // integer differences on the quantization grid, so determinism and
+    // the SQL oracle survive the encoding. Oracle = q153's cell CTEs +
+    // a residual CTE + the SAME kmeans/ADC chains re-rooted at the
+    // residual frame (kmeansCtes srcFrom).
+    Q("q169_ivf_pq_residual", {
+      val (m, sub, k, iters) = (4, 16, 4, 2)
+      val chains = (0 until m).map { s =>
+        val sfx = s"p$s"
+        s"""${kmeansCtes(k, iters, sfx = sfx, dims = sub,
+             srcList = s"rq[${s * sub + 1}:${(s + 1) * sub}]", srcFrom = "resid",
+             distinctSeeds = true)},
+           |uF$s AS (SELECT a.cid, d, CAST(SUM(ed$sfx.qv[d]) AS BIGINT) AS s,
+           |           COUNT(*) AS n
+           |         FROM a$sfx$iters a JOIN ed$sfx USING (vec_id)
+           |         CROSS JOIN range(1, ${sub + 1}) r(d) GROUP BY a.cid, d),
+           |cF$s AS (SELECT cid, array_agg(CAST(s AS DOUBLE) / n ORDER BY d) AS cv
+           |         FROM uF$s GROUP BY cid),
+           |qq$s AS (SELECT list_transform(rq[${s * sub + 1}:${(s + 1) * sub}],
+           |           x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE)) AS qd
+           |         FROM resid ORDER BY vec_id LIMIT 1),
+           |dt$s AS (SELECT cid,
+           |           list_reduce(list_transform(generate_series(1, $sub),
+           |             d -> (qq.qd[d] - cv[d]) * (qq.qd[d] - cv[d])), (x, y) -> x + y) AS ds
+           |         FROM cF$s CROSS JOIN qq$s qq)""".stripMargin
+      }.mkString(",\n")
+      val joins = (0 until m).map(s =>
+        s"JOIN ap$s$iters a$s ON ic.cell_id = a$s.vec_id JOIN dt$s ON a$s.cid = dt$s.cid")
+        .mkString("\n")
+      val adc = (0 until m).map(s => s"dt$s.ds").mkString(" + ")
+      s"""$normCte,
+         |icent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 16),
+         |iasg AS (
+         |  SELECT n.vec_id, cid,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      list_reduce(list_transform(generate_series(1, 64), k -> n.v[k] * cv[k]),
+         |        (x, y) -> x + y) / (n.nrm * cnrm) DESC, cid) AS rn
+         |  FROM n CROSS JOIN icent),
+         |icells AS (SELECT vec_id AS cell_id, cid AS cell FROM iasg WHERE rn = 1),
+         |qe AS (SELECT vec_id, list_transform(embedding,
+         |         x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         |       FROM embeddings),
+         |cq AS (SELECT c2.cell, qe.qv AS cqv
+         |       FROM (SELECT DISTINCT cell FROM icells) c2
+         |       JOIN qe ON qe.vec_id = c2.cell),
+         |resid AS (SELECT qe.vec_id, icells.cell,
+         |            list_transform(generate_series(1, 64),
+         |              d -> CAST(qe.qv[d] - cq.cqv[d] AS DOUBLE)) AS rq
+         |          FROM qe JOIN icells ON qe.vec_id = icells.cell_id
+         |                  JOIN cq ON icells.cell = cq.cell),
+         |qc AS (SELECT c.cell AS q_cell, n.vec_id AS q_id
+         |       FROM n JOIN icells c ON n.vec_id = c.cell_id
+         |       ORDER BY n.vec_id LIMIT 1),
+         |$chains
+         |SELECT ic.cell_id AS vec_id, ROUND($adc, 6) AS adc_dist
+         |FROM icells ic
+         |$joins
+         |CROSS JOIN qc
+         |WHERE ic.cell = qc.q_cell AND ic.cell_id <> qc.q_id
+         |ORDER BY $adc ASC, ic.cell_id
+         |LIMIT 10""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.annIvfPqResidual(emb, "vec_id", "embedding",
+        query = emb.orderBy("vec_id").limit(1), topK = 10, nCells = 16,
+        m = 4, subDims = 16, k = 4, iters = 2)
+    },
+
     // SemDeDup (Abbas et al. 2023): semantic near-duplicates — k-means
     // blocking, intra-cluster cosine ≥ 0.35 pairs (threshold chosen
     // against the synthetic embedding distribution: ~271 over-threshold
@@ -1082,7 +1151,8 @@ object VectorQueries {
     * assignment CTE `a{iters}(vec_id, cid)`. Shared by q97 and the
     * SemDeDup oracle. */
   private def kmeansCtes(k: Int, iters: Int, sfx: String = "",
-      dims: Int = 64, srcList: String = "embedding"): String = {
+      dims: Int = 64, srcList: String = "embedding",
+      srcFrom: String = "embeddings", distinctSeeds: Boolean = false): String = {
     def assignCte(a: String, c: String): String =
       s"""$a AS (SELECT vec_id, cid FROM (
          |  SELECT ed$sfx.vec_id, $c.cid, row_number() OVER (PARTITION BY ed$sfx.vec_id
@@ -1102,10 +1172,16 @@ object VectorQueries {
     s"""e$sfx AS (
        |  SELECT vec_id, list_transform($srcList,
        |    x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
-       |  FROM embeddings),
+       |  FROM $srcFrom),
        |ed$sfx AS (SELECT vec_id, qv, list_transform(qv, x -> CAST(x AS DOUBLE)) AS dv
        |       FROM e$sfx),
-       |c${sfx}0 AS (SELECT vec_id AS cid, dv AS cv FROM ed$sfx ORDER BY vec_id LIMIT $k),
+       |c${sfx}0 AS (${
+        if (distinctSeeds)
+          s"""SELECT MIN(vec_id) AS cid, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
+             |       FROM ed$sfx GROUP BY qv ORDER BY cid LIMIT $k""".stripMargin
+        else
+          s"SELECT vec_id AS cid, dv AS cv FROM ed$sfx ORDER BY vec_id LIMIT $k"
+      }),
        |$steps,
        |${assignCte(s"a$sfx$iters", s"c$sfx${iters - 1}")}""".stripMargin
   }

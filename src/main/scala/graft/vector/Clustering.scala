@@ -46,10 +46,20 @@ object Clustering {
 
   /** `iters` Lloyd iterations (iters−1 centroid updates + a final
     * assignment); returns (idCol, cluster) with cluster = the seed
-    * vector's id. */
+    * vector's id.
+    *
+    * `distinctSeeds`: seed from the k lowest-min-id DISTINCT quantized
+    * vectors instead of the k lowest-id rows. The default seeding
+    * degenerates when the lowest-id rows repeat a vector — the q169
+    * residual case is the extreme: IVF cell seeds have all-zero
+    * residuals, so every seed coincided and Lloyd collapsed to one
+    * effective codeword. Distinct seeding is equally deterministic
+    * (min-id per distinct vector, ordered) and oracle-replayable
+    * (GROUP BY the quantized list); kept opt-in so the q97/q143/q145
+    * oracle chains stay bit-stable. */
   def kmeans(
       emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int, distinctSeeds: Boolean = false): DataFrame = {
     require(iters >= 1, "need at least one assignment pass")
     val e = emb
       .select(col(idCol), quantize(col(vecCol)).as("qv"))
@@ -61,8 +71,13 @@ object Clustering {
         .groupBy(col(idCol))
         .agg(min(struct(col("d2"), col("cid"))).as("best"))
         .select(col(idCol), col("best.cid").as("cluster"))
-    var cent = e.orderBy(col(idCol)).limit(k)
-      .select(col(idCol).as("cid"), col("dv").as("cv"))
+    var cent =
+      if (distinctSeeds)
+        e.groupBy(col("qv")).agg(min(col(idCol)).as("cid"))
+          .orderBy(col("cid")).limit(k)
+          .select(col("cid"), col("qv").cast("array<double>").as("cv"))
+      else e.orderBy(col(idCol)).limit(k)
+        .select(col(idCol).as("cid"), col("dv").as("cv"))
     for (_ <- 1 until iters) {
       cent = assign(cent)
         .join(e, idCol)

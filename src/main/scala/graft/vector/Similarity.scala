@@ -408,6 +408,32 @@ object Similarity {
     out
   }
 
+  /** The corpus-scaled SemDeDup k (the paper's own sizing: cluster COUNT
+    * tracks corpus size so cluster SIZES — and the intra-cluster pair
+    * cost, the only super-linear stage — stay bounded; Abbas et al. use
+    * ~10⁵ clusters for ~10⁸ docs ≈ 10³ docs/cluster). The round-9 sf10
+    * adjudication measured the remedy directly: corpus-scaled k ran
+    * q143's workload 3.6× faster at 100× data. k = ⌈n/target⌉ clamped
+    * to [1, maxK]. */
+  def semDedupAutoK(n: Long, targetClusterSize: Long, maxK: Int = 1 << 17): Int = {
+    require(targetClusterSize > 0, "targetClusterSize must be positive")
+    // overflow-free ceil(n/t): the additive form n+t-1 wraps Long for
+    // n near Long.MaxValue (the same trap class as heavyHitters' q159 fix)
+    val ceil = n / targetClusterSize + (if (n % targetClusterSize > 0) 1L else 0L)
+    math.min(maxK.toLong, math.max(1L, ceil)).toInt
+  }
+
+  /** [[semDedup]] with the corpus-scaled k derived from the input itself
+    * — a sizing helper, not a behavior change: delegates to semDedup
+    * with k = [[semDedupAutoK]](count, targetClusterSize). The count is
+    * one scalar job (the fixed-point-loop convention); everything else
+    * is identical, so results equal semDedup at the same k. */
+  def semDedupAuto(
+      emb: DataFrame, idCol: String, vecCol: String,
+      iters: Int, tau: Double, targetClusterSize: Long = 256L): DataFrame =
+    semDedup(emb, idCol, vecCol,
+      semDedupAutoK(emb.count(), targetClusterSize), iters, tau)
+
   /** Symmetric int8 quantization of an embedding column — the 4×
     * vector-store compression step (q = ⌊127·x/amax + 0.5⌋ per element,
     * amax = per-vector max |x|). Every op in the chain is IEEE-exact
@@ -480,11 +506,12 @@ object Similarity {
     * k·subDims-bounded aggs, no pairwise work. */
   def pqFit(
       emb: DataFrame, idCol: String, vecCol: String,
-      m: Int, subDims: Int, k: Int, iters: Int): PqModel = {
+      m: Int, subDims: Int, k: Int, iters: Int,
+      distinctSeeds: Boolean = false): PqModel = {
     val fitted = (0 until m).map { s =>
       val sub = emb.select(col(idCol),
         slice(vecD(col(vecCol)), s * subDims + 1, subDims).as("sub"))
-      val asg = Clustering.kmeans(sub, idCol, "sub", k, iters)
+      val asg = Clustering.kmeans(sub, idCol, "sub", k, iters, distinctSeeds)
         .select(col(idCol), col("cluster")).persist()
       val qsub = sub.select(col(idCol), Clustering.quantize(col("sub")).as("qv"))
       val cent = asg.join(qsub, idCol)
@@ -618,6 +645,62 @@ object Similarity {
       .orderBy(col("raw").asc, col(idCol).asc)
       .limit(topK)
       .select(col(idCol), round(col("raw"), 6).as("adc_dist"))
+  }
+
+  /** Residual vectors w.r.t. each vector's IVF cell, over the integer
+    * quantization grid — the by_residual=true encoding annIvfPq
+    * documents as a determinism trade and round-9 item 8 asked to
+    * attempt: residuals of EXACT-integer grid coordinates are exact
+    * integer differences (qv(v) − qv(centroid), element-wise), so the
+    * encoding loses nothing of the oracle story — every downstream
+    * stage re-quantizes the integer-valued doubles exactly. Centroids
+    * here are [[ivfCells]]' seed vectors (corpus members), so their
+    * grid coordinates exist by construction. Returns
+    * (idCol, cell, resid) with resid in grid units. */
+  def ivfResiduals(
+      emb: DataFrame, idCol: String, vecCol: String,
+      cells: DataFrame): DataFrame = {
+    val centVecs = emb
+      .join(broadcast(cells.select(col("cell")).distinct()),
+        col(idCol) === col("cell"))
+      .select(col("cell"),
+        Clustering.quantize(col(vecCol)).cast("array<double>").as("cv"))
+    emb.join(cells, col(idCol) === col("cell_id"))
+      .join(broadcast(centVecs), "cell")
+      .select(col(idCol), col("cell"),
+        zip_with(Clustering.quantize(col(vecCol)).cast("array<double>"),
+          col("cv"), (a, b) => a - b).as("resid"))
+  }
+
+  /** Residual-coded IVF-PQ (faiss IVFPQ with by_residual=true; Jégou
+    * et al. 2011 §V.B): the PQ codebook is fit on the cell-relative
+    * RESIDUALS instead of the raw vectors — residuals concentrate near
+    * the origin, so the same k codewords resolve finer structure (the
+    * standard recall lever at small nCells). Composition, not new
+    * machinery: [[ivfResiduals]] feeds the ordinary [[pqFit]] /
+    * [[ivfPqTopK]] with `resid` as the vector column; the query's
+    * residual is its own row of the residual frame (own-cell probe, so
+    * query and candidates share one cell → one consistent distance
+    * table per subvector). Every stage stays on the exact integer
+    * grid → exact SQL oracle (q169). Returns (idCol, adc_dist). */
+  def annIvfPqResidual(
+      emb: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, topK: Int, nCells: Int,
+      m: Int, subDims: Int, k: Int, iters: Int): DataFrame = {
+    val cells = ivfCells(emb, idCol, vecCol, nCells)
+    val resid = ivfResiduals(emb, idCol, vecCol, cells).persist()
+    // distinct seeding is load-bearing here: the cell seeds' own
+    // residuals are all zero, so default lowest-id seeding would start
+    // every codeword at the origin and collapse the codebook
+    val model = pqFit(resid, idCol, "resid", m, subDims, k, iters,
+      distinctSeeds = true)
+    val qResid = resid
+      .join(broadcast(query.limit(1).select(col(idCol))), Seq(idCol))
+    val out = ivfPqTopK(model, cells, idCol, "resid", qResid, topK).persist()
+    out.count() // materialize before dropping the model + residual caches
+    model.release()
+    resid.unpersist(blocking = false)
+    out
   }
 
   /** The query's `nProbe` nearest IVF cells (faiss's nprobe knob) —
