@@ -411,10 +411,17 @@ object Similarity {
   /** The corpus-scaled SemDeDup k (the paper's own sizing: cluster COUNT
     * tracks corpus size so cluster SIZES — and the intra-cluster pair
     * cost, the only super-linear stage — stay bounded; Abbas et al. use
-    * ~10⁵ clusters for ~10⁸ docs ≈ 10³ docs/cluster). The round-9 sf10
-    * adjudication measured the remedy directly: corpus-scaled k ran
-    * q143's workload 3.6× faster at 100× data. k = ⌈n/target⌉ clamped
-    * to [1, maxK]. */
+    * ~10⁵ clusters for ~10⁸ docs ≈ 10³ docs/cluster). k = ⌈n/target⌉
+    * clamped to [1, maxK].
+    *
+    * The default target (1024) is the paper's ratio AND the measured
+    * sf10 sweet spot (n = 200 k): total cost is U-shaped in k — too few
+    * clusters explode the pair stage (k=8: 204–249 s), too many pay the
+    * brute-force Lloyd assignment's O(n·k) (k=782: 274 s) — while
+    * k=196 (target 1024) ran 64.7 s and k=64 (target 3125) 58.0 s.
+    * More clusters also trade a little recall: cross-cluster near-dup
+    * pairs are invisible by design (0.26 % fewer dup flags at k=64 vs
+    * k=8 on the replicated sf10 corpus). */
   def semDedupAutoK(n: Long, targetClusterSize: Long, maxK: Int = 1 << 17): Int = {
     require(targetClusterSize > 0, "targetClusterSize must be positive")
     // overflow-free ceil(n/t): the additive form n+t-1 wraps Long for
@@ -430,7 +437,7 @@ object Similarity {
     * is identical, so results equal semDedup at the same k. */
   def semDedupAuto(
       emb: DataFrame, idCol: String, vecCol: String,
-      iters: Int, tau: Double, targetClusterSize: Long = 256L): DataFrame =
+      iters: Int, tau: Double, targetClusterSize: Long = 1024L): DataFrame =
     semDedup(emb, idCol, vecCol,
       semDedupAutoK(emb.count(), targetClusterSize), iters, tau)
 
