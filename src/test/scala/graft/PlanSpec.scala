@@ -87,7 +87,10 @@ class PlanSpec extends SparkSpec {
       "q154_ivf_pq_nprobe",  // q153's shapes + broadcast 4-row probe set
       "q156_stupid_backoff", // broadcast 1-row (N, V) reference scalar
       "q158_kmv_set_algebra", // 5-row sketch-table pair join (theta <)
-      "q159_heavy_hitters")  // broadcast 1-row corpus-token-total scalar
+      "q159_heavy_hitters",  // broadcast 1-row corpus-token-total scalar
+      "q167_ivf_pq_refine",  // q154's shapes + 1-row query crossJoins in the refine
+      "q168_ann_ivf_trained", // broadcast k-row centroid table (kmeans cells)
+      "q169_ivf_pq_residual") // q153's shapes over the residual frame
     // Known blind spot: the iterative queries (q42/q60/q80/q81) run
     // their superstep jobs eagerly inside fn, so only their FINAL frame
     // is inspected here; the supersteps' own plan shapes are covered by
