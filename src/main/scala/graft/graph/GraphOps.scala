@@ -1369,15 +1369,22 @@ object GraphOps {
     }
     // one scalar job, not two: the 1-row W and ΣD² aggs cross-joined;
     // γ-independent — every resolution combines the same pair as
-    // q·m2·W − p·ΣD²
-    def wd2Of(a: DataFrame, dC: DataFrame, k: DataFrame): (Long, Long) = {
+    // q·m2·W − p·ΣD². ΣD² accumulates in DECIMAL(38,0): D_c ≤ m2, so a
+    // long dc·dc wraps once m2 exceeds ~3e9 edge-endpoints (~1.5e9
+    // edges) — far below the 100 TB graphs this ladder is documented
+    // for; decimal keeps the sum exact to 38 digits (m2² at 1e12 edges
+    // is 25 digits) and, being exact, leaves every in-range result
+    // bit-identical to the long path (round-10 overflow audit).
+    def wd2Of(a: DataFrame, dC: DataFrame, k: DataFrame): (Long, BigInt) = {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val row = k.join(a.withColumnRenamed("c", "cv"), "id")
         .filter(col("c") === col("cv"))
         .agg(coalesce(sum(col("kvc")), lit(0L)).as("w"))
         .crossJoin(
-          dC.agg(coalesce(sum(col("dc") * col("dc")), lit(0L)).as("d2")))
+          dC.agg(coalesce(sum(col("dc").cast(dec) * col("dc")),
+            lit(0L).cast(dec)).as("d2")))
         .head()
-      (row.getLong(0), row.getLong(1))
+      (row.getLong(0), BigInt(row.getDecimal(1).toBigInteger))
     }
     val (dC0, k0) = frames(asg0)
     val (w0, d20) = wd2Of(asg0, dC0, k0)
@@ -1388,9 +1395,19 @@ object GraphOps {
       val (gp, gq) = reduced(g)
       var asg = asg0; var dC = dC0; var k = k0
       var own = false
-      var qCur = gq * m2 * w0 - gp * d20
+      // driver-side gate in BigInt: gq·m2·W is ~m2² at worst — wraps a
+      // Scala Long at the same ~1.5e9-edge scale wd2Of's doc describes
+      var qCur = BigInt(gq) * BigInt(m2) * BigInt(w0) - BigInt(gp) * d20
       var r = 0
       var improved = true
+      // the in-plan move score holds the same products: kvc/kv/dc are
+      // cast to DECIMAL(38,0) so gq·m2·kvc and gp·kv·dc stay exact at
+      // any graph size (in range they equal the long math bit-for-bit,
+      // so the argmax — and every oracle — is unchanged); gq·m2 itself
+      // is a BigDecimal literal, immune to the Scala-side wrap
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val gqm2 = lit(new java.math.BigDecimal(
+        (BigInt(gq) * BigInt(m2)).bigInteger)).cast(dec)
       while (r < rounds && improved) {
         // own community is always a candidate (kvc = 0 when v has no
         // intra-community neighbor); max() folds the duplicate away
@@ -1402,7 +1419,7 @@ object GraphOps {
           .join(deg, "id")
           .join(stateSide(dC, bc), "c")
           .select(col("id"), col("c"),
-            (lit(gq * m2) * col("kvc") - lit(gp) * col("kv") *
+            (gqm2 * col("kvc").cast(dec) - lit(gp) * col("kv").cast(dec) *
               (col("dc") - when(col("c") === col("cv"), col("kv"))
                 .otherwise(lit(0L)))).as("score"))
           .groupBy("id")
@@ -1411,7 +1428,7 @@ object GraphOps {
           .localCheckpoint(eager = false) // materialized by the wd2 probe
         val (dC2, k2) = frames(moved)
         val (w2, d22) = wd2Of(moved, dC2, k2)
-        val qNew = gq * m2 * w2 - gp * d22
+        val qNew = BigInt(gq) * BigInt(m2) * BigInt(w2) - BigInt(gp) * d22
         if (qNew > qCur) {
           if (own) {
             releaseLocalCheckpoint(asg)
@@ -1466,18 +1483,33 @@ object GraphOps {
       .groupBy(col("sc").as("community")).agg(count(lit(1)).as("e_within"))
     val degSum = lab.groupBy(col("sc").as("community"))
       .agg(count(lit(1)).as("deg_sum"))
+    // q_num = e_within·m2 − deg_sum² computed in DECIMAL(38,0): the long
+    // form wraps once deg_sum exceeds ~3e9 (≈1.5e9 edges) — the 100 TB
+    // overflow audit's trap class. In range the decimal equals the long
+    // math exactly, so the q109 oracle is untouched; q_num is exposed as
+    // BIGINT for the oracle via a guarded cast (raise_error, LOUD — the
+    // plain cast would silently null past ±2^63), while contrib divides
+    // the exact decimal by a double m2² (m2 < 2^53 is exact; beyond,
+    // double is the right approximation for a 9-digit-rounded ratio).
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val qnumDec = coalesce(col("e_within"), lit(0L)).cast(dec38) * col("m2") -
+      col("deg_sum").cast(dec38) * col("deg_sum")
     val out = degSum.join(within, Seq("community"), "left")
       .crossJoin(broadcast(m2df))
       .select(col("community"),
         coalesce(col("e_within"), lit(0L)).as("e_within"),
         col("deg_sum"),
-        (coalesce(col("e_within"), lit(0L)) * col("m2") -
-          col("deg_sum") * col("deg_sum")).as("q_num"),
+        when(qnumDec.between(lit(Long.MinValue).cast(dec38),
+            lit(Long.MaxValue).cast(dec38)), qnumDec.cast("long"))
+          .otherwise(raise_error(concat(
+            lit("modularityOf: q_num exceeds BIGINT at this scale; " +
+              "read contrib (exact decimal -> double) instead: "),
+            qnumDec.cast("string")))).as("q_num"),
         // + 0.0 normalizes IEEE negative zero: a tiny negative quotient
         // rounds to -0.0, whose rendering differs across engines
-        (round((coalesce(col("e_within"), lit(0L)) * col("m2") -
-          col("deg_sum") * col("deg_sum")).cast("double") /
-          (col("m2") * col("m2")).cast("double"), 9) + lit(0.0)).as("contrib"))
+        (round(qnumDec.cast("double") /
+          (col("m2").cast("double") * col("m2").cast("double")), 9)
+          + lit(0.0)).as("contrib"))
     val persisted = out.persist()
     persisted.count()
     lab.unpersist(blocking = false)
