@@ -254,7 +254,11 @@ object Relational {
     val xd = col(valueCol).cast(DecimalType(18, 4))
     val stats = df.groupBy(groupCols.map(col): _*)
       .agg(
-        count(lit(1)).as("__n"),
+        // count the VALUES, not the rows: sum() skips nulls, so a
+        // count(lit(1)) denominator silently biases μ/σ downward the
+        // moment the column has nulls (round-10 null audit; null rows
+        // still get a null z via the value−μ subtraction)
+        count(xd).as("__n"),
         sum(xd).cast(DoubleType).as("__s1"),
         sum(xd * xd).cast(DoubleType).as("__s2"))
       .withColumn("__mean", col("__s1") / col("__n"))
@@ -317,7 +321,13 @@ object Relational {
     * row (double sum, the dsum convention). This is the batch analog of
     * a streaming partial-agg checkpoint: process each new partition of
     * a 100 TB table once, merge O(keys)-sized states, never recompute
-    * history. */
+    * history.
+    *
+    * Null semantics (explicit, round-10 audit): `n` counts ROWS — null
+    * `valueCol` rows included — while `s`/`mn`/`mx` aggregate the
+    * non-null values (SQL agg semantics). s/n is therefore NOT a
+    * null-excluding mean on nullable columns; add a `count(valueCol)`
+    * field to the state if that mean is needed. */
   def aggState(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
     df.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"),

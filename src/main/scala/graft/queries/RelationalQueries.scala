@@ -515,7 +515,9 @@ object RelationalQueries {
     // per-group extremes and a |z|>2 outlier count.
     Q("q100_zscore",
       """WITH st AS (
-        |  SELECT l_returnflag, COUNT(*) AS n,
+        |  -- COUNT(l_quantity), not COUNT(*): the engine counts VALUES so
+        |  -- null rows can't bias mu/sigma (identical here — no nulls)
+        |  SELECT l_returnflag, COUNT(l_quantity) AS n,
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1,
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
         |             * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s2

@@ -222,6 +222,21 @@ class RelationalSpec extends SparkSpec {
     assert(out.filter(_._1 == "c").forall(_._3.isEmpty)) // σ=0 → null
   }
 
+  test("zscore: null values don't bias the group stats (round-10 null audit)") {
+    // pre-fix, count(lit(1)) counted the null row while sum skipped it,
+    // shrinking μ and σ; a null value must contribute nothing and get z=null
+    val df = Seq(("g", Some(1.0)), ("g", Some(2.0)), ("g", Some(3.0)),
+      ("g", Option.empty[Double]))
+      .toDF("grp", "x")
+    val out = R.zscore(df, Seq("grp"), "x", "z")
+      .select("x", "z").as[(Option[Double], Option[Double])].collect()
+    val std = math.sqrt((1.0 + 4 + 9) / 3 - 4.0) // stats over the 3 values only
+    val m = out.collect { case (Some(x), z) => x -> z }.toMap
+    assert(math.abs(m(3.0).get - 1.0 / std) < 1e-12)
+    assert(math.abs(m(2.0).get) < 1e-12)
+    assert(out.collect { case (None, z) => z }.forall(_.isEmpty))
+  }
+
   test("scd2: runs merge, versions chain, open tail, per-key independence") {
     val log = Seq(
       ("A", "x", 1L, 1L), ("A", "x", 2L, 2L), ("A", "y", 3L, 3L),
