@@ -83,6 +83,58 @@ object TextFunctions {
       (lit(1.0) - nPunct.cast("double") / nChars) * 0.5
   }
 
+  /** HTML character-reference decoding — a measured slice of ftfy's long
+    * tail (T1's documented gap: the reference normalizes crawled text
+    * with ftfy, whose unescape stage resolves `&amp;`-style references;
+    * data_transformation_helpers.py:20-86). Composed entirely from
+    * codegen'd built-ins, preference (a) — no UDF, no custom expression:
+    *
+    *  - numeric refs (`&#65;` decimal, `&#x1F600;` hex) via split on the
+    *    literal `&#`, a per-piece prefix parse, and codepoint → string
+    *    through `decode(unhex(lpad(hex(n))), 'UTF-32')` — full Unicode
+    *    (Spark's `chr` is Latin-1-only); DuckDB replays with `chr(n)`;
+    *  - guards: codepoint ∈ [1, 0x10FFFF] and NOT a surrogate
+    *    (0xD800–0xDFFF) — out-of-range refs stay LITERAL text in both
+    *    engines instead of one erroring and the other emitting U+FFFD;
+    *  - named refs (`&lt; &gt; &quot; &apos; &nbsp;`) as literal
+    *    replaces (`&nbsp;` → plain space, its NFKC image — keeps the
+    *    oracle free of NBSP byte plumbing), `&amp;` LAST so one decode
+    *    level resolves per pass (`&amp;amp;` → `&amp;`, not `&`).
+    *
+    * Documented deviation from a single-scan html.unescape: sequential
+    * passes double-decode the pathological nested form `&#38;lt;`
+    * (→ `<` here, `&lt;` single-scan) — irrelevant on real corpora. */
+  def decodeHtmlEntities(c: Column): Column = {
+    // codepoint → one-char string, exact for any valid scalar value
+    def chrU(n: Column): Column =
+      decode(unhex(lpad(hex(n), 8, "0")), "UTF-32")
+    def validCp(n: Column): Column =
+      n.between(1, 0x10FFFF) && !n.between(0xD800, 0xDFFF)
+    def decodePiece(p: Column): Column = {
+      val decCode = regexp_extract(p, "^([0-9]{1,7});", 1).cast("int")
+      val hexCode = conv(regexp_extract(p, "^[xX]([0-9a-fA-F]{1,6});", 1), 16, 10)
+        .cast("int")
+      when(p.rlike("^[0-9]{1,7};") && validCp(decCode),
+        concat(chrU(decCode), regexp_replace(p, "^[0-9]{1,7};", "")))
+        .when(p.rlike("^[xX][0-9a-fA-F]{1,6};") && validCp(hexCode),
+          concat(chrU(hexCode), regexp_replace(p, "^[xX][0-9a-fA-F]{1,6};", "")))
+        .otherwise(concat(lit("&#"), p))
+    }
+    val pieces = split(c, "&#", -1)
+    val numeric = concat(
+      element_at(pieces, 1),
+      aggregate(
+        transform(slice(pieces, lit(2), greatest(size(pieces) - 1, lit(0))),
+          p => decodePiece(p)),
+        lit(""), (acc, x) => concat(acc, x)))
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(numeric) { case (acc, (ent, ch)) =>
+        // entities contain no regex metachars; literal-safe
+        regexp_replace(acc, ent, ch)
+      }
+  }
+
   /** N5 (data_transformation_helpers.py:123-158): order-preserving dedup +
     * Oxford-comma natural-language join ("A, B, and C"). */
   def oxfordJoin(arr0: Column): Column = {

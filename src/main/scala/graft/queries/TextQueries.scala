@@ -753,6 +753,60 @@ object TextQueries {
         |FROM c""".stripMargin) { (s, dir) =>
       TextStats.gopherRules(Tables(s, dir, "documents"), "doc_id", "text")
     },
+
+    // HTML character-reference decoding (T1's ftfy-long-tail slice):
+    // each doc gets a deterministic entity-laden wrapper (decimal ref
+    // derived from n_chars — codepoints 65..564 exercise the >255 UTF-32
+    // path — plus hex/astral, named set, escaped-escape, and the guard
+    // cases: zero, surrogate, malformed, trailing '&#'), then decoded.
+    // Oracle replays split('&#') → per-piece CASE with chr() → fold →
+    // the same named-replace chain with &amp; last.
+    Q("q170_html_entities", {
+      val hexFold = "list_reduce(list_transform(generate_series(1, " +
+        "len(regexp_extract(p, '^[xX]([0-9a-fA-F]{1,6});', 1))), " +
+        "i -> CAST(strpos('0123456789abcdef', substr(lower(" +
+        "regexp_extract(p, '^[xX]([0-9a-fA-F]{1,6});', 1)), i, 1)) - 1 AS BIGINT)), " +
+        "(a, b) -> a * 16 + b)"
+      val decCode = "CAST(regexp_extract(p, '^([0-9]{1,7});', 1) AS BIGINT)"
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    'A &amp;amp; B &lt;i&gt; &#' || CAST((n_chars % 500) + 65 AS VARCHAR)
+         |      || '; &#x1F600; mid &#55296; &#0; &#zz; tail &quot;'
+         |      || substr(text, 1, 16) AS s
+         |  FROM documents),
+         |sp AS (SELECT doc_id, string_split(s, '&#') AS ps FROM base),
+         |num AS (
+         |  SELECT doc_id,
+         |    ps[1] || list_reduce(list_prepend('', list_transform(ps[2:], p ->
+         |      CASE
+         |        WHEN regexp_matches(p, '^[0-9]{1,7};')
+         |             AND $decCode BETWEEN 1 AND 1114111
+         |             AND NOT ($decCode BETWEEN 55296 AND 57343)
+         |          THEN chr(CAST($decCode AS INT))
+         |               || regexp_replace(p, '^[0-9]{1,7};', '')
+         |        WHEN regexp_matches(p, '^[xX][0-9a-fA-F]{1,6};')
+         |             AND $hexFold BETWEEN 1 AND 1114111
+         |             AND NOT ($hexFold BETWEEN 55296 AND 57343)
+         |          THEN chr(CAST($hexFold AS INT))
+         |               || regexp_replace(p, '^[xX][0-9a-fA-F]{1,6};', '')
+         |        ELSE '&#' || p
+         |      END)), (a, b) -> a || b) AS s
+         |  FROM sp)
+         |SELECT doc_id,
+         |  replace(replace(replace(replace(replace(replace(s,
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+         |    '&nbsp;', ' '), '&amp;', '&') AS decoded
+         |FROM num""".stripMargin
+    }) { (s, dir) =>
+      import graft.functions.TextFunctions
+      val encoded = concat(
+        lit("A &amp;amp; B &lt;i&gt; &#"),
+        ((col("n_chars") % 500) + 65).cast("string"),
+        lit("; &#x1F600; mid &#55296; &#0; &#zz; tail &quot;"),
+        substring(col("text"), 1, 16))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.decodeHtmlEntities(encoded).as("decoded"))
+    },
   )
 
   /** Shared oracle prelude for q83/q85: the greedy per-source packing

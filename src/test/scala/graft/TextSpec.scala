@@ -166,6 +166,26 @@ class TextSpec extends SparkSpec {
       .select(T.normalizeText(col("t"))).as[String].head() == "été x")
   }
 
+  test("decodeHtmlEntities: numeric dec/hex, named set, guards, one level per pass") {
+    def dec(s: String): String =
+      Seq(s).toDF("t").select(T.decodeHtmlEntities(col("t"))).as[String].head()
+    // decimal, hex (incl. astral plane — the UTF-32 path, beyond chr's
+    // Latin-1 ceiling), named set
+    assert(dec("A&#66;C") == "ABC")
+    assert(dec("caf&#233;") == "café")
+    assert(dec("&#x48;i &#x1F600;!") == "Hi 😀!")
+    assert(dec("&lt;b&gt; &quot;q&quot; &apos;a&apos; x&nbsp;y &amp; z") ==
+      "<b> \"q\" 'a' x y & z")
+    // one decode level per pass: escaped-escape resolves ONE level
+    assert(dec("&amp;amp;") == "&amp;")
+    // guards: zero, surrogate, out-of-range, malformed — all stay literal
+    assert(dec("&#0; &#55296; &#9999999; &#zz; &#x; tail&#") ==
+      "&#0; &#55296; &#9999999; &#zz; &#x; tail&#")
+    // no-op on clean text; empty and entity-free strings pass through
+    assert(dec("plain text, no refs") == "plain text, no refs")
+    assert(dec("") == "")
+  }
+
   test("langId: stopword argmax with und fallback") {
     val df = Seq(
       ("the cat sat on the mat and it is that for", "en"),
