@@ -56,16 +56,34 @@ object Bench {
     // -1 (never a plausible duration), lands in the "errors" list, and is
     // excluded from the total — a fail-fast exception can't pad the bench
     // as a ~0.06s "success" (round-6 verdict item 3).
-    val results = queries.map { case (name, fn) =>
+    //
+    // Min-of-2 (round-10 verdict item 5): single-shot timing produced
+    // alarm-grade phantom movers even with load stamps (r10's q134:
+    // driver 15.9 s vs judge quiet-box 7.1 s — pure co-tenant noise).
+    // Each query runs twice, caches cleared between, and the REPORTED
+    // time is the min — co-tenant spikes rarely hit the same query in
+    // both passes. Both raws land in bench_detail.json ("raw") so the
+    // noise itself stays auditable.
+    def timedOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       clearCaches()
       System.gc() // pay prior queries' garbage outside the timed window
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
         case e: Throwable =>
           System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          false
+          -1.0
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    val raws = queries.map { case (name, fn) =>
+      val t1 = timedOnce(name, fn)
+      // an errored first run is definitive (deterministic plans); don't
+      // pay a second failure
+      val t2 = if (t1 < 0) -1.0 else timedOnce(name, fn)
+      name -> (t1, t2)
+    }
+    val results = raws.map { case (name, (t1, t2)) =>
+      // t2<0 after a good t1 = flake on the repeat; keep the good sample
+      name -> (if (t1 < 0) -1.0 else if (t2 < 0) t1 else math.min(t1, t2))
     }
     def ms(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k.split("_")(0) + "\":" + ms(v) }
@@ -85,7 +103,10 @@ object Bench {
     // ALWAYS written to a tracked file in the repo (bench_detail.json), and
     // the stdout line carries the per-query map only when it provably fits,
     // falling back to the compact summary otherwise.
-    val detail = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","git":"$sha","at":"$ts","load":$load}"""
+    val rawPairs = raws.map { case (k, (t1, t2)) =>
+      "\"" + k.split("_")(0) + "\":[" + ms(t1) + "," + ms(t2) + "]"
+    }.mkString("{", ",", "}")
+    val detail = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"raw":$rawPairs,"errors":$errors,"sf":"$sfDir","git":"$sha","at":"$ts","load":$load}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo") + "/bench_detail.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail + "\n")

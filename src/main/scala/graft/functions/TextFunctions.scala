@@ -9,18 +9,33 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** T1 (data_transformation_helpers.py:20-86): repair + normalize text,
-    * the reference's ftfy → NFKC → sanitize order. Mojibake repair is the
-    * algorithmic cp1252/latin-1 round-trip (TextKernels.fixMojibake,
-    * round-6 addition closing the ftfy fidelity gap; whole-string
-    * conservative — see its doc); then NFKC (custom expression) →
-    * unescape quotes → collapse newlines → collapse whitespace → trim.
+  /** T1 (data_transformation_helpers.py:49-57): repair + normalize text as
+    * ONE composed pass, in ftfy `fix_text`'s stage order — HTML unescape →
+    * encoding repair (mojibake) → NFKC → quote uncurling — followed by the
+    * reference's regex sanitize (unescape `\"` → collapse newlines →
+    * collapse whitespace → trim). Stage notes:
+    *  - unescape = [[decodeHtmlEntities]] (ftfy's `unescape_html`, which
+    *    `fix_text` runs before `fix_encoding`);
+    *  - mojibake repair is the algorithmic cp1252/latin-1 round-trip
+    *    (TextKernels.fixMojibake; whole-string conservative — see its doc.
+    *    Composition consequence: an entity that decodes to a NON-ASCII,
+    *    non-byte-mappable char suppresses repair for that string — the
+    *    documented whole-string deviation, now observable through this
+    *    chain);
+    *  - NFKC (custom codegen'd expression);
+    *  - uncurl = ftfy's `uncurl_quotes` default (“ ” → ", ‘ ’ → ') as one
+    *    `translate` pass — NFKC does NOT uncurl these four, so the step is
+    *    order-independent w.r.t. NFKC but kept after it as ftfy does.
     * All codegen'd. */
   def normalizeText(c: Column): Column =
     trim(regexp_replace(
       regexp_replace(
         regexp_replace(
-          TextExpressions.nfkc(TextExpressions.fixMojibake(c)), "\\\\\"", "\""),
+          translate(
+            TextExpressions.nfkc(
+              TextExpressions.fixMojibake(decodeHtmlEntities(c))),
+            "“”‘’", "\"\"''"),
+          "\\\\\"", "\""),
         "[\\n\\r]+", " "),
       "\\s+", " "))
 
@@ -101,9 +116,12 @@ object TextFunctions {
     *    oracle free of NBSP byte plumbing), `&amp;` LAST so one decode
     *    level resolves per pass (`&amp;amp;` → `&amp;`, not `&`).
     *
-    * Documented deviation from a single-scan html.unescape: sequential
-    * passes double-decode the pathological nested form `&#38;lt;`
-    * (→ `<` here, `&lt;` single-scan) — irrelevant on real corpora. */
+    * Documented deviation from a single-scan html.unescape: the numeric
+    * pass runs before the named passes, so ANY named entity assembled
+    * from a numeric reference double-decodes — `&#38;lt;` → `<` (the `&`
+    * materializes first, completing `&lt;`), and likewise forms like
+    * `&&#97;mp;` → `&` where single-scan html.unescape leaves `&lt;` /
+    * `&amp;` respectively. Irrelevant on real corpora. */
   def decodeHtmlEntities(c: Column): Column = {
     // codepoint → one-char string, exact for any valid scalar value
     def chrU(n: Column): Column =

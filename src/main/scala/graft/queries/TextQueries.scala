@@ -762,10 +762,15 @@ object TextQueries {
     // Oracle replays split('&#') → per-piece CASE with chr() → fold →
     // the same named-replace chain with &amp; last.
     Q("q170_html_entities", {
-      val hexFold = "list_reduce(list_transform(generate_series(1, " +
+      // list_prepend(0, …) seeds the fold so the list is never empty —
+      // DuckDB documents list_reduce as erroring on empty lists, and the
+      // WHEN conjunction does not guarantee short-circuit; the 0 seed is
+      // value-neutral (((0*16+d1)*16+d2)… = the plain fold).
+      val hexFold = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(1, " +
         "len(regexp_extract(p, '^[xX]([0-9a-fA-F]{1,6});', 1))), " +
         "i -> CAST(strpos('0123456789abcdef', substr(lower(" +
-        "regexp_extract(p, '^[xX]([0-9a-fA-F]{1,6});', 1)), i, 1)) - 1 AS BIGINT)), " +
+        "regexp_extract(p, '^[xX]([0-9a-fA-F]{1,6});', 1)), i, 1)) - 1 AS BIGINT))), " +
         "(a, b) -> a * 16 + b)"
       val decCode = "CAST(regexp_extract(p, '^([0-9]{1,7});', 1) AS BIGINT)"
       s"""WITH base AS (
@@ -806,6 +811,42 @@ object TextQueries {
         substring(col("text"), 1, 16))
       Tables(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.decodeHtmlEntities(encoded).as("decoded"))
+    },
+
+    // T1 COMPOSED (data_transformation_helpers.py:49-57 — the reference's
+    // ONE `ftfy.fix_text` → NFKC → regex-sanitize pass): normalizeText now
+    // chains unescape → mojibake repair → NFKC → quote-uncurl → sanitize.
+    // One input exercises EVERY stage: a pure-ASCII entity prefix (a
+    // non-ASCII entity output would suppress the whole-string repair —
+    // the documented conservatism), a latin-1 mis-decoded decoration
+    // carrying NFKC targets (™→TM, ﬁ→fi) and curly quotes (→ uncurled),
+    // an escaped quote, a newline, and run-on spaces. The constructed
+    // mis-decode is provably inverted by repair (q127's argument), so the
+    // oracle emits the expected pre-collapse string directly and replays
+    // only the final sanitize regexes — any stage bug hash-mismatches.
+    Q("q171_normalize_composed",
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(text, '\\"', '"', 'g'),
+        |         '[\n\r]+', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |    '&amp; <i> A "" ln1' || chr(10) || 'ln2  sp « ' || substr(clean, 1, 24)
+        |      || ' — "caféTM ''x'' fi Ÿ»' AS pre
+        |  FROM c)
+        |SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(pre, '[\n\r]+', ' ', 'g'),
+        |       '\s+', ' ', 'g')) AS normalized
+        |FROM e""".stripMargin) { (s, dir) =>
+      val clean = T.normalizeText(col("text"))
+      val decorated = concat(lit("« "), substring(clean, 1, 24),
+        lit(" — “café™ ‘x’ ﬁ Ÿ»"))
+      val damaged = decode(encode(decorated, "UTF-8"), "ISO-8859-1")
+      val composed = concat(
+        lit("&amp;amp; &lt;i&gt; &#65; &quot;\\\" ln1\nln2  sp "), damaged)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), T.normalizeText(composed).as("normalized"))
     },
   )
 

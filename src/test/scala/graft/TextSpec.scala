@@ -186,6 +186,33 @@ class TextSpec extends SparkSpec {
     assert(dec("") == "")
   }
 
+  test("normalizeText composed chain: unescape -> repair -> NFKC -> uncurl order") {
+    def norm(s: String): String =
+      Seq(s).toDF("t").select(T.normalizeText(col("t"))).as[String].head()
+    // every stage on one input: entities, NFKC targets (™→TM, ﬁ→fi),
+    // curly quotes uncurled, \" unescaped, newline + runs collapsed
+    assert(norm("&lt;i&gt; “café™” ‘x’ ﬁ  \n \\\" end&amp;") ==
+      "<i> \"caféTM\" 'x' fi \" end&")
+    // ORDER: unescape runs BEFORE repair — entities that decode to
+    // mojibake bytes get repaired by the next stage
+    assert(norm("&#195;&#169;t&#195;&#169;") == "été")
+    // ORDER: exactly one unescape level inside the chain — the
+    // html.unescape-compatible nested form stays one level deep
+    assert(norm("&amp;#38;") == "&#38;")
+    // documented deviations (numeric pass precedes named passes):
+    // named entities assembled from numeric refs double-decode
+    assert(norm("&#38;lt;") == "<")    // single-scan html.unescape: &lt;
+    assert(norm("&&#97;mp;") == "&")   // single-scan html.unescape: &amp;
+    // documented composition consequence: an entity decoding to a
+    // non-ASCII char makes the whole string non-pure-mojibake, so the
+    // conservative whole-string repair backs off (the euro re-encodes to
+    // 0x80 which cannot start a UTF-8 sequence)
+    assert(norm("&#8364; Ã©") == "€ Ã©")
+    assert(norm("Ã©") == "é") // …while the same mojibake alone repairs
+    // uncurl is literal (ftfy uncurl_quotes default): all four quotes
+    assert(norm("“a” ‘b’") == "\"a\" 'b'")
+  }
+
   test("langId: stopword argmax with und fallback") {
     val df = Seq(
       ("the cat sat on the mat and it is that for", "en"),

@@ -5,7 +5,13 @@ regression surfaces from the tracked artifacts alone — no judge
 re-adjudication needed.
 
 Usage:
-  python3 tools/bench_diff.py OLD.json NEW.json [threshold]
+  python3 tools/bench_diff.py OLD.json NEW.json [threshold] [--md FILE]
+
+--md FILE appends the diff as a markdown table to FILE (the PLANS.md
+round-close ritual, round-10 verdict item 7). Records produced by the
+min-of-2 Bench (round-10 verdict item 5) carry a "raw" map of [t1, t2]
+pairs next to the min-based "queries" map; the comparison always uses
+"queries" (the mins), and raw pairs are quoted for flagged movers.
 
 Accepts either artifact shape:
   - a driver BENCH_rN.json wrapper ({"parsed": {...}}), or
@@ -36,7 +42,8 @@ def load_record(path):
         sys.exit(f"{path}: no per-query map (compact fallback) — "
                  "use the round's bench_detail.json instead")
     load = d.get("load") or [None, None]
-    return qs, load, d.get("git", "?"), d.get("sf", "?")
+    raw = d.get("raw") if isinstance(d.get("raw"), dict) else {}
+    return qs, load, d.get("git", "?"), d.get("sf", "?"), raw
 
 
 def mean_load(load):
@@ -45,11 +52,17 @@ def mean_load(load):
 
 
 def main():
-    if len(sys.argv) < 3:
+    argv = list(sys.argv[1:])
+    md_path = None
+    if "--md" in argv:
+        i = argv.index("--md")
+        md_path = argv[i + 1]
+        del argv[i:i + 2]
+    if len(argv) < 2:
         sys.exit(__doc__)
-    old_qs, old_load, old_git, old_sf = load_record(sys.argv[1])
-    new_qs, new_load, new_git, new_sf = load_record(sys.argv[2])
-    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    old_qs, old_load, old_git, old_sf, old_raw = load_record(argv[0])
+    new_qs, new_load, new_git, new_sf, new_raw = load_record(argv[1])
+    threshold = float(argv[2]) if len(argv) > 2 else 2.0
 
     lo, ln = mean_load(old_load), mean_load(new_load)
     factor = max(1.0, ln / lo) if lo and ln and lo > 0 else 1.0
@@ -73,8 +86,18 @@ def main():
     tot0 = sum(old_qs[q] for q in common if old_qs[q] and old_qs[q] > 0)
     tot1 = sum(new_qs[q] for q in common if new_qs[q] and new_qs[q] > 0)
 
-    print(f"old: {sys.argv[1]} git={old_git} sf={old_sf} load={old_load}")
-    print(f"new: {sys.argv[2]} git={new_git} sf={new_sf} load={new_load}")
+    # a query that RAN in the old record but errors in the new one is a
+    # regression in its own right — gate on it like a slowdown (ADVICE)
+    new_broken = [(q, t0, t1) for q, t0, t1, r, _ in rows
+                  if r is None and t0 is not None and t0 >= 0
+                  and (t1 is None or t1 < 0)]
+
+    def raw_note(raw, q):
+        pair = raw.get(q)
+        return f" raw={pair}" if pair else ""
+
+    print(f"old: {argv[0]} git={old_git} sf={old_sf} load={old_load}")
+    print(f"new: {argv[1]} git={new_git} sf={new_sf} load={new_load}")
     print(f"common={len(common)} added={len(added)} removed={len(removed)} "
           f"load_factor={factor:.2f} threshold={threshold}x")
     print(f"common-query total: {tot0:.1f} s -> {tot1:.1f} s "
@@ -86,12 +109,41 @@ def main():
         print("removed:", ", ".join(removed))
     for q, t0, t1, _, _ in errored:
         print(f"ERRORED  {q}: old={t0} new={t1}")
-    if not flagged:
-        print(f"OK: no query moved >{threshold}x load-adjusted")
+
+    if md_path:
+        top = sorted((r for r in rows if r[3] is not None),
+                     key=lambda r: -r[2])[:15]
+        with open(md_path, "a") as f:
+            f.write(f"\n### bench_diff {old_git} -> {new_git} "
+                    f"(sf={new_sf}, load_factor={factor:.2f})\n\n")
+            f.write(f"common={len(common)} total {tot0:.1f} s -> {tot1:.1f} s "
+                    f"({tot1 / tot0:.2f}x raw, "
+                    f"{tot1 / tot0 / factor:.2f}x load-adj); "
+                    f"added: {', '.join(added) or 'none'}; "
+                    f"newly-errored: "
+                    f"{', '.join(q for q, _, _ in new_broken) or 'none'}\n\n")
+            f.write("| query | old s | new s | raw x | adj x | new raw pair |\n")
+            f.write("|---|---|---|---|---|---|\n")
+            for q, t0, t1, ratio, adj in top:
+                f.write(f"| {q} | {t0:.2f} | {t1:.2f} | {ratio:.2f} | "
+                        f"{adj:.2f} | {new_raw.get(q, '-')} |\n")
+        print(f"markdown table appended to {md_path}")
+
+    bad = False
+    if new_broken:
+        print(f"\nNEWLY ERRORED (ran in old record, -1 in new):")
+        for q, t0, t1 in new_broken:
+            print(f"  {q}: old={t0} new={t1}")
+        bad = True
+    if flagged:
+        print(f"\nFLAGGED (> {threshold}x load-adjusted):")
+        for q, t0, t1, ratio, adj in sorted(flagged, key=lambda r: -r[4]):
+            print(f"  {q}: {t0:.2f} s -> {t1:.2f} s  ({ratio:.2f}x raw, "
+                  f"{adj:.2f}x adj){raw_note(new_raw, q)}")
+        bad = True
+    if not bad:
+        print(f"OK: no query moved >{threshold}x load-adjusted, none newly errored")
         return
-    print(f"\nFLAGGED (> {threshold}x load-adjusted):")
-    for q, t0, t1, ratio, adj in sorted(flagged, key=lambda r: -r[4]):
-        print(f"  {q}: {t0:.2f} s -> {t1:.2f} s  ({ratio:.2f}x raw, {adj:.2f}x adj)")
     sys.exit(1)
 
 
