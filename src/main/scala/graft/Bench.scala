@@ -74,11 +74,14 @@ object Bench {
           -1.0
       }
     }
+    // dev-only: SPARK_GRAFT_BENCH_PASSES=1 for single-pass scratch runs
+    // (long sf10 sweeps); the driver always gets the default min-of-2
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val raws = queries.map { case (name, fn) =>
       val t1 = timedOnce(name, fn)
       // an errored first run is definitive (deterministic plans); don't
       // pay a second failure
-      val t2 = if (t1 < 0) -1.0 else timedOnce(name, fn)
+      val t2 = if (t1 < 0 || passes < 2) t1 else timedOnce(name, fn)
       name -> (t1, t2)
     }
     val results = raws.map { case (name, (t1, t2)) =>

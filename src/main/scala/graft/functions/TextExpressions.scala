@@ -40,31 +40,74 @@ object TextKernels {
     * mojibake — any char outside the byte-mapped set, no high bytes at
     * all, or an invalid UTF-8 byte sequence — in which case the input is
     * left untouched (conservative: mixed legit-accented + mojibake text is
-    * not repaired, unlike ftfy's per-segment pass; documented deviation). */
+    * not repaired, unlike ftfy's per-segment pass; documented deviation).
+    *
+    * Lossy-replacement recovery (round-10 verdict stretch item 8, the
+    * last fix_text stage with no engine analog): a U+FFFD in the input —
+    * a byte an earlier decoder already destroyed (e.g. cp1252's five
+    * undefined codes under a non-sloppy decoder) — re-encodes as an
+    * UNKNOWN byte that may stand for any continuation byte during the
+    * re-decode; the scalar it participates in decodes to U+FFFD (the
+    * byte's value is unrecoverable — ftfy emits � there too) while the
+    * REST of the string repairs normally, instead of the whole string
+    * being abandoned. An unknown byte in lead position stays U+FFFD by
+    * itself. Validation elsewhere is byte-for-byte the strict rules
+    * (bare continuation, overlongs C0/C1 + long forms, surrogates
+    * ED A0–BF, beyond-U+10FFFF F4 90+/F5+ → all reject), so strings
+    * without U+FFFD behave exactly as before. */
   private def fixOnce(str: String): String = {
     val n = str.length
-    val bytes = new Array[Byte](n)
+    val bytes = new Array[Int](n) // 0..255, or -1 = unknown (was U+FFFD)
     var hasHigh = false
     var i = 0
     while (i < n) {
       val c = str.charAt(i)
-      if (c < 0x100) bytes(i) = c.toByte
-      else {
+      if (c == '�') bytes(i) = -1
+      else if (c < 0x100) {
+        bytes(i) = c.toInt
+        if ((c & 0x80) != 0) hasHigh = true
+      } else {
         val b = Cp1252Rev.get(c)
         if (b == null) return null
-        bytes(i) = b.byteValue()
+        bytes(i) = b.byteValue() & 0xFF
+        hasHigh = true
       }
-      if ((bytes(i) & 0x80) != 0) hasHigh = true
       i += 1
     }
     if (!hasHigh) return null
-    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
-      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
-    try {
-      val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
-      if (out == str) null else out
-    } catch { case _: java.nio.charset.CharacterCodingException => null }
+    val sb = new java.lang.StringBuilder(n)
+    var p = 0
+    while (p < n) {
+      val b0 = bytes(p)
+      if (b0 == -1) { sb.append('�'); p += 1 } // unknown lead: lost scalar
+      else if (b0 < 0x80) { sb.append(b0.toChar); p += 1 }
+      else if (b0 < 0xC2) return null // bare continuation or overlong C0/C1
+      else {
+        val len = if (b0 < 0xE0) 2 else if (b0 < 0xF0) 3
+          else if (b0 < 0xF5) 4 else return null // F5+ beyond U+10FFFF
+        if (p + len > n) return null
+        var cp = b0 & (if (len == 2) 0x1F else if (len == 3) 0x0F else 0x07)
+        var lost = false
+        var j = 1
+        while (j < len) {
+          val bj = bytes(p + j)
+          if (bj == -1) lost = true
+          else if (bj < 0x80 || bj > 0xBF) return null
+          else if (j == 1 && !lost) {
+            // shortest-form / range checks live on the first continuation
+            if ((b0 == 0xE0 && bj < 0xA0) || (b0 == 0xED && bj > 0x9F) ||
+                (b0 == 0xF0 && bj < 0x90) || (b0 == 0xF4 && bj > 0x8F))
+              return null
+            cp = (cp << 6) | (bj & 0x3F)
+          } else cp = (cp << 6) | (bj & 0x3F)
+          j += 1
+        }
+        if (lost) sb.append('�') else sb.appendCodePoint(cp)
+        p += len
+      }
+    }
+    val out = sb.toString
+    if (out == str) null else out
   }
 
   /** Mojibake repair: apply [[fixOnce]] up to `passes` times (doubly

@@ -848,6 +848,31 @@ object TextQueries {
       Tables(s, dir, "documents")
         .select(col("doc_id"), T.normalizeText(composed).as("normalized"))
     },
+
+    // T1 lossy-replacement recovery (round-10 stretch item 8 — the LAST
+    // fix_text stage): q127's constructed mis-decode, but one damaged
+    // byte is then DESTROYED (™'s final byte 0xA2 → ¢ → U+FFFD, the mark
+    // a non-sloppy decoder leaves). The repair must recover everything
+    // except that one scalar — ™ becomes � — instead of abandoning the
+    // whole string (the pre-round-11 conservative behavior). Repair
+    // provably inverts the rest of the constructed damage, so the oracle
+    // emits the expected string directly (q127's argument).
+    Q("q173_lossy_repair",
+      """SELECT doc_id,
+        |  '« ' || trim(regexp_replace(regexp_replace(regexp_replace(text, '\\"', '"', 'g'),
+        |       '[\n\r]+', ' ', 'g'), '\s+', ' ', 'g')) || ' — café� Ÿ»' AS repaired
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val clean = T.normalizeText(col("text"))
+      val decorated = concat(lit("« "), clean, lit(" — café™ Ÿ»"))
+      val damaged = decode(encode(decorated, "UTF-8"), "ISO-8859-1")
+      // ¢ is ™'s final UTF-8 byte under the latin-1 mis-decode and occurs
+      // nowhere else (the corpus is ASCII; no other decoration byte is
+      // 0xA2) — destroying it models the lossy decoder
+      val lossy = regexp_replace(damaged, "¢", "�")
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        TextExpressions.fixMojibake(lossy, passes = 1).as("repaired"))
+    },
   )
 
   /** Shared oracle prelude for q83/q85: the greedy per-source packing

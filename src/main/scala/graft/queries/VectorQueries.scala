@@ -1005,6 +1005,72 @@ object VectorQueries {
         m = 4, subDims = 16, k = 4, iters = 2)
     },
 
+    // The full production faiss IVFPQ shape (round-11): TRAINED coarse
+    // quantizer (q168's k-means cells) + by_residual coding ANCHORED at
+    // each cell's min-id member + ADC. Anchoring (vs q169's seed-vector
+    // centroids) keeps residuals cell-relative even when Lloyd drifts a
+    // cluster away from its seed id — the mixture-of-scales fix measured
+    // on the planted-blob fixture. Oracle = q168's trained-cell CTEs +
+    // a min-id-member anchor CTE + q169's residual/PQ/ADC chains.
+    Q("q172_ivf_pq_residual_trained", {
+      val (m, sub, k, iters) = (4, 16, 4, 2)
+      val chains = (0 until m).map { s =>
+        val sfx = s"p$s"
+        s"""${kmeansCtes(k, iters, sfx = sfx, dims = sub,
+             srcList = s"rq[${s * sub + 1}:${(s + 1) * sub}]", srcFrom = "resid",
+             distinctSeeds = true)},
+           |uF$s AS (SELECT a.cid, d, CAST(SUM(ed$sfx.qv[d]) AS BIGINT) AS s,
+           |           COUNT(*) AS n
+           |         FROM a$sfx$iters a JOIN ed$sfx USING (vec_id)
+           |         CROSS JOIN range(1, ${sub + 1}) r(d) GROUP BY a.cid, d),
+           |cF$s AS (SELECT cid, array_agg(CAST(s AS DOUBLE) / n ORDER BY d) AS cv
+           |         FROM uF$s GROUP BY cid),
+           |qq$s AS (SELECT list_transform(rq[${s * sub + 1}:${(s + 1) * sub}],
+           |           x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE)) AS qd
+           |         FROM resid ORDER BY vec_id LIMIT 1),
+           |dt$s AS (SELECT cid,
+           |           list_reduce(list_transform(generate_series(1, $sub),
+           |             d -> (qq.qd[d] - cv[d]) * (qq.qd[d] - cv[d])), (x, y) -> x + y) AS ds
+           |         FROM cF$s CROSS JOIN qq$s qq)""".stripMargin
+      }.mkString(",\n")
+      val joins = (0 until m).map(s =>
+        s"JOIN ap$s$iters a$s ON ic.cell_id = a$s.vec_id JOIN dt$s ON a$s.cid = dt$s.cid")
+        .mkString("\n")
+      val adc = (0 until m).map(s => s"dt$s.ds").mkString(" + ")
+      s"""WITH ${kmeansCtes(16, 2)},
+         |cells AS (SELECT vec_id AS cell_id, cid AS cell FROM a2),
+         |qe AS (SELECT vec_id, list_transform(embedding,
+         |         x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         |       FROM embeddings),
+         |anch AS (SELECT cell, MIN(cell_id) AS aid FROM cells GROUP BY cell),
+         |cq AS (SELECT anch.cell, qe.qv AS cqv
+         |       FROM anch JOIN qe ON qe.vec_id = anch.aid),
+         |resid AS (SELECT qe.vec_id, cells.cell,
+         |            list_transform(generate_series(1, 64),
+         |              d -> CAST(qe.qv[d] - cq.cqv[d] AS DOUBLE)) AS rq
+         |          FROM qe JOIN cells ON qe.vec_id = cells.cell_id
+         |                  JOIN cq ON cells.cell = cq.cell),
+         |qc AS (SELECT cell AS q_cell, cell_id AS q_id
+         |       FROM cells ORDER BY cell_id LIMIT 1),
+         |$chains
+         |SELECT ic.cell_id AS vec_id, ROUND($adc, 6) AS adc_dist
+         |FROM cells ic
+         |$joins
+         |CROSS JOIN qc
+         |WHERE ic.cell = qc.q_cell AND ic.cell_id <> qc.q_id
+         |ORDER BY $adc ASC, ic.cell_id
+         |LIMIT 10""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val cells = Similarity.ivfCellsTrained(emb, "vec_id", "embedding",
+        nCells = 16, iters = 2).persist()
+      val out = Similarity.annIvfPqResidualWithCells(emb, "vec_id", "embedding",
+        cells, query = emb.orderBy("vec_id").limit(1), topK = 10,
+        m = 4, subDims = 16, k = 4, iters = 2)
+      cells.unpersist(blocking = false)
+      out
+    },
+
     // SemDeDup (Abbas et al. 2023): semantic near-duplicates — k-means
     // blocking, intra-cluster cosine ≥ 0.35 pairs (threshold chosen
     // against the synthetic embedding distribution: ~271 over-threshold

@@ -679,6 +679,36 @@ object Similarity {
           col("cv"), (a, b) => a - b).as("resid"))
   }
 
+  /** Residuals anchored at each cell's min-id MEMBER instead of its seed
+    * vector. [[ivfResiduals]] anchors at the vector whose id NAMES the
+    * cell — right for [[ivfCells]] (the seed is a member by
+    * construction) but wrong for [[ivfCellsTrained]]: Lloyd iterations
+    * can drift a cluster away from the blob its seed id came from, and
+    * then EVERY residual in that cell is centroid-difference-sized — the
+    * mixture of scales that starves the residual codebook (measured on
+    * the planted-blob fixture: seed-anchored residual ADC 0.16 vs 0.55+
+    * anchored, round-11). The anchor is still a CORPUS MEMBER of the
+    * cell (min id — deterministic, exact on the integer grid, same
+    * oracle story), so residuals of a coherent cell are noise-scale by
+    * construction, whatever the cell frame's provenance. One extra
+    * aggregation (cell → min member id) + one broadcast lookup over
+    * [[ivfResiduals]]' shape. Returns (idCol, cell, resid). */
+  def ivfResidualsAnchored(
+      emb: DataFrame, idCol: String, vecCol: String,
+      cells: DataFrame): DataFrame = {
+    val anchors = cells.groupBy(col("cell"))
+      .agg(min(col("cell_id")).as("anchor_id"))
+    val anchorVecs = emb
+      .join(broadcast(anchors), col(idCol) === col("anchor_id"))
+      .select(col("cell"),
+        Clustering.quantize(col(vecCol)).cast("array<double>").as("cv"))
+    emb.join(cells, col(idCol) === col("cell_id"))
+      .join(broadcast(anchorVecs), "cell")
+      .select(col(idCol), col("cell"),
+        zip_with(Clustering.quantize(col(vecCol)).cast("array<double>"),
+          col("cv"), (a, b) => a - b).as("resid"))
+  }
+
   /** Residual-coded IVF-PQ (faiss IVFPQ with by_residual=true; Jégou
     * et al. 2011 §V.B): the PQ codebook is fit on the cell-relative
     * RESIDUALS instead of the raw vectors — residuals concentrate near
@@ -699,6 +729,33 @@ object Similarity {
     // distinct seeding is load-bearing here: the cell seeds' own
     // residuals are all zero, so default lowest-id seeding would start
     // every codeword at the origin and collapse the codebook
+    val model = pqFit(resid, idCol, "resid", m, subDims, k, iters,
+      distinctSeeds = true)
+    val qResid = resid
+      .join(broadcast(query.limit(1).select(col(idCol))), Seq(idCol))
+    val out = ivfPqTopK(model, cells, idCol, "resid", qResid, topK).persist()
+    out.count() // materialize before dropping the model + residual caches
+    model.release()
+    resid.unpersist(blocking = false)
+    out
+  }
+
+  /** Residual-coded IVF-PQ over an EXPLICIT cell frame — composed with
+    * [[ivfCellsTrained]] this is the full production faiss IVFPQ shape
+    * (trained coarse quantizer + by_residual coding + ADC), the config
+    * where residual coding actually pays (q169's honest finding: it
+    * loses under arbitrary corpus-point cells on structure-free data).
+    * [[annIvfPqResidual]] fixes cells to the training-free lowest-id
+    * quantizer and seed-anchored residuals; this variant accepts any
+    * (cell_id, cell) assignment and anchors residuals at each cell's
+    * min-id MEMBER ([[ivfResidualsAnchored]]), so the encoding stays
+    * cell-relative whatever the cell frame's provenance. Same scale
+    * shape as [[annIvfPqResidual]]. Returns (idCol, adc_dist). */
+  def annIvfPqResidualWithCells(
+      emb: DataFrame, idCol: String, vecCol: String,
+      cells: DataFrame, query: DataFrame, topK: Int,
+      m: Int, subDims: Int, k: Int, iters: Int): DataFrame = {
+    val resid = ivfResidualsAnchored(emb, idCol, vecCol, cells).persist()
     val model = pqFit(resid, idCol, "resid", m, subDims, k, iters,
       distinctSeeds = true)
     val qResid = resid

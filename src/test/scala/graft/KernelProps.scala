@@ -151,6 +151,27 @@ object KernelProps extends Properties("kernels") {
       fix(dmg(dmg(s)), 2) == s
     }
 
+  property("fixMojibake lossy recovery: one destroyed continuation byte " +
+      "loses only its scalar") =
+    Prop.forAll(uniGen) { s =>
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      // first multi-byte scalar's lead (continuations are < 0xC2, so the
+      // first byte >= 0xC2 is a scalar boundary)
+      val leadIdx = bytes.indexWhere(b => (b & 0xFF) >= 0xC2)
+      leadIdx < 0 || {
+        val lead = bytes(leadIdx) & 0xFF
+        val len = if (lead < 0xE0) 2 else if (lead < 0xF0) 3 else 4
+        val damaged = new String(
+          bytes, java.nio.charset.StandardCharsets.ISO_8859_1).toCharArray
+        damaged(leadIdx + len - 1) = '�' // destroy the final continuation
+        val prefix = new String(bytes.take(leadIdx),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val suffix = new String(bytes.drop(leadIdx + len),
+          java.nio.charset.StandardCharsets.UTF_8)
+        fix(new String(damaged), 1) == prefix + "�" + suffix
+      }
+    }
+
   property("fixMojibake leaves already-sane text unchanged") =
     Prop.forAll(uniGen) { s =>
       // sane = contains a non-latin1 char (CJK/emoji make a cp1252

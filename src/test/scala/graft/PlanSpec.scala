@@ -90,7 +90,9 @@ class PlanSpec extends SparkSpec {
       "q159_heavy_hitters",  // broadcast 1-row corpus-token-total scalar
       "q167_ivf_pq_refine",  // q154's shapes + 1-row query crossJoins in the refine
       "q168_ann_ivf_trained", // broadcast k-row centroid table (kmeans cells)
-      "q169_ivf_pq_residual") // q153's shapes over the residual frame
+      "q169_ivf_pq_residual", // q153's shapes over the residual frame
+      // q168's broadcast k-row centroid table + q169's residual shapes
+      "q172_ivf_pq_residual_trained")
     // Known blind spot: the iterative queries (q42/q60/q80/q81) run
     // their superstep jobs eagerly inside fn, so only their FINAL frame
     // is inspected here; the supersteps' own plan shapes are covered by

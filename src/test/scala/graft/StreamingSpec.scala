@@ -211,14 +211,26 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, 2L), (3L, 4L), (10L, 11L)),
       Seq((2L, 3L), (20L, 21L)), // merges {1,2} with {3,4}
       Seq((11L, 20L), (30L, 31L))) // merges {10,11} with {20,21}
+    // round-10 verdict item 6 (streamed q138 equality): the maintained
+    // labeling must bit-equal a full ccEdges over every edge seen so far
+    // AFTER EVERY micro-batch — the community-maintenance loop's
+    // invariant (detect-communities re-runs as the graph grows), not
+    // just its final state.
     try {
-      for (batch <- all) { mem.addData(batch: _*); q.processAllAvailable() }
+      var seen = Seq.empty[(Long, Long)]
+      for (batch <- all) {
+        mem.addData(batch: _*); q.processAllAvailable()
+        seen = seen ++ batch
+        val streamedNow = labels.as[(Long, Long)].collect().toMap
+        val fullNow = graft.graph.GraphOps.ccEdges(
+          seen.toDF("src", "dst"), "src", "dst")
+          .as[(Long, Long)].collect().toMap
+        assert(streamedNow == fullNow,
+          s"maintained labeling diverged after batch ${seen.size}: " +
+            s"$streamedNow vs $fullNow")
+      }
     } finally q.stop()
     val streamed = labels.as[(Long, Long)].collect().toMap
-    val full = graft.graph.GraphOps.ccEdges(
-      all.flatten.toDF("src", "dst"), "src", "dst")
-      .as[(Long, Long)].collect().toMap
-    assert(streamed == full)
     assert(streamed(4L) == 1L && streamed(21L) == 10L && streamed(31L) == 30L)
   }
 

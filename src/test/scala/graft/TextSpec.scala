@@ -161,6 +161,16 @@ class TextSpec extends SparkSpec {
     assert(fix("plain ascii") == "plain ascii")
     assert(fix("Ã") == "Ã")
     assert(fix("naïve Ã©") == "naïve Ã©")
+    // lossy-replacement recovery (round-10 stretch item 8, ftfy's
+    // behavior): a byte an earlier decoder destroyed (U+FFFD) loses only
+    // its OWN scalar — the rest of the string still repairs, instead of
+    // the whole string being abandoned
+    assert(fix("donâ€�t â€” ever") == "don�t — ever")
+    assert(fix("â€� â‚¬99") == "� €99")
+    // …but a � in text with no mojibake stays untouched (no high bytes)
+    assert(fix("caf� ok") == "caf� ok")
+    // and a � cannot force a repair of otherwise-sane accented text
+    assert(fix("café �") == "café �")
     // normalizeText runs repair before NFKC + sanitize
     assert(Seq("Ã©tÃ©  \n x").toDF("t")
       .select(T.normalizeText(col("t"))).as[String].head() == "été x")
