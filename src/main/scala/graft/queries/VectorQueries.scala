@@ -1071,6 +1071,91 @@ object VectorQueries {
       out
     },
 
+    // Trained-quantizer MULTI-PROBE serving (round-11): until now the
+    // nprobe knob existed only for the lowest-id quantizer
+    // (ivfProbeCells hardcodes it) — trained cells couldn't serve
+    // nProbe>1 or the refine funnel. ivfCellsTrainedWithCentroids keeps
+    // the Lloyd centroids; ivfProbeCellsTrained ranks them by the SAME
+    // grid-euclidean metric the assignment argmin'd (ties on cell id),
+    // so nProbe=1 is exactly the query's own cell and probe lists are
+    // rank-prefixes (the refine quota's monotonicity argument carries
+    // over). Composed with q167's per-cell-quota refine: the full
+    // trained-IVF serving funnel. Oracle = q168's trained-cell CTEs
+    // (suffixed g) + a centroid-ranked probe CTE + q167's ADC chains,
+    // per-cell rank window, and exact-cosine re-rank.
+    Q("q174_ivf_pq_refine_trained", {
+      val (m, sub, k, iters, nProbe, topR) = (4, 16, 4, 2, 2, 50)
+      val chains = (0 until m).map { s =>
+        val sfx = s"p$s"
+        s"""${kmeansCtes(k, iters, sfx = sfx, dims = sub,
+             srcList = s"embedding[${s * sub + 1}:${(s + 1) * sub}]")},
+           |uF$s AS (SELECT a.cid, d, CAST(SUM(ed$sfx.qv[d]) AS BIGINT) AS s,
+           |           COUNT(*) AS n
+           |         FROM a$sfx$iters a JOIN ed$sfx USING (vec_id)
+           |         CROSS JOIN range(1, ${sub + 1}) r(d) GROUP BY a.cid, d),
+           |cF$s AS (SELECT cid, array_agg(CAST(s AS DOUBLE) / n ORDER BY d) AS cv
+           |         FROM uF$s GROUP BY cid),
+           |qq$s AS (SELECT list_transform(embedding[${s * sub + 1}:${(s + 1) * sub}],
+           |           x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE)) AS qd
+           |         FROM embeddings ORDER BY vec_id LIMIT 1),
+           |dt$s AS (SELECT cid,
+           |           list_reduce(list_transform(generate_series(1, $sub),
+           |             d -> (qq.qd[d] - cv[d]) * (qq.qd[d] - cv[d])), (x, y) -> x + y) AS ds
+           |         FROM cF$s CROSS JOIN qq$s qq)""".stripMargin
+      }.mkString(",\n")
+      val joins = (0 until m).map(s =>
+        s"JOIN ap$s$iters a$s ON ic.cell_id = a$s.vec_id JOIN dt$s ON a$s.cid = dt$s.cid")
+        .mkString("\n")
+      val adc = (0 until m).map(s => s"dt$s.ds").mkString(" + ")
+      val dotAQf = "list_reduce(list_transform(generate_series(1, 64), " +
+        "k -> a.v[k] * qf.qv[k]), (x, y) -> x + y)"
+      s"""$normCte,
+         |${kmeansCtes(16, 2, sfx = "g")},
+         |cells AS (SELECT vec_id AS cell_id, cid AS cell FROM ag2),
+         |qd AS (SELECT dv AS qd FROM edg ORDER BY vec_id LIMIT 1),
+         |qprobes AS (SELECT cid AS q_cell FROM (
+         |  SELECT cg1.cid, row_number() OVER (ORDER BY
+         |    list_reduce(list_transform(generate_series(1, 64),
+         |      d -> (qd.qd[d] - cg1.cv[d]) * (qd.qd[d] - cg1.cv[d])),
+         |      (x, y) -> x + y) ASC, cg1.cid) AS rn
+         |  FROM cg1 CROSS JOIN qd) t WHERE rn <= $nProbe),
+         |qa AS (SELECT MIN(vec_id) AS q_id FROM embeddings),
+         |$chains,
+         |poolr AS (
+         |  SELECT vec_id FROM (
+         |    SELECT ic.cell_id AS vec_id,
+         |      row_number() OVER (PARTITION BY ic.cell
+         |        ORDER BY $adc ASC, ic.cell_id) AS prn
+         |    FROM cells ic
+         |    JOIN qprobes ON ic.cell = qprobes.q_cell
+         |    $joins
+         |    CROSS JOIN qa
+         |    WHERE ic.cell_id <> qa.q_id) t
+         |  WHERE prn <= $topR),
+         |qf AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n ORDER BY vec_id LIMIT 1)
+         |SELECT a.vec_id, ROUND($dotAQf / (a.nrm * qf.qn), 6) AS cos_sim
+         |FROM n a JOIN poolr p ON a.vec_id = p.vec_id
+         |CROSS JOIN qf
+         |ORDER BY $dotAQf / (a.nrm * qf.qn) DESC, a.vec_id
+         |LIMIT 10""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.orderBy("vec_id").limit(1)
+      val (cells0, cent) = Similarity.ivfCellsTrainedWithCentroids(
+        emb, "vec_id", "embedding", nCells = 16, iters = 2)
+      val cells = cells0.persist()
+      val model = Similarity.pqFit(emb, "vec_id", "embedding",
+        m = 4, subDims = 16, k = 4, iters = 2)
+      val probes = Similarity.ivfProbeCellsTrained(cent, q, "vec_id",
+        "embedding", nProbe = 2)
+      val out = Similarity.ivfPqRefineTopK(model, cells, probes, emb,
+        "vec_id", "embedding", q, topR = 50, topK = 10).persist()
+      out.count() // materialize before releasing the model caches
+      model.release()
+      cells.unpersist(blocking = false)
+      out
+    },
+
     // SemDeDup (Abbas et al. 2023): semantic near-duplicates — k-means
     // blocking, intra-cluster cosine ≥ 0.35 pairs (threshold chosen
     // against the synthetic embedding distribution: ~271 over-threshold

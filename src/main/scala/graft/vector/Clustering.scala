@@ -59,7 +59,19 @@ object Clustering {
     * oracle chains stay bit-stable. */
   def kmeans(
       emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, distinctSeeds: Boolean = false): DataFrame = {
+      k: Int, iters: Int, distinctSeeds: Boolean = false): DataFrame =
+    kmeansWithCentroids(emb, idCol, vecCol, k, iters, distinctSeeds)._1
+
+  /** [[kmeans]] plus the FINAL centroid frame (cid, cv — grid-unit
+    * doubles, the exact vectors the last assignment argmin'd against).
+    * The centroids are what a serving path needs to PROBE trained cells
+    * (rank cells by the same metric the assignment used —
+    * [[graft.vector.Similarity.ivfProbeCellsTrained]]); [[kmeans]] alone
+    * discards them. Same determinism story: exact-integer means, one
+    * IEEE division per coordinate. */
+  def kmeansWithCentroids(
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, distinctSeeds: Boolean = false): (DataFrame, DataFrame) = {
     require(iters >= 1, "need at least one assignment pass")
     val e = emb
       .select(col(idCol), quantize(col(vecCol)).as("qv"))
@@ -92,6 +104,6 @@ object Clustering {
     }
     val out = assign(cent)
     e.unpersist(blocking = false)
-    out
+    (out, cent.select(col("cid"), col("cv")))
   }
 }

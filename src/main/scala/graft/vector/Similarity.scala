@@ -270,6 +270,39 @@ object Similarity {
     Clustering.kmeans(emb, idCol, vecCol, nCells, iters)
       .select(col(idCol).as("cell_id"), col("cluster").as("cell"))
 
+  /** [[ivfCellsTrained]] plus the trained centroid frame (cell, cv) —
+    * the pair a multi-probe serving path needs: the assignment to build
+    * the index, the centroids to rank cells per query
+    * ([[ivfProbeCellsTrained]]). */
+  def ivfCellsTrainedWithCentroids(
+      emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int): (DataFrame, DataFrame) = {
+    val (asg, cent) = Clustering.kmeansWithCentroids(
+      emb, idCol, vecCol, nCells, iters)
+    (asg.select(col(idCol).as("cell_id"), col("cluster").as("cell")),
+      cent.select(col("cid").as("cell"), col("cv")))
+  }
+
+  /** The query's `nProbe` nearest TRAINED cells — [[ivfProbeCells]]'
+    * nprobe knob for a k-means quantizer. Cells rank by the SAME metric
+    * the assignment argmin'd (grid-unit euclidean sqDist to the trained
+    * centroid, ties on cell id), so nProbe=1 probes exactly the query's
+    * own cell and the probe list is a rank-prefix — the monotonicity
+    * [[ivfPqRefineTopK]]'s per-cell quotas rely on. `cent` =
+    * [[ivfCellsTrainedWithCentroids]]' centroid frame. A pure broadcast
+    * computation (k rows). Returns `q_cell` (nProbe rows). */
+  def ivfProbeCellsTrained(
+      cent: DataFrame, query: DataFrame, idCol: String, vecCol: String,
+      nProbe: Int): DataFrame = {
+    val q = query.limit(1).select(
+      Clustering.quantize(col(vecCol)).cast("array<double>").as("qd"))
+    cent.crossJoin(broadcast(q))
+      .select(col("cell"), Clustering.sqDist(col("qd"), col("cv")).as("d2"))
+      .orderBy(col("d2").asc, col("cell").asc)
+      .limit(nProbe)
+      .select(col("cell").as("q_cell"))
+  }
+
   /** IVF exact-cosine search within the query's cell, for ANY cell
     * assignment frame (training-free [[ivfCells]] or trained
     * [[ivfCellsTrained]]) — the shared search body: the query's cell
