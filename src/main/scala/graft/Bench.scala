@@ -118,7 +118,7 @@ object Bench {
     // trailing [success]/timing lines after our line.
     val line =
       if (detail.length <= 1500) detail
-      else s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{"n":${results.size}},"errors":$errors,"sf":"$sfDir","git":"$sha","at":"$ts","load":$load,"detail":"bench_detail.json"}"""
+      else s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{"n":${results.size}},"errors":$errors,"sf":"$sfDir","git":"$sha","at":"$ts","load":$load,"detail":"${new java.io.File(detailPath).getName}"}"""
     println(line)
     spark.stop()
   }
