@@ -740,51 +740,7 @@ object VectorQueries {
     // query to its cell, and ONLY that cell's PQ codes are ADC-ranked
     // (per query: |corpus|/nCells lookups instead of the corpus). Oracle
     // = q58's cell CTEs (renamed) + q146's PQ chains + the cell filter.
-    Q("q153_ann_ivf_pq", {
-      val (m, sub, k, iters) = (4, 16, 4, 2)
-      val chains = (0 until m).map { s =>
-        val sfx = s"p$s"
-        s"""${kmeansCtes(k, iters, sfx = sfx, dims = sub,
-             srcList = s"embedding[${s * sub + 1}:${(s + 1) * sub}]")},
-           |uF$s AS (SELECT a.cid, d, CAST(SUM(ed$sfx.qv[d]) AS BIGINT) AS s,
-           |           COUNT(*) AS n
-           |         FROM a$sfx$iters a JOIN ed$sfx USING (vec_id)
-           |         CROSS JOIN range(1, ${sub + 1}) r(d) GROUP BY a.cid, d),
-           |cF$s AS (SELECT cid, array_agg(CAST(s AS DOUBLE) / n ORDER BY d) AS cv
-           |         FROM uF$s GROUP BY cid),
-           |qq$s AS (SELECT list_transform(embedding[${s * sub + 1}:${(s + 1) * sub}],
-           |           x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE)) AS qd
-           |         FROM embeddings ORDER BY vec_id LIMIT 1),
-           |dt$s AS (SELECT cid,
-           |           list_reduce(list_transform(generate_series(1, $sub),
-           |             d -> (qq.qd[d] - cv[d]) * (qq.qd[d] - cv[d])), (x, y) -> x + y) AS ds
-           |         FROM cF$s CROSS JOIN qq$s qq)""".stripMargin
-      }.mkString(",\n")
-      val joins = (0 until m).map(s =>
-        s"JOIN ap$s$iters a$s ON ic.cell_id = a$s.vec_id JOIN dt$s ON a$s.cid = dt$s.cid")
-        .mkString("\n")
-      val adc = (0 until m).map(s => s"dt$s.ds").mkString(" + ")
-      s"""$normCte,
-         |icent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 16),
-         |iasg AS (
-         |  SELECT n.vec_id, cid,
-         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
-         |      list_reduce(list_transform(generate_series(1, 64), k -> n.v[k] * cv[k]),
-         |        (x, y) -> x + y) / (n.nrm * cnrm) DESC, cid) AS rn
-         |  FROM n CROSS JOIN icent),
-         |icells AS (SELECT vec_id AS cell_id, cid AS cell FROM iasg WHERE rn = 1),
-         |qc AS (SELECT c.cell AS q_cell, n.vec_id AS q_id
-         |       FROM n JOIN icells c ON n.vec_id = c.cell_id
-         |       ORDER BY n.vec_id LIMIT 1),
-         |$chains
-         |SELECT ic.cell_id AS vec_id, ROUND($adc, 6) AS adc_dist
-         |FROM icells ic
-         |$joins
-         |CROSS JOIN qc
-         |WHERE ic.cell = qc.q_cell AND ic.cell_id <> qc.q_id
-         |ORDER BY $adc ASC, ic.cell_id
-         |LIMIT 10""".stripMargin
-    }) { (s, dir) =>
+    Q("q153_ann_ivf_pq", ivfPqAdcOracle(m = 4, sub = 16, k = 4, iters = 2)) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       Similarity.annIvfPq(emb, "vec_id", "embedding",
         query = emb.orderBy("vec_id").limit(1), topK = 10, nCells = 16,
@@ -1156,6 +1112,28 @@ object VectorQueries {
       out
     },
 
+    // IVF-PQ index PERSISTENCE (round-11): fit once, write the index as
+    // bucketed tables (codebooks + codes + cells — the band-index
+    // pattern), read it back, and SERVE from the tables: after the
+    // write, ADC serving touches only the index + the query vector,
+    // never the corpus embeddings — the point of PQ at 100 TB (m small
+    // codes per row stand in for the full vectors). The oracle is
+    // q153's SQL VERBATIM: the roundtrip must be bit-identical to the
+    // in-memory fit (deterministic fits + exact parquet roundtrip of
+    // integer-grid doubles), and the hash gate proves it.
+    Q("q175_pq_index_roundtrip",
+      ivfPqAdcOracle(m = 4, sub = 16, k = 4, iters = 2)) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.orderBy("vec_id").limit(1)
+      val cells = Similarity.ivfCells(emb, "vec_id", "embedding", nCells = 16)
+      val model = Similarity.pqFit(emb, "vec_id", "embedding",
+        m = 4, subDims = 16, k = 4, iters = 2)
+      Similarity.writePqIndex(model, cells, "vec_id", "pq_index_q175")
+      model.release()
+      val (served, cellsR) = Similarity.readPqIndex(s, "pq_index_q175")
+      Similarity.ivfPqTopK(served, cellsR, "vec_id", "embedding", q, topK = 10)
+    },
+
     // SemDeDup (Abbas et al. 2023): semantic near-duplicates — k-means
     // blocking, intra-cluster cosine ≥ 0.35 pairs (threshold chosen
     // against the synthetic embedding distribution: ~271 over-threshold
@@ -1335,6 +1313,54 @@ object VectorQueries {
       }),
        |$steps,
        |${assignCte(s"a$sfx$iters", s"c$sfx${iters - 1}")}""".stripMargin
+  }
+
+  /** q153's own-cell IVF-PQ ADC oracle, factored for reuse: q175's
+    * persisted-index roundtrip must return BIT-IDENTICAL results, so it
+    * shares this SQL verbatim. */
+  private def ivfPqAdcOracle(m: Int, sub: Int, k: Int, iters: Int): String = {
+    val chains = (0 until m).map { s =>
+      val sfx = s"p$s"
+      s"""${kmeansCtes(k, iters, sfx = sfx, dims = sub,
+           srcList = s"embedding[${s * sub + 1}:${(s + 1) * sub}]")},
+         |uF$s AS (SELECT a.cid, d, CAST(SUM(ed$sfx.qv[d]) AS BIGINT) AS s,
+         |           COUNT(*) AS n
+         |         FROM a$sfx$iters a JOIN ed$sfx USING (vec_id)
+         |         CROSS JOIN range(1, ${sub + 1}) r(d) GROUP BY a.cid, d),
+         |cF$s AS (SELECT cid, array_agg(CAST(s AS DOUBLE) / n ORDER BY d) AS cv
+         |         FROM uF$s GROUP BY cid),
+         |qq$s AS (SELECT list_transform(embedding[${s * sub + 1}:${(s + 1) * sub}],
+         |           x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE)) AS qd
+         |         FROM embeddings ORDER BY vec_id LIMIT 1),
+         |dt$s AS (SELECT cid,
+         |           list_reduce(list_transform(generate_series(1, $sub),
+         |             d -> (qq.qd[d] - cv[d]) * (qq.qd[d] - cv[d])), (x, y) -> x + y) AS ds
+         |         FROM cF$s CROSS JOIN qq$s qq)""".stripMargin
+    }.mkString(",\n")
+    val joins = (0 until m).map(s =>
+      s"JOIN ap$s$iters a$s ON ic.cell_id = a$s.vec_id JOIN dt$s ON a$s.cid = dt$s.cid")
+      .mkString("\n")
+    val adc = (0 until m).map(s => s"dt$s.ds").mkString(" + ")
+    s"""$normCte,
+       |icent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 16),
+       |iasg AS (
+       |  SELECT n.vec_id, cid,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      list_reduce(list_transform(generate_series(1, 64), k -> n.v[k] * cv[k]),
+       |        (x, y) -> x + y) / (n.nrm * cnrm) DESC, cid) AS rn
+       |  FROM n CROSS JOIN icent),
+       |icells AS (SELECT vec_id AS cell_id, cid AS cell FROM iasg WHERE rn = 1),
+       |qc AS (SELECT c.cell AS q_cell, n.vec_id AS q_id
+       |       FROM n JOIN icells c ON n.vec_id = c.cell_id
+       |       ORDER BY n.vec_id LIMIT 1),
+       |$chains
+       |SELECT ic.cell_id AS vec_id, ROUND($adc, 6) AS adc_dist
+       |FROM icells ic
+       |$joins
+       |CROSS JOIN qc
+       |WHERE ic.cell = qc.q_cell AND ic.cell_id <> qc.q_id
+       |ORDER BY $adc ASC, ic.cell_id
+       |LIMIT 10""".stripMargin
   }
 
   private def kmeansOracle(k: Int, iters: Int): String =

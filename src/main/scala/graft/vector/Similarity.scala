@@ -800,6 +800,63 @@ object Similarity {
     out
   }
 
+  /** Persist a fitted IVF-PQ index as bucketed tables — the serve-from-
+    * disk artifact a real pipeline materializes between fit and serving
+    * (the band-index pattern, graft.dedup.Dedup.writeBandIndex): after
+    * this, ADC serving needs ONLY the index tables plus the query
+    * vector — never the corpus embeddings (the point of PQ at 100 TB:
+    * m codes per row serve in place of the full vectors). Tables:
+    *   <t>_meta  (m, sub_dims, id_col)          1 row
+    *   <t>_cent  (s, cid, cv)                   m·k rows
+    *   <t>_codes (<id>, code_0..code_{m-1})     n rows, bucketBy(id)
+    *   <t>_cells (cell_id, cell)                n rows, bucketBy(cell_id)
+    * bucketBy(id) on the code table lets a served query's
+    * candidate ⋈ codes id-join co-locate; the k-row frames stay plain.
+    * Everything stored is exact (integer-grid doubles round-trip
+    * parquet bit-for-bit), so served results are bit-equal to the
+    * in-memory fit. */
+  def writePqIndex(model: PqModel, cells: DataFrame, idCol: String,
+      table: String, buckets: Int = 8): Unit = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    Seq((model.m, model.subDims, idCol)).toDF("m", "sub_dims", "id_col")
+      .write.mode("overwrite").saveAsTable(s"${table}_meta")
+    model.cent.zipWithIndex
+      .map { case (c, s) => c.select(lit(s).as("s"), col("cid"), col("cv")) }
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").saveAsTable(s"${table}_cent")
+    pqCodesFromModel(model, idCol)
+      .write.mode("overwrite").bucketBy(buckets, idCol).sortBy(idCol)
+      .saveAsTable(s"${table}_codes")
+    cells.select(col("cell_id"), col("cell"))
+      .write.mode("overwrite").bucketBy(buckets, "cell_id").sortBy("cell_id")
+      .saveAsTable(s"${table}_cells")
+  }
+
+  /** Read a persisted IVF-PQ index back into serving shape, from ANY
+    * session — the guarded-refresh discipline of
+    * graft.dedup.Dedup.readBandIndex, so a session that didn't write
+    * (a cloned foreachBatch session, the next job in a chain) can never
+    * plan against a stale file list. The model's frames are LAZY reads
+    * of the bucketed tables (a serving deployment persists what its
+    * query rate warrants; `release()` on lazy frames is a no-op).
+    * [[ivfPqTopK]] over the read-back index is bit-equal to the
+    * in-memory fit. Returns (model, cells). */
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): (PqModel, DataFrame) = {
+    Seq("meta", "cent", "codes", "cells")
+      .foreach(sfx => spark.catalog.refreshTable(s"${table}_$sfx"))
+    val meta = spark.table(s"${table}_meta").head()
+    val (m, subDims, idCol) =
+      (meta.getInt(0), meta.getInt(1), meta.getString(2))
+    val cent = (0 until m).map(s =>
+      spark.table(s"${table}_cent").filter(col("s") === s).select("cid", "cv"))
+    val asg = (0 until m).map(s =>
+      spark.table(s"${table}_codes")
+        .select(col(idCol), col(s"code_$s").as("cluster")))
+    (PqModel(m, subDims, asg, cent), spark.table(s"${table}_cells"))
+  }
+
   /** The query's `nProbe` nearest IVF cells (faiss's nprobe knob) —
     * centroids ranked by cosine to the query with the same
     * (cosine desc, cid asc) order the cell ASSIGNMENT uses, so

@@ -94,7 +94,9 @@ class PlanSpec extends SparkSpec {
       // q168's broadcast k-row centroid table + q169's residual shapes
       "q172_ivf_pq_residual_trained",
       // q167's refine shapes + the k-row trained-centroid probe crossJoin
-      "q174_ivf_pq_refine_trained")
+      "q174_ivf_pq_refine_trained",
+      // q153's serving shapes read back off the persisted index tables
+      "q175_pq_index_roundtrip")
     // Known blind spot: the iterative queries (q42/q60/q80/q81) run
     // their superstep jobs eagerly inside fn, so only their FINAL frame
     // is inspected here; the supersteps' own plan shapes are covered by
