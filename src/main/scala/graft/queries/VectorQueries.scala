@@ -1128,9 +1128,11 @@ object VectorQueries {
       val cells = Similarity.ivfCells(emb, "vec_id", "embedding", nCells = 16)
       val model = Similarity.pqFit(emb, "vec_id", "embedding",
         m = 4, subDims = 16, k = 4, iters = 2)
-      Similarity.writePqIndex(model, cells, "vec_id", "pq_index_q175")
+      // per-sf table name: one warehouse serves every sf's run
+      val table = "pq_index_q175_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      Similarity.writePqIndex(model, cells, "vec_id", table)
       model.release()
-      val (served, cellsR) = Similarity.readPqIndex(s, "pq_index_q175")
+      val (served, cellsR) = Similarity.readPqIndex(s, table)
       Similarity.ivfPqTopK(served, cellsR, "vec_id", "embedding", q, topK = 10)
     },
 

@@ -819,6 +819,18 @@ object Similarity {
       table: String, buckets: Int = 8): Unit = {
     val spark = cells.sparkSession
     import spark.implicits._
+    // drop-and-clean first: a warehouse directory can outlive the
+    // in-memory catalog (fresh session, stale location), and saveAsTable
+    // refuses to CREATE over an orphan directory — the q105 lesson,
+    // same discipline as DedupQueries.dropIndexTable
+    Seq("meta", "cent", "codes", "cells").foreach { sfx =>
+      val tbl = s"${table}_$sfx"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     Seq((model.m, model.subDims, idCol)).toDF("m", "sub_dims", "id_col")
       .write.mode("overwrite").saveAsTable(s"${table}_meta")
     model.cent.zipWithIndex
