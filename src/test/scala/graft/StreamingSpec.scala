@@ -395,6 +395,67 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming serving off the PERSISTED PQ index: foreachBatch sessions " +
+      "read the tables, bit-equal to batch (q175 streamed)") {
+    // the production serving loop: the index was fitted and WRITTEN by
+    // some earlier job (q175's writePqIndex); the serving stream never
+    // sees the fitting session — each foreachBatch reads the index via
+    // the guarded readPqIndex (foreachBatch runs in a CLONED session,
+    // exactly the cross-session shape the guard exists for) and answers
+    // off the tables alone. Bar: streamed = batch, bit-equal.
+    import graft.vector.Similarity
+    implicit val sc = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .persist()
+    val table = "graft_stream_pq_idx"
+    locally { // fit-and-write "job" — models release; nothing in-memory survives
+      val cells = Similarity.ivfCells(emb, "vec_id", "embedding", nCells = 4)
+      val model = Similarity.pqFit(emb, "vec_id", "embedding",
+        m = 2, subDims = 32, k = 4, iters = 2)
+      Similarity.writePqIndex(model, cells, "vec_id", table)
+      model.release()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_spq").toString
+    val resultsPath = s"$dir/results"
+    val mem = MemoryStream[Long]
+    val q = mem.toDS().toDF("q_id")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s2 = batch.sparkSession // the cloned micro-batch session
+        val (served, cellsR) = Similarity.readPqIndex(s2, table)
+        val embB = s2.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        batch.select("q_id").collect().map(_.getLong(0)).foreach { qid =>
+          Similarity.ivfPqTopK(served, cellsR, "vec_id", "embedding",
+              embB.filter(col("vec_id") === qid), topK = 5)
+            .select(lit(qid).as("q_id"), col("vec_id"), col("adc_dist"))
+            .write.mode("append").parquet(resultsPath)
+        }
+      }
+      .start()
+    try {
+      val qids = emb.orderBy("vec_id").limit(4)
+        .select("vec_id").as[Long].collect()
+      mem.addData(qids(0), qids(1))
+      q.processAllAvailable()
+      mem.addData(qids(2), qids(3))
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(resultsPath)
+        .as[(Long, Long, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+      val (served, cellsR) = Similarity.readPqIndex(spark, table)
+      qids.foreach { qid =>
+        val direct = Similarity.ivfPqTopK(served, cellsR, "vec_id", "embedding",
+            emb.filter(col("vec_id") === qid), topK = 5)
+          .as[(Long, Double)].collect().toSet
+        assert(streamed(qid) == direct, s"query $qid diverged from batch path")
+        assert(direct.nonEmpty)
+      }
+    } finally {
+      q.stop()
+      emb.unpersist(blocking = false)
+    }
+  }
+
   test("readBandIndex: a second session sees post-append rows without manual refresh") {
     // the documented silent-staleness trap (round-9 verdict item 5): a
     // session that has ALREADY planned against the index caches its file
