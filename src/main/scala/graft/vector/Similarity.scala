@@ -806,24 +806,34 @@ object Similarity {
     * this, ADC serving needs ONLY the index tables plus the query
     * vector — never the corpus embeddings (the point of PQ at 100 TB:
     * m codes per row serve in place of the full vectors). Tables:
-    *   <t>_meta  (m, sub_dims, id_col)          1 row
-    *   <t>_cent  (s, cid, cv)                   m·k rows
-    *   <t>_codes (<id>, code_0..code_{m-1})     n rows, bucketBy(id)
-    *   <t>_cells (cell_id, cell)                n rows, bucketBy(cell_id)
+    *   <t>_meta   (m, sub_dims, id_col, coarse_metric)  1 row
+    *   <t>_cent   (s, cid, cv)                          m·k rows
+    *   <t>_codes  (<id>, code_0..code_{m-1})            n rows, bucketBy(id)
+    *   <t>_cells  (cell_id, cell)                       n rows, bucketBy(cell_id)
+    *   <t>_coarse (cell, cv)                            k rows, optional
     * bucketBy(id) on the code table lets a served query's
     * candidate ⋈ codes id-join co-locate; the k-row frames stay plain.
     * Everything stored is exact (integer-grid doubles round-trip
     * parquet bit-for-bit), so served results are bit-equal to the
-    * in-memory fit. */
+    * in-memory fit.
+    *
+    * `coarse` makes the index GROWABLE ([[appendPqIndex]]): the coarse
+    * quantizer's centroid vectors plus the metric tag that says how new
+    * vectors pick a cell — "cos_raw" ([[ivfCells]]' seed vectors in raw
+    * double units, cosine argmax with low-id ties) or "l2_grid"
+    * ([[ivfCellsTrained]]'s Lloyd centroids in grid units, sqDist
+    * argmin with low-id ties). Without it the index serves but cannot
+    * grow. */
   def writePqIndex(model: PqModel, cells: DataFrame, idCol: String,
-      table: String, buckets: Int = 8): Unit = {
+      table: String, buckets: Int = 8,
+      coarse: Option[(DataFrame, String)] = None): Unit = {
     val spark = cells.sparkSession
     import spark.implicits._
     // drop-and-clean first: a warehouse directory can outlive the
     // in-memory catalog (fresh session, stale location), and saveAsTable
     // refuses to CREATE over an orphan directory — the q105 lesson,
     // same discipline as DedupQueries.dropIndexTable
-    Seq("meta", "cent", "codes", "cells").foreach { sfx =>
+    Seq("meta", "cent", "codes", "cells", "coarse").foreach { sfx =>
       val tbl = s"${table}_$sfx"
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       val p = new org.apache.hadoop.fs.Path(
@@ -831,7 +841,15 @@ object Similarity {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
     }
-    Seq((model.m, model.subDims, idCol)).toDF("m", "sub_dims", "id_col")
+    val metric = coarse.map(_._2).getOrElse("none")
+    require(Set("none", "cos_raw", "l2_grid")(metric),
+      s"unknown coarse metric: $metric")
+    coarse.foreach { case (c, _) =>
+      c.select(col("cell"), col("cv"))
+        .write.mode("overwrite").saveAsTable(s"${table}_coarse")
+    }
+    Seq((model.m, model.subDims, idCol, metric))
+      .toDF("m", "sub_dims", "id_col", "coarse_metric")
       .write.mode("overwrite").saveAsTable(s"${table}_meta")
     model.cent.zipWithIndex
       .map { case (c, s) => c.select(lit(s).as("s"), col("cid"), col("cv")) }
@@ -867,6 +885,82 @@ object Similarity {
       spark.table(s"${table}_codes")
         .select(col(idCol), col(s"code_$s").as("cluster")))
     (PqModel(m, subDims, asg, cent), spark.table(s"${table}_cells"))
+  }
+
+  /** GROW a persisted IVF-PQ index without refitting — faiss `add()`,
+    * the daily-ingest loop at 100 TB (refitting against the grown
+    * corpus would be corpus-sized; this is batch-sized): new vectors
+    * are encoded against the STORED codebooks (nearest codeword per
+    * subvector, grid-euclidean with low-cid ties — the kmeans
+    * assignment rule applied to the final centroids, the standard
+    * add-time encoding) and assigned a cell by the stored coarse
+    * quantizer under its recorded metric; codes + cells rows append in
+    * the same bucketBy layout, so serving joins keep their plan shape.
+    * Guarded refresh after (the appendBandIndex discipline — other
+    * sessions go through [[readPqIndex]]).
+    *
+    * Documented encoding nuance: fitted rows carry the kmeans
+    * assignment against the PRE-final centroids (pqFit's model), while
+    * appended rows encode against the final stored codebook — exactly
+    * faiss's train()/add() split; both rules are deterministic and
+    * SQL-replayable (q176's oracle replays each). */
+  def appendPqIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, newEmb: DataFrame, vecCol: String,
+      buckets: Int = 8): Unit = {
+    Seq("meta", "cent")
+      .foreach(sfx => spark.catalog.refreshTable(s"${table}_$sfx"))
+    val meta = spark.table(s"${table}_meta").head()
+    val (m, subDims, idCol, metric) =
+      (meta.getInt(0), meta.getInt(1), meta.getString(2), meta.getString(3))
+    require(metric != "none",
+      s"index $table was written without a coarse quantizer; pass " +
+        "coarse=Some(...) to writePqIndex to make it growable")
+    spark.catalog.refreshTable(s"${table}_coarse")
+    // codes: nearest stored codeword per subvector (grid units)
+    val codes = (0 until m).map { s =>
+      val sub = newEmb.select(col(idCol),
+        Clustering.quantize(slice(vecD(col(vecCol)), s * subDims + 1, subDims))
+          .cast("array<double>").as("dv"))
+      val cent = broadcast(
+        spark.table(s"${table}_cent").filter(col("s") === s).select("cid", "cv"))
+      sub.crossJoin(cent)
+        .select(col(idCol), col("cid"),
+          Clustering.sqDist(col("dv"), col("cv")).as("d2"))
+        .groupBy(col(idCol))
+        .agg(min(struct(col("d2"), col("cid"))).as("best"))
+        .select(col(idCol), col("best.cid").as(s"code_$s"))
+    }.reduce(_.join(_, Seq(idCol)))
+    codes.write.mode("append").bucketBy(buckets, idCol).sortBy(idCol)
+      .saveAsTable(s"${table}_codes")
+    // cells: the stored coarse quantizer under its recorded metric
+    val coarse = broadcast(spark.table(s"${table}_coarse"))
+    val newCells = metric match {
+      case "cos_raw" =>
+        val c = newEmb.select(col(idCol), vecD(col(vecCol)).as("v"))
+          .withColumn("nrm", norm(col("v")))
+        c.crossJoin(coarse.select(col("cell").as("ccid"),
+            col("cv").as("ccv")))
+          .withColumn("cnrm", norm(col("ccv")))
+          .select(col(idCol),
+            cosine(col("v"), col("ccv"), col("nrm"), col("cnrm")).as("ccos"),
+            col("ccid"))
+          .groupBy(col(idCol))
+          .agg(max(struct(col("ccos"), (-col("ccid")).as("ncid"))).as("best"))
+          .select(col(idCol).as("cell_id"), (-col("best.ncid")).as("cell"))
+      case "l2_grid" =>
+        newEmb.select(col(idCol),
+            Clustering.quantize(col(vecCol)).cast("array<double>").as("dv"))
+          .crossJoin(coarse.select(col("cell").as("ccid"), col("cv").as("ccv")))
+          .select(col(idCol), col("ccid"),
+            Clustering.sqDist(col("dv"), col("ccv")).as("d2"))
+          .groupBy(col(idCol))
+          .agg(min(struct(col("d2"), col("ccid"))).as("best"))
+          .select(col(idCol).as("cell_id"), col("best.ccid").as("cell"))
+    }
+    newCells.write.mode("append").bucketBy(buckets, "cell_id").sortBy("cell_id")
+      .saveAsTable(s"${table}_cells")
+    Seq("codes", "cells")
+      .foreach(sfx => spark.catalog.refreshTable(s"${table}_$sfx"))
   }
 
   /** The query's `nProbe` nearest IVF cells (faiss's nprobe knob) —

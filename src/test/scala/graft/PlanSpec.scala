@@ -96,7 +96,9 @@ class PlanSpec extends SparkSpec {
       // q167's refine shapes + the k-row trained-centroid probe crossJoin
       "q174_ivf_pq_refine_trained",
       // q153's serving shapes read back off the persisted index tables
-      "q175_pq_index_roundtrip")
+      "q175_pq_index_roundtrip",
+      // q175's shapes + add-time encode (k-row codebook/coarse crossJoins)
+      "q176_pq_index_append")
     // Known blind spot: the iterative queries (q42/q60/q80/q81) run
     // their superstep jobs eagerly inside fn, so only their FINAL frame
     // is inspected here; the supersteps' own plan shapes are covered by
