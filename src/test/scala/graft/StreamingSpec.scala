@@ -456,6 +456,72 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming PQ index growth: micro-batch appends equal one bulk " +
+      "append, served bit-equal (q176 streamed)") {
+    // batch-size independence of the growth loop: vectors arriving over
+    // N micro-batches (appendPqIndex per foreachBatch) must leave the
+    // index in exactly the state ONE bulk append leaves it — add-time
+    // encoding depends only on the stored codebooks/quantizer, never on
+    // arrival grouping — so serving off either index is bit-equal.
+    import graft.vector.Similarity
+    implicit val sc = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .persist()
+    val old = emb.filter(col("vec_id") % 10 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 10 === 0).persist()
+    def buildIndex(table: String): Unit = {
+      val cells = Similarity.ivfCells(old, "vec_id", "embedding", nCells = 4)
+      val model = Similarity.pqFit(old, "vec_id", "embedding",
+        m = 2, subDims = 32, k = 4, iters = 2)
+      val coarse = old.orderBy("vec_id").limit(4)
+        .select(col("vec_id").as("cell"),
+          Similarity.vecD(col("embedding")).as("cv"))
+      Similarity.writePqIndex(model, cells, "vec_id", table,
+        coarse = Some((coarse, "cos_raw")))
+      model.release()
+    }
+    // reference: one bulk append
+    buildIndex("graft_pq_grow_bulk")
+    Similarity.appendPqIndex(spark, "graft_pq_grow_bulk", fresh, "embedding")
+    // streamed: the same vectors over micro-batches
+    buildIndex("graft_pq_grow_stream")
+    val mem = MemoryStream[Long]
+    val q = mem.toDS().toDF("vid")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s2 = batch.sparkSession
+        val ids = batch.select("vid")
+        val embB = s2.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+          .join(ids, col("vec_id") === col("vid")).drop("vid")
+        Similarity.appendPqIndex(s2, "graft_pq_grow_stream", embB, "embedding")
+      }
+      .start()
+    try {
+      val ids = fresh.orderBy("vec_id").select("vec_id").as[Long].collect()
+      val (half1, half2) = ids.splitAt(ids.length / 2)
+      mem.addData(half1.toSeq: _*); q.processAllAvailable()
+      mem.addData(half2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    def serve(table: String): Seq[(Long, Double)] = {
+      val (served, cellsR) = Similarity.readPqIndex(spark, table)
+      Similarity.ivfPqTopK(served, cellsR, "vec_id", "embedding",
+          fresh.orderBy("vec_id").limit(1), topK = 10)
+        .as[(Long, Double)].collect().toSeq
+    }
+    val bulk = serve("graft_pq_grow_bulk")
+    val streamed = serve("graft_pq_grow_stream")
+    assert(streamed == bulk,
+      s"micro-batch growth diverged from bulk append: $streamed vs $bulk")
+    assert(bulk.nonEmpty)
+    // and the full code tables agree row-for-row, not just the served top-k
+    val bulkCodes = spark.table("graft_pq_grow_bulk_codes")
+      .as[(Long, Long, Long)].collect().toSet
+    val streamCodes = spark.table("graft_pq_grow_stream_codes")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(bulkCodes == streamCodes, "code tables diverged")
+    fresh.unpersist(blocking = false); emb.unpersist(blocking = false)
+  }
+
   test("readBandIndex: a second session sees post-append rows without manual refresh") {
     // the documented silent-staleness trap (round-9 verdict item 5): a
     // session that has ALREADY planned against the index caches its file
