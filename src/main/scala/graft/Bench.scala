@@ -77,16 +77,19 @@ object Bench {
     // dev-only: SPARK_GRAFT_BENCH_PASSES=1 for single-pass scratch runs
     // (long sf10 sweeps); the driver always gets the default min-of-2
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
-    val raws = queries.map { case (name, fn) =>
+    val raws: Map[String, Seq[Double]] = queries.map { case (name, fn) =>
       val t1 = timedOnce(name, fn)
       // an errored first run is definitive (deterministic plans); don't
-      // pay a second failure
-      val t2 = if (t1 < 0 || passes < 2) t1 else timedOnce(name, fn)
-      name -> (t1, t2)
+      // pay a second failure. A skipped repeat records a ONE-element raw
+      // list — single-pass runs must stay distinguishable from genuinely
+      // stable min-of-2 pairs in the artifact (round-11 review)
+      if (t1 < 0 || passes < 2) name -> Seq(t1)
+      else name -> Seq(t1, timedOnce(name, fn))
     }
-    val results = raws.map { case (name, (t1, t2)) =>
-      // t2<0 after a good t1 = flake on the repeat; keep the good sample
-      name -> (if (t1 < 0) -1.0 else if (t2 < 0) t1 else math.min(t1, t2))
+    val results = raws.map { case (name, ts) =>
+      // a negative repeat = flake on the rerun; keep the good sample(s)
+      val good = ts.filter(_ >= 0)
+      name -> (if (ts.head < 0) -1.0 else good.min)
     }
     def ms(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k.split("_")(0) + "\":" + ms(v) }
@@ -106,8 +109,8 @@ object Bench {
     // ALWAYS written to a tracked file in the repo (bench_detail.json), and
     // the stdout line carries the per-query map only when it provably fits,
     // falling back to the compact summary otherwise.
-    val rawPairs = raws.map { case (k, (t1, t2)) =>
-      "\"" + k.split("_")(0) + "\":[" + ms(t1) + "," + ms(t2) + "]"
+    val rawPairs = raws.map { case (k, ts) =>
+      "\"" + k.split("_")(0) + "\":" + ts.map(ms).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val detail = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"raw":$rawPairs,"errors":$errors,"sf":"$sfDir","git":"$sha","at":"$ts","load":$load}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",

@@ -50,11 +50,24 @@ object TextKernels {
     * re-decode; the scalar it participates in decodes to U+FFFD (the
     * byte's value is unrecoverable — ftfy emits � there too) while the
     * REST of the string repairs normally, instead of the whole string
-    * being abandoned. An unknown byte in lead position stays U+FFFD by
-    * itself. Validation elsewhere is byte-for-byte the strict rules
-    * (bare continuation, overlongs C0/C1 + long forms, surrogates
-    * ED A0–BF, beyond-U+10FFFF F4 90+/F5+ → all reject), so strings
-    * without U+FFFD behave exactly as before. */
+    * being abandoned.
+    *
+    * Conservatism extensions (the whole-string discipline, round-11
+    * review): (a) lossy recovery fires only when the string ALSO
+    * contains a complete wildcard-free multi-byte sequence —
+    * independent evidence the text is genuinely mojibake. Without it,
+    * "é" followed by destroyed bytes is equally a SANE accented char
+    * next to earlier damage ("café��"), and collapsing it to � would
+    * corrupt correct text — so such strings stay untouched. (b) An
+    * unknown byte in LEAD position of a multi-byte sequence makes the
+    * sequence length unknowable; its real continuation bytes then hit
+    * the bare-continuation reject and the whole string stays untouched
+    * (a standalone unknown byte surrounded by decodable text stays
+    * U+FFFD by itself and does not block the rest). Validation
+    * elsewhere is byte-for-byte the strict rules (bare continuation,
+    * overlongs C0/C1 + long forms, surrogates ED A0–BF, beyond-U+10FFFF
+    * F4 90+/F5+ → all reject), so strings without U+FFFD behave exactly
+    * as before. */
   private def fixOnce(str: String): String = {
     val n = str.length
     val bytes = new Array[Int](n) // 0..255, or -1 = unknown (was U+FFFD)
@@ -76,10 +89,12 @@ object TextKernels {
     }
     if (!hasHigh) return null
     val sb = new java.lang.StringBuilder(n)
+    var anyLost = false
+    var realSeq = false // a complete multi-byte sequence with NO wildcard
     var p = 0
     while (p < n) {
       val b0 = bytes(p)
-      if (b0 == -1) { sb.append('�'); p += 1 } // unknown lead: lost scalar
+      if (b0 == -1) { sb.append('�'); p += 1 } // standalone unknown byte
       else if (b0 < 0x80) { sb.append(b0.toChar); p += 1 }
       else if (b0 < 0xC2) return null // bare continuation or overlong C0/C1
       else {
@@ -102,10 +117,15 @@ object TextKernels {
           } else cp = (cp << 6) | (bj & 0x3F)
           j += 1
         }
-        if (lost) sb.append('�') else sb.appendCodePoint(cp)
+        if (lost) { sb.append('�'); anyLost = true }
+        else { sb.appendCodePoint(cp); realSeq = true }
         p += len
       }
     }
+    // lossy recovery needs independent mojibake evidence (doc point (a)):
+    // a wildcard-completed sequence with no intact sequence beside it is
+    // just as likely sane accented text next to earlier damage — leave it
+    if (anyLost && !realSeq) return null
     val out = sb.toString
     if (out == str) null else out
   }

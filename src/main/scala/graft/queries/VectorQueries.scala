@@ -1102,7 +1102,7 @@ object VectorQueries {
       val cells = cells0.persist()
       val model = Similarity.pqFit(emb, "vec_id", "embedding",
         m = 4, subDims = 16, k = 4, iters = 2)
-      val probes = Similarity.ivfProbeCellsTrained(cent, q, "vec_id",
+      val probes = Similarity.ivfProbeCellsTrained(cent, q,
         "embedding", nProbe = 2)
       val out = Similarity.ivfPqRefineTopK(model, cells, probes, emb,
         "vec_id", "embedding", q, topR = 50, topK = 10).persist()

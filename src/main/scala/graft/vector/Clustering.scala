@@ -44,6 +44,22 @@ object Clustering {
   def sqDist(dv: Column, cv: Column): Column =
     aggregate(zip_with(dv, cv, (x, m) => (x - m) * (x - m)), lit(0.0), _ + _)
 
+  /** One assignment pass against an EXPLICIT centroid frame (cid, cv in
+    * grid-unit doubles) — the exact rule [[kmeans]]'s passes apply
+    * (quantize → sqDist → argmin with low-cid ties), exposed as the
+    * shared body for add-time encoding (PQ/IVF index growth): train-time
+    * and add-time assignment can then never diverge (round-11 review).
+    * `vec` is a Column so subvector slices assign too. Returns
+    * (idCol, cluster). */
+  def assignTo(emb: DataFrame, idCol: String, vec: Column,
+      cent: DataFrame): DataFrame =
+    emb.select(col(idCol), quantize(vec).cast("array<double>").as("dv"))
+      .crossJoin(broadcast(cent.select(col("cid"), col("cv"))))
+      .select(col(idCol), col("cid"), sqDist(col("dv"), col("cv")).as("d2"))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .select(col(idCol), col("best.cid").as("cluster"))
+
   /** `iters` Lloyd iterations (iters−1 centroid updates + a final
     * assignment); returns (idCol, cluster) with cluster = the seed
     * vector's id.

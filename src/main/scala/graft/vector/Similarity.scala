@@ -234,20 +234,34 @@ object Similarity {
     * every corpus vector. Centroids are the `nCells` lowest-id vectors
     * (deterministic, training-free — see [[annIvf]]); assignment is one
     * broadcast scan + hash-agg argmax, no window sort. */
-  def ivfCells(
-      emb: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame = {
+  /** Cosine-argmax cell assignment against an explicit centroid frame
+    * (cell, cv raw-double vectors) — THE assignment body of [[ivfCells]]
+    * and the add-time rule of [[appendPqIndex]] under cos_raw; one
+    * shared implementation so train-time and add-time assignments can
+    * never diverge (round-11 review). Ties break low-id, the ivfCells
+    * rule. Returns (cell_id, cell). */
+  private[vector] def cosAssign(
+      emb: DataFrame, idCol: String, vecCol: String,
+      cent: DataFrame): DataFrame = {
     val corpus = emb.select(col(idCol), vecD(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val cent = broadcast(corpus.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cnrm")))
-    corpus.crossJoin(cent)
+    val c = broadcast(cent
+      .select(col("cell").as("cid"), col("cv").cast("array<double>").as("cvv"))
+      .withColumn("cnrm", norm(col("cvv"))))
+    corpus.crossJoin(c)
       .select(col(idCol),
-        cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).as("ccos"),
+        cosine(col("v"), col("cvv"), col("nrm"), col("cnrm")).as("ccos"),
         col("cid"))
       .groupBy(col(idCol))
       .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("best"))
       .select(col(idCol).as("cell_id"), (-col("best.ncid")).as("cell"))
   }
+
+  def ivfCells(
+      emb: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame =
+    cosAssign(emb, idCol, vecCol,
+      emb.select(col(idCol).as("cell"), vecD(col(vecCol)).as("cv"))
+        .orderBy(col("cell")).limit(nCells))
 
   def annIvf(
       emb: DataFrame, idCol: String, vecCol: String,
@@ -292,7 +306,7 @@ object Similarity {
     * [[ivfCellsTrainedWithCentroids]]' centroid frame. A pure broadcast
     * computation (k rows). Returns `q_cell` (nProbe rows). */
   def ivfProbeCellsTrained(
-      cent: DataFrame, query: DataFrame, idCol: String, vecCol: String,
+      cent: DataFrame, query: DataFrame, vecCol: String,
       nProbe: Int): DataFrame = {
     val q = query.limit(1).select(
       Clustering.quantize(col(vecCol)).cast("array<double>").as("qd"))
@@ -829,10 +843,15 @@ object Similarity {
       coarse: Option[(DataFrame, String)] = None): Unit = {
     val spark = cells.sparkSession
     import spark.implicits._
-    // drop-and-clean first: a warehouse directory can outlive the
-    // in-memory catalog (fresh session, stale location), and saveAsTable
-    // refuses to CREATE over an orphan directory — the q105 lesson,
-    // same discipline as DedupQueries.dropIndexTable
+    // validate BEFORE the destructive drop below — a typo'd metric must
+    // not destroy an existing index and then abort (round-11 review)
+    val metric = coarse.map(_._2).getOrElse("none")
+    require(Set("none", "cos_raw", "l2_grid")(metric),
+      s"unknown coarse metric: $metric")
+    // drop-and-clean: a warehouse directory can outlive the in-memory
+    // catalog (fresh session, stale location), and saveAsTable refuses
+    // to CREATE over an orphan directory — the q105 lesson, same
+    // discipline as DedupQueries.dropIndexTable
     Seq("meta", "cent", "codes", "cells", "coarse").foreach { sfx =>
       val tbl = s"${table}_$sfx"
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
@@ -841,15 +860,14 @@ object Similarity {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
     }
-    val metric = coarse.map(_._2).getOrElse("none")
-    require(Set("none", "cos_raw", "l2_grid")(metric),
-      s"unknown coarse metric: $metric")
     coarse.foreach { case (c, _) =>
       c.select(col("cell"), col("cv"))
         .write.mode("overwrite").saveAsTable(s"${table}_coarse")
     }
-    Seq((model.m, model.subDims, idCol, metric))
-      .toDF("m", "sub_dims", "id_col", "coarse_metric")
+    // buckets lands in meta so appends are self-describing — a mismatched
+    // bucket spec on append would fail the ingest job (round-11 review)
+    Seq((model.m, model.subDims, idCol, metric, buckets))
+      .toDF("m", "sub_dims", "id_col", "coarse_metric", "buckets")
       .write.mode("overwrite").saveAsTable(s"${table}_meta")
     model.cent.zipWithIndex
       .map { case (c, s) => c.select(lit(s).as("s"), col("cid"), col("cv")) }
@@ -905,58 +923,47 @@ object Similarity {
     * faiss's train()/add() split; both rules are deterministic and
     * SQL-replayable (q176's oracle replays each). */
   def appendPqIndex(spark: org.apache.spark.sql.SparkSession,
-      table: String, newEmb: DataFrame, vecCol: String,
-      buckets: Int = 8): Unit = {
-    Seq("meta", "cent")
+      table: String, newEmb: DataFrame, vecCol: String): Unit = {
+    Seq("meta", "cent", "codes", "cells")
       .foreach(sfx => spark.catalog.refreshTable(s"${table}_$sfx"))
     val meta = spark.table(s"${table}_meta").head()
-    val (m, subDims, idCol, metric) =
-      (meta.getInt(0), meta.getInt(1), meta.getString(2), meta.getString(3))
+    val (m, subDims, idCol, metric, buckets) =
+      (meta.getInt(0), meta.getInt(1), meta.getString(2), meta.getString(3),
+        meta.getInt(4)) // self-describing: the write's bucket spec
     require(metric != "none",
       s"index $table was written without a coarse quantizer; pass " +
         "coarse=Some(...) to writePqIndex to make it growable")
     spark.catalog.refreshTable(s"${table}_coarse")
-    // codes: nearest stored codeword per subvector (grid units)
+    // IDEMPOTENCE (round-11 review): at-least-once callers (foreachBatch
+    // retries, re-run ingest jobs) may re-append rows; each table append
+    // anti-joins the ids it already holds, so a duplicate append is a
+    // no-op and a retry after a partial failure (codes written, cells
+    // not) completes exactly the missing half.
+    // codes: nearest stored codeword per subvector (grid units) — the
+    // kmeans assignment rule against the final codebook, via the shared
+    // Clustering.assignTo body
     val codes = (0 until m).map { s =>
-      val sub = newEmb.select(col(idCol),
-        Clustering.quantize(slice(vecD(col(vecCol)), s * subDims + 1, subDims))
-          .cast("array<double>").as("dv"))
-      val cent = broadcast(
-        spark.table(s"${table}_cent").filter(col("s") === s).select("cid", "cv"))
-      sub.crossJoin(cent)
-        .select(col(idCol), col("cid"),
-          Clustering.sqDist(col("dv"), col("cv")).as("d2"))
-        .groupBy(col(idCol))
-        .agg(min(struct(col("d2"), col("cid"))).as("best"))
-        .select(col(idCol), col("best.cid").as(s"code_$s"))
+      val cent = spark.table(s"${table}_cent")
+        .filter(col("s") === s).select("cid", "cv")
+      Clustering.assignTo(newEmb, idCol,
+          slice(vecD(col(vecCol)), s * subDims + 1, subDims), cent)
+        .select(col(idCol), col("cluster").as(s"code_$s"))
     }.reduce(_.join(_, Seq(idCol)))
+      .join(spark.table(s"${table}_codes").select(col(idCol)),
+        Seq(idCol), "left_anti")
     codes.write.mode("append").bucketBy(buckets, idCol).sortBy(idCol)
       .saveAsTable(s"${table}_codes")
-    // cells: the stored coarse quantizer under its recorded metric
-    val coarse = broadcast(spark.table(s"${table}_coarse"))
-    val newCells = metric match {
-      case "cos_raw" =>
-        val c = newEmb.select(col(idCol), vecD(col(vecCol)).as("v"))
-          .withColumn("nrm", norm(col("v")))
-        c.crossJoin(coarse.select(col("cell").as("ccid"),
-            col("cv").as("ccv")))
-          .withColumn("cnrm", norm(col("ccv")))
-          .select(col(idCol),
-            cosine(col("v"), col("ccv"), col("nrm"), col("cnrm")).as("ccos"),
-            col("ccid"))
-          .groupBy(col(idCol))
-          .agg(max(struct(col("ccos"), (-col("ccid")).as("ncid"))).as("best"))
-          .select(col(idCol).as("cell_id"), (-col("best.ncid")).as("cell"))
+    // cells: the stored coarse quantizer under its recorded metric, via
+    // the SAME shared bodies the build used (cosAssign / assignTo)
+    val coarse = spark.table(s"${table}_coarse")
+    val newCells = (metric match {
+      case "cos_raw" => cosAssign(newEmb, idCol, vecCol, coarse)
       case "l2_grid" =>
-        newEmb.select(col(idCol),
-            Clustering.quantize(col(vecCol)).cast("array<double>").as("dv"))
-          .crossJoin(coarse.select(col("cell").as("ccid"), col("cv").as("ccv")))
-          .select(col(idCol), col("ccid"),
-            Clustering.sqDist(col("dv"), col("ccv")).as("d2"))
-          .groupBy(col(idCol))
-          .agg(min(struct(col("d2"), col("ccid"))).as("best"))
-          .select(col(idCol).as("cell_id"), col("best.ccid").as("cell"))
-    }
+        Clustering.assignTo(newEmb, idCol, col(vecCol),
+            coarse.select(col("cell").as("cid"), col("cv")))
+          .select(col(idCol).as("cell_id"), col("cluster").as("cell"))
+    }).join(spark.table(s"${table}_cells").select(col("cell_id")),
+      Seq("cell_id"), "left_anti")
     newCells.write.mode("append").bucketBy(buckets, "cell_id").sortBy("cell_id")
       .saveAsTable(s"${table}_cells")
     Seq("codes", "cells")

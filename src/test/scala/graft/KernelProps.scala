@@ -156,9 +156,11 @@ object KernelProps extends Properties("kernels") {
     Prop.forAll(uniGen) { s =>
       val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       // first multi-byte scalar's lead (continuations are < 0xC2, so the
-      // first byte >= 0xC2 is a scalar boundary)
+      // first byte >= 0xC2 is a scalar boundary). Recovery requires
+      // independent mojibake evidence — a second INTACT multi-byte
+      // scalar — so only exercise strings that keep one after the damage
       val leadIdx = bytes.indexWhere(b => (b & 0xFF) >= 0xC2)
-      leadIdx < 0 || {
+      leadIdx < 0 || bytes.count(b => (b & 0xFF) >= 0xC2) < 2 || {
         val lead = bytes(leadIdx) & 0xFF
         val len = if (lead < 0xE0) 2 else if (lead < 0xF0) 3 else 4
         val damaged = new String(

@@ -171,6 +171,14 @@ class TextSpec extends SparkSpec {
     assert(fix("caf� ok") == "caf� ok")
     // and a � cannot force a repair of otherwise-sane accented text
     assert(fix("café �") == "café �")
+    // round-11 review: recovery needs INDEPENDENT mojibake evidence (an
+    // intact multi-byte sequence elsewhere) — a sane accented char
+    // adjacent to destroyed bytes must NOT collapse into the lost scalar
+    assert(fix("café��") == "café��")
+    assert(fix("café�™") == "café�™")
+    // a destroyed LEAD byte leaves its continuations undecodable — the
+    // whole string stays untouched (doc point (b))
+    assert(fix("don�€™t â€” x") == "don�€™t â€” x")
     // normalizeText runs repair before NFKC + sanitize
     assert(Seq("Ã©tÃ©  \n x").toDF("t")
       .select(T.normalizeText(col("t"))).as[String].head() == "été x")

@@ -113,12 +113,14 @@ def main():
     if md_path:
         top = sorted((r for r in rows if r[3] is not None),
                      key=lambda r: -r[2])[:15]
+        ratio_txt = (f"({tot1 / tot0:.2f}x raw, "
+                     f"{tot1 / tot0 / factor:.2f}x load-adj)"
+                     if tot0 > 0 else "(no comparable totals)")
         with open(md_path, "a") as f:
             f.write(f"\n### bench_diff {old_git} -> {new_git} "
                     f"(sf={new_sf}, load_factor={factor:.2f})\n\n")
             f.write(f"common={len(common)} total {tot0:.1f} s -> {tot1:.1f} s "
-                    f"({tot1 / tot0:.2f}x raw, "
-                    f"{tot1 / tot0 / factor:.2f}x load-adj); "
+                    f"{ratio_txt}; "
                     f"added: {', '.join(added) or 'none'}; "
                     f"newly-errored: "
                     f"{', '.join(q for q, _, _ in new_broken) or 'none'}\n\n")
