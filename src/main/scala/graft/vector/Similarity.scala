@@ -843,11 +843,27 @@ object Similarity {
       coarse: Option[(DataFrame, String)] = None): Unit = {
     val spark = cells.sparkSession
     import spark.implicits._
-    // validate BEFORE the destructive drop below — a typo'd metric must
-    // not destroy an existing index and then abort (round-11 review)
+    // validate EVERYTHING checkable driver-side BEFORE the destructive
+    // drop below — a typo'd metric, a malformed coarse frame, or an
+    // empty/ragged model must not destroy an existing index and then
+    // abort (round-11 review + round-11 ADVICE). These are schema/shape
+    // checks only (no jobs run); a mid-WRITE crash can still leave a
+    // partial index, which the next successful writePqIndex replaces —
+    // the same overwrite semantics every saveAsTable sink here has.
     val metric = coarse.map(_._2).getOrElse("none")
     require(Set("none", "cos_raw", "l2_grid")(metric),
       s"unknown coarse metric: $metric")
+    require(model.m >= 1 && model.subDims >= 1,
+      s"degenerate PQ model: m=${model.m} subDims=${model.subDims}")
+    require(model.cent.size == model.m && model.asg.size == model.m,
+      s"ragged PQ model: m=${model.m} but cent=${model.cent.size} " +
+        s"asg=${model.asg.size} subspace frames")
+    coarse.foreach { case (c, _) =>
+      require(Set("cell", "cv").subsetOf(c.columns.toSet),
+        s"coarse frame needs (cell, cv) columns; got ${c.columns.mkString(",")}")
+    }
+    require(Set("cell_id", "cell").subsetOf(cells.columns.toSet),
+      s"cells frame needs (cell_id, cell) columns; got ${cells.columns.mkString(",")}")
     // drop-and-clean: a warehouse directory can outlive the in-memory
     // catalog (fresh session, stale location), and saveAsTable refuses
     // to CREATE over an orphan directory — the q105 lesson, same
@@ -921,7 +937,21 @@ object Similarity {
     * assignment against the PRE-final centroids (pqFit's model), while
     * appended rows encode against the final stored codebook — exactly
     * faiss's train()/add() split; both rules are deterministic and
-    * SQL-replayable (q176's oracle replays each). */
+    * SQL-replayable (q176's oracle replays each).
+    *
+    * CONCURRENCY CONTRACT (round-11 ADVICE): single writer. The
+    * anti-join idempotence guards RETRIES of the same append (and
+    * completes a partially-failed one), not CONCURRENT appends — two
+    * simultaneous jobs can both pass the anti-join and land duplicate
+    * id rows, which then surface as duplicate candidates in served
+    * top-k. Serial callers (a Structured Streaming foreachBatch sink,
+    * a daily ingest job) satisfy this by construction; anything else
+    * needs external serialization (a catalog/table lock or a queue).
+    * ID-COLLISION SEMANTICS: ignore-on-collision — an id already in the
+    * index keeps its STORED codes/cell even if it re-arrives with a
+    * different vector (faiss add() likewise never updates in place).
+    * Re-encoding a changed vector requires a rebuild ([[writePqIndex]])
+    * or an explicit delete-then-append maintenance pass. */
   def appendPqIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, newEmb: DataFrame, vecCol: String): Unit = {
     Seq("meta", "cent", "codes", "cells")

@@ -56,7 +56,19 @@ def main():
     md_path = None
     if "--md" in argv:
         i = argv.index("--md")
+        # --md needs a following path operand; a trailing --md, or --md
+        # swallowing what was meant as the threshold (a bare number), is a
+        # usage error, not an IndexError (round-11 ADVICE)
+        if i + 1 >= len(argv):
+            sys.exit("--md requires a file path operand\n" + __doc__)
         md_path = argv[i + 1]
+        try:
+            float(md_path)
+            sys.exit(f"--md operand '{md_path}' looks like a threshold, "
+                     "not a file path — put the threshold before --md\n"
+                     + __doc__)
+        except ValueError:
+            pass
         del argv[i:i + 2]
     if len(argv) < 2:
         sys.exit(__doc__)
