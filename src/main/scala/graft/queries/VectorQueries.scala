@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.vector.{Clustering, Similarity}
+import graft.vector.{Clustering, IvfPqConfig, IvfPqIndex, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Vector-similarity queries (SURVEY §2.11 V2 + the brief's ANN scale
@@ -1018,12 +1018,12 @@ object VectorQueries {
          |LIMIT 10""".stripMargin
     }) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
-      val cells = Similarity.ivfCellsTrained(emb, "vec_id", "embedding",
-        nCells = 16, iters = 2).persist()
-      val out = Similarity.annIvfPqResidualWithCells(emb, "vec_id", "embedding",
-        cells, query = emb.orderBy("vec_id").limit(1), topK = 10,
-        m = 4, subDims = 16, k = 4, iters = 2)
-      cells.unpersist(blocking = false)
+      val idx = IvfPqIndex.fit(emb, IvfPqConfig("vec_id", "embedding",
+        nCells = 16, m = 4, subDims = 16, k = 4, iters = 2,
+        trained = true, residual = true))
+      val out = idx.search(emb.orderBy("vec_id").limit(1), topK = 10).persist()
+      out.count() // materialize before dropping the index caches
+      idx.release()
       out
     },
 
@@ -1096,19 +1096,12 @@ object VectorQueries {
          |LIMIT 10""".stripMargin
     }) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
-      val q = emb.orderBy("vec_id").limit(1)
-      val (cells0, cent) = Similarity.ivfCellsTrainedWithCentroids(
-        emb, "vec_id", "embedding", nCells = 16, iters = 2)
-      val cells = cells0.persist()
-      val model = Similarity.pqFit(emb, "vec_id", "embedding",
-        m = 4, subDims = 16, k = 4, iters = 2)
-      val probes = Similarity.ivfProbeCellsTrained(cent, q,
-        "embedding", nProbe = 2)
-      val out = Similarity.ivfPqRefineTopK(model, cells, probes, emb,
-        "vec_id", "embedding", q, topR = 50, topK = 10).persist()
-      out.count() // materialize before releasing the model caches
-      model.release()
-      cells.unpersist(blocking = false)
+      val idx = IvfPqIndex.fit(emb, IvfPqConfig("vec_id", "embedding",
+        nCells = 16, m = 4, subDims = 16, k = 4, iters = 2, trained = true))
+      val out = idx.search(emb.orderBy("vec_id").limit(1), topK = 10,
+        nProbe = 2, refine = Some(50)).persist()
+      out.count() // materialize before dropping the index caches
+      idx.release()
       out
     },
 
@@ -1125,15 +1118,13 @@ object VectorQueries {
       ivfPqAdcOracle(m = 4, sub = 16, k = 4, iters = 2)) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       val q = emb.orderBy("vec_id").limit(1)
-      val cells = Similarity.ivfCells(emb, "vec_id", "embedding", nCells = 16)
-      val model = Similarity.pqFit(emb, "vec_id", "embedding",
-        m = 4, subDims = 16, k = 4, iters = 2)
+      val idx = IvfPqIndex.fit(emb, IvfPqConfig("vec_id", "embedding",
+        nCells = 16, m = 4, subDims = 16, k = 4, iters = 2))
       // per-sf table name: one warehouse serves every sf's run
       val table = "pq_index_q175_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-      Similarity.writePqIndex(model, cells, "vec_id", table)
-      model.release()
-      val (served, cellsR) = Similarity.readPqIndex(s, table)
-      Similarity.ivfPqTopK(served, cellsR, "vec_id", "embedding", q, topK = 10)
+      idx.write(table)
+      idx.release()
+      IvfPqIndex.read(s, table, "embedding").search(q, topK = 10)
     },
 
     // GROW the persisted index without refitting (faiss add(); round-11):
@@ -1214,20 +1205,14 @@ object VectorQueries {
       val emb = Tables(s, dir, "embeddings")
       val old = emb.filter(col("vec_id") % 10 =!= 0)
       val fresh = emb.filter(col("vec_id") % 10 === 0)
-      val cells = Similarity.ivfCells(old, "vec_id", "embedding", nCells = 16)
-      val model = Similarity.pqFit(old, "vec_id", "embedding",
-        m = 4, subDims = 16, k = 4, iters = 2)
-      val coarse = old.orderBy("vec_id").limit(16)
-        .select(col("vec_id").as("cell"),
-          Similarity.vecD(col("embedding")).as("cv"))
+      val idx = IvfPqIndex.fit(old, IvfPqConfig("vec_id", "embedding",
+        nCells = 16, m = 4, subDims = 16, k = 4, iters = 2))
       val table = "pq_index_q176_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-      Similarity.writePqIndex(model, cells, "vec_id", table,
-        coarse = Some((coarse, "cos_raw")))
-      model.release()
-      Similarity.appendPqIndex(s, table, fresh, "embedding")
-      val (served, cellsR) = Similarity.readPqIndex(s, table)
+      idx.write(table) // growable by default: coarse seeds stored
+      idx.release()
+      IvfPqIndex.append(s, table, fresh, "embedding")
       val q = fresh.orderBy("vec_id").limit(1)
-      Similarity.ivfPqTopK(served, cellsR, "vec_id", "embedding", q, topK = 10)
+      IvfPqIndex.read(s, table, "embedding").search(q, topK = 10)
     },
 
     // SemDeDup (Abbas et al. 2023): semantic near-duplicates — k-means

@@ -1007,12 +1007,26 @@ object Similarity {
     * (nProbe rows); a pure broadcast computation. */
   def ivfProbeCells(
       emb: DataFrame, idCol: String, vecCol: String,
-      query: DataFrame, nCells: Int, nProbe: Int): DataFrame = {
-    val cent = broadcast(
-      emb.select(col(idCol), vecD(col(vecCol)).as("v"))
-        .withColumn("nrm", norm(col("v")))
-        .orderBy(col(idCol)).limit(nCells)
-        .select(col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cnrm")))
+      query: DataFrame, nCells: Int, nProbe: Int): DataFrame =
+    ivfProbeCellsFromSeeds(
+      emb.select(col(idCol).as("cell"), vecD(col(vecCol)).as("cv"))
+        .orderBy(col("cell")).limit(nCells),
+      query, vecCol, nProbe)
+
+  /** [[ivfProbeCells]]' ranking against an EXPLICIT raw-vector seed
+    * frame (cell, cv) — the stored `<t>_coarse` table of a persisted
+    * cos_raw index ([[writePqIndex]]), so a serving session can probe
+    * nProbe>1 cells without the corpus embeddings. One shared body with
+    * [[ivfProbeCells]] (which passes the nCells lowest-id corpus
+    * vectors), so in-memory and from-disk probe lists can never
+    * diverge. Same (cosine desc, cid asc) total order as the cell
+    * assignment; a pure broadcast computation. Returns `q_cell`. */
+  def ivfProbeCellsFromSeeds(
+      seeds: DataFrame, query: DataFrame, vecCol: String,
+      nProbe: Int): DataFrame = {
+    val cent = broadcast(seeds
+      .select(col("cell").as("cid"), col("cv").cast("array<double>").as("cv"))
+      .withColumn("cnrm", norm(col("cv"))))
     val q = query.limit(1).select(vecD(col(vecCol)).as("qv"))
       .withColumn("q_nrm", norm(col("qv")))
     q.crossJoin(cent)

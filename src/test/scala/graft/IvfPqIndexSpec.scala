@@ -1,0 +1,115 @@
+package graft
+
+import graft.vector.{IvfPqConfig, IvfPqIndex, Similarity}
+import org.apache.spark.sql.functions._
+
+/** The ANN façade (round-11 verdict item 4): one recommended path over
+  * the proven kernels. The oracle gate pins the façade's four query
+  * bodies (q172/q174/q175/q176) bit-green; this spec pins the knobs the
+  * queries don't exercise — from-disk multi-probe off the stored coarse
+  * table (both metrics), refine on a read-back index via withCorpus,
+  * and the residual-mode guards. */
+class IvfPqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def collect(df: org.apache.spark.sql.DataFrame) =
+    df.as[(Long, Double)].collect().toSeq
+
+  test("from-disk multi-probe (cos_raw): probes off the stored coarse " +
+      "seeds serve bit-equal to the fit-session corpus-derived probes") {
+    val e = emb
+    val q = e.orderBy("vec_id").limit(1)
+    val idx = IvfPqIndex.fit(e, IvfPqConfig("vec_id", "embedding",
+      nCells = 8, m = 4, subDims = 16, k = 4, iters = 2))
+    val inMem = collect(idx.search(q, topK = 10, nProbe = 3))
+    idx.write("ivfpq_facade_cosraw_spec")
+    idx.release()
+    // a session that did not write: probes MUST come off the coarse table
+    val s2 = spark.newSession()
+    val served = IvfPqIndex.read(s2, "ivfpq_facade_cosraw_spec", "embedding")
+    val q2 = s2.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .orderBy("vec_id").limit(1)
+    assert(collect(served.search(q2, topK = 10, nProbe = 3)) == inMem)
+    assert(inMem.nonEmpty)
+  }
+
+  test("from-disk multi-probe (l2_grid): a trained index's stored " +
+      "centroids rank probe cells exactly like the fit-session frame") {
+    val e = emb
+    val q = e.orderBy("vec_id").limit(1)
+    val idx = IvfPqIndex.fit(e, IvfPqConfig("vec_id", "embedding",
+      nCells = 4, m = 2, subDims = 32, k = 4, iters = 2, trained = true))
+    val inMem = collect(idx.search(q, topK = 10, nProbe = 2))
+    idx.write("ivfpq_facade_l2grid_spec")
+    idx.release()
+    val served = IvfPqIndex.read(spark, "ivfpq_facade_l2grid_spec", "embedding")
+    assert(collect(served.search(q, topK = 10, nProbe = 2)) == inMem)
+    assert(inMem.nonEmpty)
+  }
+
+  test("refine on a read-back index via withCorpus matches the " +
+      "fit-session refine funnel") {
+    val e = emb
+    val q = e.orderBy("vec_id").limit(1)
+    val idx = IvfPqIndex.fit(e, IvfPqConfig("vec_id", "embedding",
+      nCells = 8, m = 4, subDims = 16, k = 4, iters = 2))
+    val inMem = collect(idx.search(q, topK = 10, nProbe = 2, refine = Some(20)))
+    idx.write("ivfpq_facade_refine_spec")
+    idx.release()
+    val served = IvfPqIndex.read(spark, "ivfpq_facade_refine_spec", "embedding")
+    // refine needs true vectors — absent until attached
+    intercept[RuntimeException] {
+      served.search(q, topK = 10, nProbe = 2, refine = Some(20))
+    }
+    val withEmb = served.withCorpus(e)
+    assert(collect(withEmb.search(q, topK = 10, nProbe = 2,
+      refine = Some(20))) == inMem)
+    assert(inMem.nonEmpty)
+  }
+
+  test("residual mode: own-cell serving works; multi-probe, refine, and " +
+      "write are guarded with actionable errors") {
+    val e = emb
+    val q = e.orderBy("vec_id").limit(1)
+    val idx = IvfPqIndex.fit(e, IvfPqConfig("vec_id", "embedding",
+      nCells = 8, m = 4, subDims = 16, k = 4, iters = 2,
+      trained = true, residual = true))
+    val own = collect(idx.search(q, topK = 10))
+    assert(own.nonEmpty)
+    intercept[IllegalArgumentException] { idx.search(q, 10, nProbe = 2) }
+    intercept[IllegalArgumentException] {
+      idx.search(q, 10, refine = Some(20))
+    }
+    intercept[IllegalArgumentException] { idx.write("ivfpq_facade_res_spec") }
+    idx.release()
+  }
+
+  test("writePqIndex preflight: a malformed coarse frame is rejected " +
+      "BEFORE the existing index tables are dropped") {
+    val e = emb
+    val idx = IvfPqIndex.fit(e, IvfPqConfig("vec_id", "embedding",
+      nCells = 8, m = 4, subDims = 16, k = 4, iters = 2))
+    idx.write("ivfpq_facade_preflight_spec")
+    idx.release()
+    val before = collect(
+      IvfPqIndex.read(spark, "ivfpq_facade_preflight_spec", "embedding")
+        .search(e.orderBy("vec_id").limit(1), topK = 5))
+    // direct kernel call with a coarse frame missing the cv column: must
+    // throw without touching the tables
+    val idx2 = IvfPqIndex.fit(e, IvfPqConfig("vec_id", "embedding",
+      nCells = 8, m = 4, subDims = 16, k = 4, iters = 2))
+    intercept[IllegalArgumentException] {
+      Similarity.writePqIndex(idx2.model, idx2.cells, "vec_id",
+        "ivfpq_facade_preflight_spec",
+        coarse = Some((e.select(col("vec_id").as("cell")), "cos_raw")))
+    }
+    idx2.release()
+    val after = collect(
+      IvfPqIndex.read(spark, "ivfpq_facade_preflight_spec", "embedding")
+        .search(e.orderBy("vec_id").limit(1), topK = 5))
+    assert(after == before, "failed preflight destroyed the index")
+  }
+}
