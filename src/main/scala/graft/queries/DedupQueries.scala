@@ -601,14 +601,177 @@ object DedupQueries {
         }
         .reduce(_ unionByName _)
     },
+
+    // The FULL curation capstone (round-11 verdict item 5) — the
+    // brief-level pretraining pipeline end-to-end, every stage one of
+    // the already-oracled kernels, reported as per-stage survivor
+    // counts: Gopher document-quality rules → MinHash-LSH fuzzy dedup →
+    // SemDeDup semantic dedup (over the survivors' embeddings,
+    // vec_id = doc_id) → 8-gram test-set decontamination → per-language
+    // mixture sampling → greedy sequence packing (stage 7 counts packed
+    // BINS, the training-sequence unit). This is q106's funnel widened
+    // to the full reference-pipeline story: where q106 gates on the
+    // composite quality score and exact hashes, this runs the Gopher
+    // rule set and BOTH near-dup modes (lexical + semantic) before the
+    // decontaminate/sample/pack tail. Gopher thresholds are corpus-
+    // tuned: the synthetic vocabulary hits at most one of the eight
+    // Gopher stop words, so the stop rule gates at >= 1 distinct hit
+    // (>= 2 keeps zero docs — the rule would erase the funnel, not
+    // exercise it); every other threshold is Rae et al. 2021 §A1.1's.
+    // Oracle composes the stage CTEs already proven one-by-one
+    // (q123/q91/q143/q82/q78/q83), each re-rooted at the previous
+    // stage's survivor CTE.
+    Q("q177_curation_capstone",
+      s"""WITH RECURSIVE gw AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(text, '\\S+') AS words,
+        |    length(regexp_replace(text, '\\s+', '', 'g')) AS n_chars,
+        |    len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_sym,
+        |    string_split(text, chr(10)) AS lines,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS toks
+        |  FROM documents),
+        |gc AS (
+        |  SELECT doc_id,
+        |    len(words) AS n_words_raw,
+        |    GREATEST(len(words), 1) AS nw,
+        |    n_chars, n_sym,
+        |    GREATEST(len(lines), 1) AS nl,
+        |    len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS n_bullet,
+        |    len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS n_ellip,
+        |    len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+        |    len(list_filter(['and','be','have','of','that','the','to','with'],
+        |        s -> list_contains(toks, s))) AS n_stop_hits
+        |  FROM gw),
+        |s2 AS (
+        |  SELECT d.doc_id, d.lang, d.source, d.text
+        |  FROM documents d JOIN gc USING (doc_id)
+        |  WHERE gc.n_words_raw BETWEEN 50 AND 100000
+        |    AND ROUND(CAST(gc.n_chars AS DOUBLE) / gc.nw, 6) BETWEEN 3.0 AND 10.0
+        |    AND ROUND(CAST(gc.n_sym AS DOUBLE) / gc.nw, 6) <= 0.1
+        |    AND ROUND(CAST(gc.n_bullet AS DOUBLE) / gc.nl, 6) <= 0.1
+        |    AND ROUND(CAST(gc.n_ellip AS DOUBLE) / gc.nl, 6) <= 0.3
+        |    AND ROUND(CAST(gc.n_alpha AS DOUBLE) / gc.nw, 6) >= 0.8
+        |    AND gc.n_stop_hits >= 1),
+        |${fuzzyCcBody("s2")},
+        |s3 AS (SELECT s2.doc_id, s2.lang, s2.source, s2.text
+        |       FROM s2 LEFT JOIN cc ON s2.doc_id = cc.id
+        |       WHERE COALESCE(cc.cluster, s2.doc_id) = s2.doc_id),
+        |sememb AS (SELECT e.vec_id, e.embedding
+        |           FROM embeddings e JOIN s3 ON e.vec_id = s3.doc_id),
+        |${VectorQueries.kmeansCtes(8, 2, sfx = "sd", srcFrom = "sememb")},
+        |sdasg AS (SELECT vec_id, cid AS cluster FROM asd2),
+        |sdvr AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |         FROM sememb),
+        |sdnr AS (SELECT vec_id, v,
+        |           sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+        |         FROM sdvr),
+        |sdpp AS MATERIALIZED (
+        |  SELECT x.vec_id AS src, y.vec_id AS dst
+        |  FROM sdnr x JOIN sdasg cx ON x.vec_id = cx.vec_id
+        |       JOIN sdasg cy ON cx.cluster = cy.cluster
+        |       JOIN sdnr y ON y.vec_id = cy.vec_id AND x.vec_id < y.vec_id
+        |  WHERE list_reduce(list_transform(generate_series(1, 64), d -> x.v[d] * y.v[d]),
+        |          (p, q) -> p + q) / (x.nrm * y.nrm) >= 0.35),
+        |sdund AS (SELECT src, dst FROM sdpp UNION ALL SELECT dst AS src, src AS dst FROM sdpp),
+        |sdreach AS (SELECT src AS id, src AS comp FROM sdund
+        |            UNION
+        |            SELECT u.src AS id, r.comp FROM sdund u JOIN sdreach r ON u.dst = r.id),
+        |sdcc AS (SELECT id, MIN(comp) AS comp FROM sdreach GROUP BY id),
+        |s4 AS (SELECT s3.doc_id, s3.lang, s3.source, s3.text
+        |       FROM s3 LEFT JOIN sdcc ON s3.doc_id = sdcc.id
+        |       WHERE COALESCE(sdcc.comp, s3.doc_id) = s3.doc_id),
+        |dtoks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+        |                 doc_id % 10 = 0 AS is_test
+        |          FROM s4),
+        |dgrams AS (
+        |  SELECT doc_id, is_test,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(0, greatest(len(t) - 8, 0)),
+        |      i -> array_to_string(t[i+1:i+8], ' ')))) AS ng
+        |  FROM dtoks WHERE len(t) >= 8),
+        |dtg AS (SELECT DISTINCT ng FROM dgrams WHERE is_test),
+        |dcont AS (SELECT DISTINCT g.doc_id FROM dgrams g JOIN dtg USING (ng)),
+        |s5 AS (SELECT s4.doc_id, s4.lang, s4.source, s4.text FROM s4
+        |       WHERE s4.doc_id % 10 <> 0
+        |         AND s4.doc_id NOT IN (SELECT doc_id FROM dcont)),
+        |s6k AS (
+        |  SELECT doc_id, lang, source, text FROM (
+        |    SELECT doc_id, lang, source, text,
+        |      (CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) * 16
+        |       + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS INT)) AS b
+        |    FROM s5) t
+        |  WHERE b < CASE lang WHEN 'en' THEN 230 WHEN 'de' THEN 128
+        |                      WHEN 'es' THEN 96 WHEN 'fr' THEN 64 ELSE 32 END),
+        |${TextQueries.packingBody("s6k")},
+        |pbins AS (SELECT DISTINCT source, bin FROM steps WHERE rn >= 1)
+        |SELECT '1_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        |UNION ALL SELECT '2_gopher', COUNT(*) FROM s2
+        |UNION ALL SELECT '3_fuzzy_dedup', COUNT(*) FROM s3
+        |UNION ALL SELECT '4_semdedup', COUNT(*) FROM s4
+        |UNION ALL SELECT '5_decontaminated', COUNT(*) FROM s5
+        |UNION ALL SELECT '6_mixture', COUNT(*) FROM s6k
+        |UNION ALL SELECT '7_packed_bins', COUNT(*) FROM pbins""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val gate = graft.text.TextStats.gopherRules(docs, "doc_id", "text")
+        .filter(col("n_words").between(50L, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 && col("bullet_frac") <= 0.1 &&
+          col("ellipsis_frac") <= 0.3 && col("alpha_frac") >= 0.8 &&
+          col("n_stop_hits") >= 1)
+        .select("doc_id")
+      // each stage boundary is localCheckpointed: the survivor frame
+      // feeds BOTH the next stage's kernel (two of which run their own
+      // iterative CC loops on top of it) and its own survivor count —
+      // caching alone keeps the DATA but not the PLAN, and the chained
+      // lineage made every downstream analysis walk the whole funnel
+      // tree (measured 27.5 s vs ~14 s component-sum at sf0.1; a 200M-
+      // char analyzed plan by stage 7). The checkpoint is exactly where
+      // a production pipeline would materialize between stages anyway.
+      val s2 = docs.join(gate, "doc_id").localCheckpoint()
+      val fd = Dedup.fuzzyDedup(s, s2, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, jaccNum = 1, jaccDen = 2)
+      val s3 = s2.join(fd.filter(col("keep")).select("doc_id"), "doc_id")
+        .localCheckpoint()
+      val emb3 = Tables(s, dir, "embeddings")
+        .join(s3.select(col("doc_id").as("vec_id")), "vec_id")
+      val sd = graft.vector.Similarity.semDedup(emb3, "vec_id", "embedding",
+        k = 8, iters = 2, tau = 0.35)
+      val s4 = s3.join(sd.filter(!col("is_dup"))
+        .select(col("vec_id").as("doc_id")), "doc_id").localCheckpoint()
+      val dec = Dedup.decontaminateNgrams(s4, "doc_id", "text",
+        isTest = pmod(col("doc_id"), lit(10)) === 0, n = 8)
+      val s5 = s4.join(dec.filter(!col("contaminated")).select("doc_id"), "doc_id")
+        .filter(pmod(col("doc_id"), lit(10)) =!= 0).localCheckpoint()
+      val s6 = s5.filter(Dedup.mixtureKeep(col("doc_id"), col("lang"),
+        Map("en" -> 230, "de" -> 128, "es" -> 96, "fr" -> 64),
+        defaultRate256 = 32)).localCheckpoint()
+      val pbins = graft.text.Packing.packGreedy(
+        s6.select(col("source"), col("doc_id"),
+          size(Dedup.wordTokens(col("text"))).as("n_tokens")),
+        "source", "doc_id", "n_tokens", budget = 128).toDF()
+        .select("source", "bin").distinct()
+      Seq(
+        "1_input" -> docs, "2_gopher" -> s2, "3_fuzzy_dedup" -> s3,
+        "4_semdedup" -> s4, "5_decontaminated" -> s5, "6_mixture" -> s6,
+        "7_packed_bins" -> pbins)
+        .map { case (nm, df) =>
+          df.agg(count(lit(1)).as("n")).select(lit(nm).as("stage"), col("n"))
+        }
+        .reduce(_ unionByName _)
+    },
   )
 
   /** Shared q91/q130/q163 oracle prefix: MinHash banding, candidate
     * generation, exact-Jaccard verify, and the near-dup components as a
     * min-reachability recursive CTE, ending at `cc(id, cluster)`. */
-  private def fuzzyCcCtes: String =
-    """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+  private def fuzzyCcCtes: String = "WITH RECURSIVE " + fuzzyCcBody("documents")
+
+  /** [[fuzzyCcCtes]]' body without the WITH prefix, rooted at any
+    * (doc_id, text) CTE — q177 composes it mid-funnel over the Gopher
+    * survivors instead of the raw corpus. */
+  private def fuzzyCcBody(docsFrom: String): String =
+    s"""toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM $docsFrom),
         |sh AS (
         |  SELECT DISTINCT doc_id, s FROM (
         |    SELECT doc_id,

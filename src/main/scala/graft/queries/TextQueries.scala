@@ -879,16 +879,19 @@ object TextQueries {
     * fold as a recursive CTE (state = item index, bin fill, bin index;
     * 128-token budget — mirrors Packing.step exactly). Escaped $ since
     * the callers interpolate this into their oracle strings. */
-  private def packingCte: String =
-    """WITH RECURSIVE
-      |d AS (SELECT source, doc_id,
+  private def packingCte: String = "WITH RECURSIVE\n" + packingBody("documents")
+
+  /** [[packingCte]]' body without the WITH prefix, rooted at any
+    * (source, doc_id, text) CTE — q177 packs its mixture survivors. */
+  private[queries] def packingBody(docsFrom: String): String =
+    s"""d AS (SELECT source, doc_id,
       |        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_tokens,
       |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-      |      FROM documents),
+      |      FROM $docsFrom),
       |steps AS (
       |  SELECT source, 0 AS rn, CAST(NULL AS BIGINT) AS doc_id,
       |         0 AS n_tokens, 0 AS fill, 0 AS bin
-      |  FROM (SELECT DISTINCT source FROM documents)
+      |  FROM (SELECT DISTINCT source FROM $docsFrom)
       |  UNION ALL
       |  SELECT d.source, d.rn, d.doc_id, d.n_tokens,
       |    CASE WHEN s.fill > 0 AND s.fill + d.n_tokens > 128

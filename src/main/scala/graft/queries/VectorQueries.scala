@@ -1360,7 +1360,9 @@ object VectorQueries {
     * argmin — mirrors Clustering.kmeans exactly), ending in the final
     * assignment CTE `a{iters}(vec_id, cid)`. Shared by q97 and the
     * SemDeDup oracle. */
-  private def kmeansCtes(k: Int, iters: Int, sfx: String = "",
+  // private[queries]: q177's composed curation oracle re-roots the
+  // semantic-dedup k-means at its mid-funnel survivor CTE
+  private[queries] def kmeansCtes(k: Int, iters: Int, sfx: String = "",
       dims: Int = 64, srcList: String = "embedding",
       srcFrom: String = "embeddings", distinctSeeds: Boolean = false): String = {
     def assignCte(a: String, c: String): String =
