@@ -138,10 +138,14 @@ final class IvfPqIndex private (
           coarseSeeds.getOrElse(sys.error("coarse seeds missing")),
           query, vecCol, nProbe)
         case _ =>
-          val emb = corpus.getOrElse(sys.error(
-            "nProbe>1 on an index persisted without a coarse quantizer " +
-              "and no corpus attached — write with the default growable " +
-              "coarse table, or withCorpus(emb)"))
+          // a read-back index has nCells = -1: without the stored coarse
+          // table there is NO way to rank probe cells (withCorpus can't
+          // help — the seed count is unknown); fit-path indexes always
+          // carry a valid nCells and a corpus frame
+          require(nCells > 0,
+            "nProbe>1 on an index persisted without a coarse quantizer — " +
+              "re-write it with IvfPqIndex.write's growable default")
+          val emb = corpus.getOrElse(sys.error("corpus frame missing"))
           Similarity.ivfProbeCells(emb, idCol, vecCol, query, nCells, nProbe)
       }
     }

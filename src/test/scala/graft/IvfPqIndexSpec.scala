@@ -87,6 +87,27 @@ class IvfPqIndexSpec extends SparkSpec {
     idx.release()
   }
 
+  test("a read-back index persisted WITHOUT a coarse quantizer guards " +
+      "nProbe>1 with an actionable error (own-cell still serves)") {
+    val e = emb
+    val q = e.orderBy("vec_id").limit(1)
+    val idx = IvfPqIndex.fit(e, IvfPqConfig("vec_id", "embedding",
+      nCells = 8, m = 4, subDims = 16, k = 4, iters = 2))
+    // direct kernel write with coarse=None — the pre-round-11 layout a
+    // user may still have on disk (the façade's write() is always growable)
+    Similarity.writePqIndex(idx.model, idx.cells, "vec_id",
+      "ivfpq_facade_nocoarse_spec")
+    idx.release()
+    val served = IvfPqIndex.read(spark, "ivfpq_facade_nocoarse_spec", "embedding")
+    assert(collect(served.search(q, topK = 5)).nonEmpty)
+    // nCells is unknowable from the tables alone — must refuse, not plan
+    // ivfProbeCells with limit(-1); withCorpus can't rescue this either
+    val ex = intercept[IllegalArgumentException] {
+      served.withCorpus(e).search(q, topK = 5, nProbe = 2)
+    }
+    assert(ex.getMessage.contains("without a coarse quantizer"))
+  }
+
   test("writePqIndex preflight: a malformed coarse frame is rejected " +
       "BEFORE the existing index tables are dropped") {
     val e = emb
