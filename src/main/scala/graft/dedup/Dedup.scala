@@ -357,15 +357,24 @@ object Dedup {
     * Scale shape: candidates come from a band-key equi-join (never
     * doc×doc); verification joins ONLY candidate pairs against per-doc
     * distinct-shingle arrays (a semi-join-sized fraction of the corpus);
-    * the verified pair graph holds near-dups only — orders of magnitude
-    * smaller than the corpus — so components run in-process GraphX Pregel
-    * (the communityLevels measurement: on small graphs its convergence
-    * loop beats a Catalyst superstep loop); [[graft.graph.GraphOps.ccEdges]]
-    * is the drop-in Catalyst path should the dup graph itself be huge. */
+    * the verified pair graph holds near-dups only — usually orders of
+    * magnitude smaller than the corpus — so components run in-process
+    * GraphX Pregel when the graph is small (the communityLevels
+    * measurement: on small graphs its convergence loop beats a Catalyst
+    * superstep loop) and switch to [[graft.graph.GraphOps.ccStarEdges]]
+    * (pointer-jumping, O(log n) rounds on any topology) past
+    * `graphxMaxEdges` verified pairs — the heavily-duplicated-corpus
+    * regime where each dup group is a near-clique and the pair graph
+    * itself is big (round-12 measurement at sf10: the 21M-edge replicated
+    * dup graph took GraphX Pregel ~6 min of RDD churn per run; the
+    * Catalyst path cuts the q91 chain ~3×). Both paths label every
+    * vertex with its component's MIN id (AlgoRandomSpec asserts
+    * set-equality), so the switch can never change results. */
   def fuzzyDedup(
       spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      jaccNum: Int = 1, jaccDen: Int = 2): DataFrame = {
+      jaccNum: Int = 1, jaccDen: Int = 2,
+      graphxMaxEdges: Long = 2000000L): DataFrame = {
     import graft.graph.GraphOps
     val cand = lshCandidates(
       minhashBands(docs, idCol, textCol, shingleN, numHashes, bands), idCol)
@@ -374,13 +383,23 @@ object Dedup {
       .select(col(idCol).as("sid"), wordShingles(toks, shingleN).as("sh"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val uni = size(col("sh_a")) + size(col("sh_b")) - inter
+    // persisted: the size probe below and the chosen CC path both read
+    // it, and the verify join (LSH candidates x shingle arrays) is the
+    // expensive frame to recompute
     val verified = cand
       .join(sets.select(col("sid").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("sid").as("id_b"), col("sh").as("sh_b")), "id_b")
       .filter(inter * jaccDen >= uni * jaccNum)
       .select(col("id_a"), col("id_b"))
-    val cc = GraphOps.connectedComponentsDF(
-      spark, GraphOps.fromEdges(spark, verified, "id_a", "id_b"))
+      .persist()
+    val nPairs = verified.count()
+    val cc = if (nPairs <= graphxMaxEdges)
+      GraphOps.connectedComponentsDF(
+        spark, GraphOps.fromEdges(spark, verified, "id_a", "id_b"))
+    else
+      GraphOps.ccStarEdges(verified, "id_a", "id_b")
+    // both CC paths materialize their label frame before returning
+    verified.unpersist(blocking = false)
     docs.select(col(idCol))
       .join(cc.select(col("id").as(idCol), col("component")), Seq(idCol), "left")
       .select(col(idCol),
