@@ -180,7 +180,11 @@ object Bench {
     val peakPairs = peaks.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + k.split("_")(0) + "\":" + v
     }.mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"raw":$rawPairs,"peak_mem":$peakPairs,"errors":$errors,"sf":"$sfDir","git":"$sha","at":"$ts","load":$load}"""
+    // "cpus" makes scale-run artifacts self-describing: a run launched
+    // without SPARK_GRAFT_CPUS silently times at the local[4] default,
+    // and nothing else in the JSON distinguishes it from a local[32] run
+    // (the round-12 sf10 rerun lost an hour to exactly that)
+    val detail = s"""{"metric":"total","value":${ms(total)},"unit":"sec","cpus":"$cpus","queries":$qs,"raw":$rawPairs,"peak_mem":$peakPairs,"errors":$errors,"sf":"$sfDir","git":"$sha","at":"$ts","load":$load}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo") + "/bench_detail.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail + "\n")

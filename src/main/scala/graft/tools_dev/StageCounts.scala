@@ -70,7 +70,7 @@ object StageCounts {
     val emb = Tables(spark, sfDir, "embeddings")
     val nEmb = emb.count()
     val km = Clustering.kmeans(emb, "vec_id", "embedding", k = 8, iters = 2)
-    val pairEvals = km.groupBy("cid").agg(count(lit(1)).as("n"))
+    val pairEvals = km.groupBy("cluster").agg(count(lit(1)).as("n"))
       .agg(sum((col("n") * (col("n") - 1) / 2).cast("decimal(38,0)")).as("pairs"))
       .head().getAs[java.math.BigDecimal]("pairs").toBigInteger
 
