@@ -365,10 +365,10 @@ object Dedup {
     * (pointer-jumping, O(log n) rounds on any topology) past
     * `graphxMaxEdges` verified pairs — the heavily-duplicated-corpus
     * regime where each dup group is a near-clique and the pair graph
-    * itself is big (round-12 measurement at sf10: the 21M-edge replicated
-    * dup graph took GraphX Pregel ~6 min of RDD churn per run; the
-    * Catalyst path cuts the q91 chain ~3×). Both paths label every
-    * vertex with its component's MIN id (AlgoRandomSpec asserts
+    * itself is big (round-12 measurement at sf10: the 27M-edge replicated
+    * dup graph took GraphX Pregel minutes of RDD churn per run; the
+    * Catalyst path cut q91's min-of-2 189 s → 88 s). Both paths label
+    * every vertex with its component's MIN id (AlgoRandomSpec asserts
     * set-equality), so the switch can never change results. */
   def fuzzyDedup(
       spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
@@ -385,7 +385,10 @@ object Dedup {
     val uni = size(col("sh_a")) + size(col("sh_b")) - inter
     // persisted: the size probe below and the chosen CC path both read
     // it, and the verify join (LSH candidates x shingle arrays) is the
-    // expensive frame to recompute
+    // expensive frame to recompute. (A lazier probe — bounding pairs
+    // from band-bucket sizes with bandsDf cached instead — measured
+    // WORSE at sf0.1: q91 9.9 s vs 5.6 s eager vs 4.9 s unswitched;
+    // the eager count's ~1 s is the cheapest correct probe.)
     val verified = cand
       .join(sets.select(col("sid").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("sid").as("id_b"), col("sh").as("sh_b")), "id_b")
