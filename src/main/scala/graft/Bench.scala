@@ -104,7 +104,7 @@ object Bench {
       }
     }
     // dev-only: SPARK_GRAFT_BENCH_PASSES=1 for single-pass scratch runs
-    // (long sf10 sweeps), =3+ for extra-quiet medians; the driver always
+    // (long sf10 sweeps), =3+ for extra-quiet MIN-of-N; the driver always
     // gets the default min-of-2. Defensive parse (round-11 ADVICE): a
     // non-numeric value falls back to 2 with a stderr note instead of
     // crashing before any artifact is written; N>2 is honored as N passes.
@@ -128,8 +128,10 @@ object Bench {
     })
     // Listener events are async; drain the bus before reading the peak so
     // each query's tasks are attributed to it. waitUntilEmpty() is
-    // private[spark] → reflection, with a sleep fallback (attribution slop
-    // only ever inflates a query's peak, never hides one).
+    // private[spark] → reflection, with a sleep fallback. Under the
+    // fallback, events landing after the read are lost to their query and
+    // counted into the next — peak_mem is a plan-shape HINT, not a gate,
+    // and the real drain makes the fallback a Spark-upgrade-only path.
     def drainListenerBus(): Unit = try {
       val busM = spark.sparkContext.getClass.getMethods.find(_.getName == "listenerBus").get
       val bus = busM.invoke(spark.sparkContext)

@@ -736,8 +736,16 @@ object DedupQueries {
         .join(s3.select(col("doc_id").as("vec_id")), "vec_id")
       val sd = graft.vector.Similarity.semDedup(emb3, "vec_id", "embedding",
         k = 8, iters = 2, tau = 0.35)
-      val s4 = s3.join(sd.filter(!col("is_dup"))
-        .select(col("vec_id").as("doc_id")), "doc_id").localCheckpoint()
+      // anti-join the PROVEN dups, not inner-join the survivors: a doc
+      // with no embedding row can't be a semantic dup and must pass the
+      // stage (the oracle's LEFT JOIN + COALESCE keep rule). The inner-
+      // join form silently dropped every non-embedded fuzzy survivor —
+      // invisible at sf0.01 where embeddings cover all docs, wrong at
+      // sf0.1 where only 2,000 of 5,000 docs are embedded (round-12
+      // review; the gate now also runs q177 at sf0.1).
+      val s4 = s3.join(sd.filter(col("is_dup"))
+        .select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
       val dec = Dedup.decontaminateNgrams(s4, "doc_id", "text",
         isTest = pmod(col("doc_id"), lit(10)) === 0, n = 8)
       val s5 = s4.join(dec.filter(!col("contaminated")).select("doc_id"), "doc_id")

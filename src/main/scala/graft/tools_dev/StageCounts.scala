@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   * 100x input is the pair OUTPUT growing, not the engine's input-side
   * work regressing.
   *
-  * Usage: SPARK_GRAFT_SF_DIR=/tmp/sf10 sbt "runMain graft.tools_dev.StageCounts"
+  * Usage (heap must be set at JVM launch — spark.driver.memory via the
+  * builder is a no-op in an already-running JVM): run with
+  * `java <add-opens> -Xmx96g -cp "target/scala-2.13/classes:<spark jars>"
+  * graft.tools_dev.StageCounts`, SPARK_GRAFT_SF_DIR pointing at the SF.
   */
 object StageCounts {
   def main(args: Array[String]): Unit = {
@@ -26,7 +29,6 @@ object StageCounts {
     val spark = SparkSession.builder()
       .appName("graft-stage-counts").master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.driver.memory", "96g")
       .config("spark.local.dir", "/tmp/graft_spill")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

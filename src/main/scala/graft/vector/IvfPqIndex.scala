@@ -169,6 +169,14 @@ final class IvfPqIndex private (
       "residual-coded indexes are in-memory only (the query-side " +
         "residual encoding needs fit-session state); fit with " +
         "residual=false to persist")
+    // a read-back index (nCells = -1) is ALREADY persisted — and the
+    // untrained fallback below would rebuild a cos_raw quantizer that
+    // mismatches an l2_grid-origin cell assignment; copy the tables to
+    // relocate an index
+    require(trainedCent.isDefined || nCells > 0,
+      "write() persists a fit-session index; this one was opened with " +
+        "IvfPqIndex.read and its tables already exist — copy/CTAS the " +
+        s"<table>_{meta,cent,codes,cells,coarse} tables to relocate it")
     val coarse = trainedCent match {
       case Some(cent) => (cent, "l2_grid")
       case None =>
@@ -186,6 +194,7 @@ final class IvfPqIndex private (
   def release(): Unit = {
     model.release()
     residFrame.foreach(_.unpersist(blocking = false))
+    trainedCent.foreach(_.unpersist(blocking = false))
     if (ownsCells) cells.unpersist(blocking = false)
   }
 }
@@ -197,11 +206,22 @@ object IvfPqIndex {
     * [[IvfPqIndex.release]] when done serving from this session. */
   def fit(emb: DataFrame, cfg: IvfPqConfig): IvfPqIndex = {
     import cfg._
+    // validate the scaladoc'd coverage invariant up front: pqFit slices
+    // exactly m x subDims dims, so a mis-sized config would silently
+    // index a PREFIX of every vector (or produce out-of-range empty
+    // slices) — degraded neighbors with no error. One 1-row probe.
+    val dims = emb.select(size(col(vecCol))).head().getInt(0)
+    require(m * subDims == dims,
+      s"m*subDims must equal the vector dims: m=$m x subDims=$subDims " +
+        s"= ${m * subDims}, but $vecCol has $dims dims")
     val (cells, cent) =
       if (trained) {
         val (asg, c) = Similarity.ivfCellsTrainedWithCentroids(
           emb, idCol, vecCol, nCells, iters)
-        (asg.persist(), Some(c))
+        // the centroid frame is k rows but its LINEAGE is the whole
+        // Lloyd chain — unpersisted, every nProbe>1 search and write()
+        // would re-run corpus-wide k-means just to rank cells
+        (asg.persist(), Some(c.persist()))
       } else
         (Similarity.ivfCells(emb, idCol, vecCol, nCells).persist(), None)
     if (residual) {

@@ -26,6 +26,7 @@ box never inflates them (a 2x move on an idle box is real). Dev tooling
 only — not part of the engine.
 """
 import json
+import os
 import sys
 
 
@@ -62,11 +63,15 @@ def main():
         if i + 1 >= len(argv):
             sys.exit("--md requires a file path operand\n" + __doc__)
         md_path = argv[i + 1]
+        # a numeric-LOOKING operand is almost certainly a misplaced
+        # threshold — unless a file by that name actually exists (a
+        # path like '2024' is legal), in which case take it as the path
         try:
             float(md_path)
-            sys.exit(f"--md operand '{md_path}' looks like a threshold, "
-                     "not a file path — put the threshold before --md\n"
-                     + __doc__)
+            if not os.path.exists(md_path):
+                sys.exit(f"--md operand '{md_path}' looks like a threshold, "
+                         "not a file path — put the threshold before --md\n"
+                         + __doc__)
         except ValueError:
             pass
         del argv[i:i + 2]
