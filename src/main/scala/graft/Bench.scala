@@ -29,6 +29,11 @@ object Bench {
     // with a full stack trace, flooding the 2000-char log tail the driver
     // parses the JSON line from. Deny ONLY that message on ONLY that
     // logger — every other DAGScheduler ERROR still surfaces.
+    // The filter COUNTS what it denies and the suite prints the count at
+    // the end (round-12 ADVICE): the message is benign in the between-pass
+    // clearCaches window but would also hide genuine metric loss DURING a
+    // timed query, so a suspicious volume must stay visible.
+    val deniedAccumErrors = new java.util.concurrent.atomic.AtomicLong(0)
     try {
       import org.apache.logging.log4j.core.{Filter, LogEvent, LoggerContext}
       import org.apache.logging.log4j.core.filter.AbstractFilter
@@ -45,9 +50,10 @@ object Bench {
           if (event.getLoggerName != null &&
               event.getLoggerName.endsWith("DAGScheduler") &&
               m != null && m.getFormattedMessage != null &&
-              m.getFormattedMessage.contains("Failed to update accumulator"))
+              m.getFormattedMessage.contains("Failed to update accumulator")) {
+            deniedAccumErrors.incrementAndGet()
             Filter.Result.DENY
-          else Filter.Result.NEUTRAL
+          } else Filter.Result.NEUTRAL
         }
       })
       ctx.updateLoggers()
@@ -81,6 +87,30 @@ object Bench {
     // so the warmup's own CPU load isn't attributed to co-tenant noise
     // (round-9 ADVICE)
     val loadBefore = Provenance.loadAvg1m
+    // Per-query peak execution memory (round-11 verdict stretch item):
+    // max TaskMetrics.peakExecutionMemory across the query's tasks — a
+    // plan-shape signal that catches a silent fallback to a sort/spill-
+    // heavy shape even when wall time at sf0.1 doesn't move.
+    val peakMem = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) peakMem.getAndAccumulate(m.peakExecutionMemory, Math.max(_, _))
+      }
+    })
+    // Listener events are async; drain the bus before reading the peak so
+    // each pass's tasks are attributed to it. waitUntilEmpty() is
+    // private[spark] → reflection, with a sleep fallback. Under the
+    // fallback, events landing after the read are lost to their pass and
+    // counted into the next — peak_mem is a plan-shape HINT, not a gate,
+    // and the real drain makes the fallback a Spark-upgrade-only path.
+    def drainListenerBus(): Unit = try {
+      val busM = spark.sparkContext.getClass.getMethods.find(_.getName == "listenerBus").get
+      val bus = busM.invoke(spark.sparkContext)
+      bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+        .get.invoke(bus)
+    } catch { case _: Throwable => Thread.sleep(100) }
     // A failed query must be unmistakable in the artifact: it reports time
     // -1 (never a plausible duration), lands in the "errors" list, and is
     // excluded from the total — a fail-fast exception can't pad the bench
@@ -93,15 +123,26 @@ object Bench {
     // time is the min — co-tenant spikes rarely hit the same query in
     // both passes. Both raws land in bench_detail.json ("raw") so the
     // noise itself stays auditable.
-    def timedOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    //
+    // Peak memory is read PER PASS (round-12 ADVICE: the old max-over-
+    // passes peak next to a min-over-passes time let a spill on a
+    // DISCARDED pass inflate the memory signal with no time signal).
+    // The reported "peak_mem" is the peak of the pass that produced the
+    // reported (min) time — aligned semantics — and every pass's peak
+    // lands in "peak_mem_raw" beside "raw".
+    def timedOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
       clearCaches()
       System.gc() // pay prior queries' garbage outside the timed window
+      drainListenerBus() // prior pass's stragglers land before the reset
+      peakMem.set(0)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
+      val sec = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
         case e: Throwable =>
           System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
           -1.0
       }
+      drainListenerBus()
+      (sec, peakMem.get())
     }
     // dev-only: SPARK_GRAFT_BENCH_PASSES=1 for single-pass scratch runs
     // (long sf10 sweeps), =3+ for extra-quiet MIN-of-N; the driver always
@@ -115,48 +156,25 @@ object Bench {
       }
       case None => 2
     }
-    // Per-query peak execution memory (round-11 verdict stretch item):
-    // max TaskMetrics.peakExecutionMemory across the query's tasks — a
-    // plan-shape signal that catches a silent fallback to a sort/spill-
-    // heavy shape even when wall time at sf0.1 doesn't move.
-    val peakMem = new java.util.concurrent.atomic.AtomicLong(0)
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val m = te.taskMetrics
-        if (m != null) peakMem.getAndAccumulate(m.peakExecutionMemory, Math.max(_, _))
-      }
-    })
-    // Listener events are async; drain the bus before reading the peak so
-    // each query's tasks are attributed to it. waitUntilEmpty() is
-    // private[spark] → reflection, with a sleep fallback. Under the
-    // fallback, events landing after the read are lost to their query and
-    // counted into the next — peak_mem is a plan-shape HINT, not a gate,
-    // and the real drain makes the fallback a Spark-upgrade-only path.
-    def drainListenerBus(): Unit = try {
-      val busM = spark.sparkContext.getClass.getMethods.find(_.getName == "listenerBus").get
-      val bus = busM.invoke(spark.sparkContext)
-      bus.getClass.getMethods
-        .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
-        .get.invoke(bus)
-    } catch { case _: Throwable => Thread.sleep(100) }
-    val peaks = scala.collection.mutable.Map[String, Long]()
-    val raws: Map[String, Seq[Double]] = queries.map { case (name, fn) =>
-      peakMem.set(0)
-      val t1 = timedOnce(name, fn)
+    val raws: Map[String, Seq[(Double, Long)]] = queries.map { case (name, fn) =>
+      val first = timedOnce(name, fn)
       // an errored first run is definitive (deterministic plans); don't
       // pay a second failure. A skipped repeat records a ONE-element raw
       // list — single-pass runs must stay distinguishable from genuinely
       // stable min-of-2 pairs in the artifact (round-11 review)
-      val ts = if (t1 < 0 || passes < 2) Seq(t1)
-        else t1 +: (2 to passes).map(_ => timedOnce(name, fn))
-      drainListenerBus()
-      peaks(name) = peakMem.get()
+      val ts = if (first._1 < 0 || passes < 2) Seq(first)
+        else first +: (2 to passes).map(_ => timedOnce(name, fn))
       name -> ts
     }
     val results = raws.map { case (name, ts) =>
       // a negative repeat = flake on the rerun; keep the good sample(s)
-      val good = ts.filter(_ >= 0)
-      name -> (if (ts.head < 0) -1.0 else good.min)
+      val good = ts.map(_._1).filter(_ >= 0)
+      name -> (if (ts.head._1 < 0) -1.0 else good.min)
+    }
+    // the min-TIME pass's peak — see the timedOnce comment
+    val peaks: Map[String, Long] = raws.map { case (name, ts) =>
+      val good = ts.filter(_._1 >= 0)
+      name -> (if (good.isEmpty) 0L else good.minBy(_._1)._2)
     }
     def ms(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k.split("_")(0) + "\":" + ms(v) }
@@ -177,16 +195,19 @@ object Bench {
     // the stdout line carries the per-query map only when it provably fits,
     // falling back to the compact summary otherwise.
     val rawPairs = raws.map { case (k, ts) =>
-      "\"" + k.split("_")(0) + "\":" + ts.map(ms).mkString("[", ",", "]")
+      "\"" + k.split("_")(0) + "\":" + ts.map(t => ms(t._1)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val peakPairs = peaks.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + k.split("_")(0) + "\":" + v
+    }.mkString("{", ",", "}")
+    val peakRawPairs = raws.map { case (k, ts) =>
+      "\"" + k.split("_")(0) + "\":" + ts.map(_._2).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // "cpus" makes scale-run artifacts self-describing: a run launched
     // without SPARK_GRAFT_CPUS silently times at the local[4] default,
     // and nothing else in the JSON distinguishes it from a local[32] run
     // (the round-12 sf10 rerun lost an hour to exactly that)
-    val detail = s"""{"metric":"total","value":${ms(total)},"unit":"sec","cpus":"$cpus","queries":$qs,"raw":$rawPairs,"peak_mem":$peakPairs,"errors":$errors,"sf":"$sfDir","git":"$sha","at":"$ts","load":$load}"""
+    val detail = s"""{"metric":"total","value":${ms(total)},"unit":"sec","cpus":"$cpus","queries":$qs,"raw":$rawPairs,"peak_mem":$peakPairs,"peak_mem_raw":$peakRawPairs,"errors":$errors,"sf":"$sfDir","git":"$sha","at":"$ts","load":$load}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo") + "/bench_detail.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail + "\n")
@@ -197,6 +218,14 @@ object Bench {
       if (detail.length <= 1500) detail
       else s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{"n":${results.size}},"errors":$errors,"sf":"$sfDir","git":"$sha","at":"$ts","load":$load,"detail":"${new java.io.File(detailPath).getName}"}"""
     println(line)
+    // the suppression count the DENY filter owes the reader (stderr, so
+    // the JSON tail stays clean): tens are the benign cache-clear race;
+    // hundreds+ would mean genuine metric loss inside timed windows
+    if (deniedAccumErrors.get() > 0)
+      System.err.println(
+        s"BENCH: suppressed ${deniedAccumErrors.get()} 'Failed to update " +
+          "accumulator' DAGScheduler errors (benign between-pass races; " +
+          "investigate if large)")
     spark.stop()
   }
 }

@@ -25,6 +25,29 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Which connected-components implementation [[fuzzyDedup]] runs over
+    * the verified near-dup graph. The paths are bit-equal (DedupSpec
+    * pins it); the knob trades the Auto probe's cost against picking
+    * the wrong engine for the regime. */
+  sealed trait CcPath
+  object CcPath {
+    /** Count the verified pairs (one eager aggregate over the persisted
+      * verify frame, ~1 s at sf0.1) and pick: GraphX Pregel at or below
+      * `graphxMaxEdges`, Catalyst pointer-jumping above. The safe
+      * default when the dup rate is unknown. */
+    case object Auto extends CcPath
+    /** Skip the probe, force GraphX Pregel — the clean-corpus escape
+      * hatch (round-12 verdict): when the caller KNOWS near-dups are
+      * rare the dup graph is small, the probe buys nothing, and its
+      * count is the difference between ~4.9 s and ~5.6 s at sf0.1. */
+    case object GraphX extends CcPath
+    /** Skip the probe, force Catalyst pointer-jumping
+      * ([[graft.graph.GraphOps.ccStarEdges]]) — the
+      * heavily-duplicated-corpus regime (the sf10 measurement: 2.1×
+      * over Pregel on a 27M-edge dup graph). */
+    case object Catalyst extends CcPath
+  }
+
   /** Lowercased word tokens — the shingling base. Same regex runs on
     * DuckDB's RE2. */
   def wordTokens(c: Column): Column =
@@ -369,12 +392,20 @@ object Dedup {
     * dup graph took GraphX Pregel minutes of RDD churn per run; the
     * Catalyst path cut q91's min-of-2 189 s → 88 s). Both paths label
     * every vertex with its component's MIN id (AlgoRandomSpec asserts
-    * set-equality), so the switch can never change results. */
+    * set-equality), so the switch can never change results.
+    *
+    * `ccPath` is the clean-corpus escape hatch (round-12 verdict item
+    * 6): Auto pays a ~1 s pair-count probe at sf0.1 to pick the right
+    * engine; a caller who KNOWS the regime forces [[CcPath.GraphX]]
+    * (rare dups — small pair graph) or [[CcPath.Catalyst]] (heavy
+    * duplication) and skips probe and persist both. All three paths
+    * are bit-equal (DedupSpec pins it). */
   def fuzzyDedup(
       spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       jaccNum: Int = 1, jaccDen: Int = 2,
-      graphxMaxEdges: Long = 2000000L): DataFrame = {
+      graphxMaxEdges: Long = 2000000L,
+      ccPath: CcPath = CcPath.Auto): DataFrame = {
     import graft.graph.GraphOps
     val cand = lshCandidates(
       minhashBands(docs, idCol, textCol, shingleN, numHashes, bands), idCol)
@@ -383,26 +414,34 @@ object Dedup {
       .select(col(idCol).as("sid"), wordShingles(toks, shingleN).as("sh"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val uni = size(col("sh_a")) + size(col("sh_b")) - inter
-    // persisted: the size probe below and the chosen CC path both read
-    // it, and the verify join (LSH candidates x shingle arrays) is the
-    // expensive frame to recompute. (A lazier probe — bounding pairs
-    // from band-bucket sizes with bandsDf cached instead — measured
-    // WORSE at sf0.1: q91 9.9 s vs 5.6 s eager vs 4.9 s unswitched;
-    // the eager count's ~1 s is the cheapest correct probe.)
-    val verified = cand
+    val verifiedBase = cand
       .join(sets.select(col("sid").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("sid").as("id_b"), col("sh").as("sh_b")), "id_b")
       .filter(inter * jaccDen >= uni * jaccNum)
       .select(col("id_a"), col("id_b"))
-      .persist()
-    val nPairs = verified.count()
-    val cc = if (nPairs <= graphxMaxEdges)
+    // Auto persists: the size probe AND the chosen CC path both read the
+    // frame, and the verify join (LSH candidates x shingle arrays) is the
+    // expensive one to recompute. (A lazier probe — bounding pairs from
+    // band-bucket sizes with bandsDf cached instead — measured WORSE at
+    // sf0.1: q91 9.9 s vs 5.6 s eager vs 4.9 s unswitched; the eager
+    // count's ~1 s is the cheapest correct probe.) A FORCED path reads
+    // the frame exactly once (fromEdges builds the RDD graph in one
+    // pass; ccStarEdges localCheckpoints its own input) — no probe, no
+    // persist, which is precisely the ~0.7 s the escape hatch recovers.
+    val verified =
+      if (ccPath == CcPath.Auto) verifiedBase.persist() else verifiedBase
+    val useGraphX = ccPath match {
+      case CcPath.GraphX => true
+      case CcPath.Catalyst => false
+      case CcPath.Auto => verified.count() <= graphxMaxEdges
+    }
+    val cc = if (useGraphX)
       GraphOps.connectedComponentsDF(
         spark, GraphOps.fromEdges(spark, verified, "id_a", "id_b"))
     else
       GraphOps.ccStarEdges(verified, "id_a", "id_b")
     // both CC paths materialize their label frame before returning
-    verified.unpersist(blocking = false)
+    if (ccPath == CcPath.Auto) verified.unpersist(blocking = false)
     docs.select(col(idCol))
       .join(cc.select(col("id").as(idCol), col("component")), Seq(idCol), "left")
       .select(col(idCol),
@@ -537,9 +576,10 @@ object Dedup {
   def leakageSafeSplit(
       spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      jaccNum: Int = 1, jaccDen: Int = 2): DataFrame =
+      jaccNum: Int = 1, jaccDen: Int = 2,
+      ccPath: CcPath = CcPath.Auto): DataFrame =
     fuzzyDedup(spark, docs, idCol, textCol, shingleN, numHashes, bands,
-        jaccNum, jaccDen)
+        jaccNum, jaccDen, ccPath = ccPath)
       .select(col(idCol), col("cluster"),
         hashSplit3(col("cluster")).as("split"))
 

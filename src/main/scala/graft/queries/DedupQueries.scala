@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.dedup.Dedup
+import graft.dedup.{BandIndex, BandIndexConfig, Dedup}
 import org.apache.spark.sql.functions._
 
 /** Deduplication queries (the brief's training-data-pipeline extensions)
@@ -342,11 +342,10 @@ object DedupQueries {
     Q("q132_incremental_neardup",
       incrementalNearDupOracle()) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      Dedup.incrementalNearDup(
+      BandIndex.checkOnce(
         newDocs = docs.filter(col("doc_id") % 10 === 0),
         corpus = docs.filter(col("doc_id") % 10 =!= 0),
-        "doc_id", "text",
-        shingleN = 3, numHashes = 16, bands = 4, jaccNum = 1, jaccDen = 2)
+        BandIndexConfig("doc_id", "text"))
     },
 
     // q132 with the corpus band index MAINTAINED as a bucketed table
@@ -360,13 +359,8 @@ object DedupQueries {
       val tbl = dropIndexTable(s, dir, "graft_band_idx")
       val docs = Tables(s, dir, "documents")
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-      Dedup.writeBandIndex(tbl, corpus, "doc_id", "text",
-        shingleN = 3, numHashes = 16, bands = 4)
-      Dedup.incrementalNearDupWithIndex(
-        newDocs = docs.filter(col("doc_id") % 10 === 0),
-        corpusBands = Dedup.readBandIndex(s, tbl),
-        corpus = corpus, "doc_id", "text",
-        shingleN = 3, jaccNum = 1, jaccDen = 2, numHashes = 16, bands = 4)
+      val idx = BandIndex.build(s, tbl, corpus, BandIndexConfig("doc_id", "text"))
+      idx.checkBatch(docs.filter(col("doc_id") % 10 === 0), corpus)
     },
 
     // The band index MAINTAINED across ingest days (the q141 read side's
@@ -385,20 +379,14 @@ object DedupQueries {
       val day0 = docs.filter(col("doc_id") % 3 === 0)
       val day1 = docs.filter(col("doc_id") % 3 === 1)
       val day2 = docs.filter(col("doc_id") % 3 === 2)
-      Dedup.writeBandIndex(tbl, day0, "doc_id", "text",
-        shingleN = 3, numHashes = 16, bands = 4)
+      val idx = BandIndex.build(s, tbl, day0, BandIndexConfig("doc_id", "text"))
       // day-1 ingest: dedup against the index, then fold its bands in
-      // (reads via readBandIndex — the guarded path that refreshes the
-      // reading session's relation cache first)
-      Dedup.incrementalNearDupWithIndex(day1, Dedup.readBandIndex(s, tbl), day0,
-        "doc_id", "text", shingleN = 3, jaccNum = 1, jaccDen = 2,
-        numHashes = 16, bands = 4).count()
-      Dedup.appendBandIndex(tbl, day1, "doc_id", "text",
-        shingleN = 3, numHashes = 16, bands = 4)
-      // day-2 ingest sees day-0 AND day-1 through the one grown index
-      Dedup.incrementalNearDupWithIndex(day2, Dedup.readBandIndex(s, tbl),
-        corpus = docs.filter(col("doc_id") % 3 =!= 2), "doc_id", "text",
-        shingleN = 3, jaccNum = 1, jaccDen = 2, numHashes = 16, bands = 4)
+      idx.checkBatch(day1, day0).count()
+      idx.append(day1)
+      // day-2 ingest sees day-0 AND day-1 through the one grown index —
+      // re-OPENED from the stored meta, proving the any-session path
+      BandIndex.open(s, tbl)
+        .checkBatch(day2, docs.filter(col("doc_id") % 3 =!= 2))
     },
 
     // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):

@@ -210,7 +210,12 @@ object IvfPqIndex {
     // exactly m x subDims dims, so a mis-sized config would silently
     // index a PREFIX of every vector (or produce out-of-range empty
     // slices) — degraded neighbors with no error. One 1-row probe.
-    val dims = emb.select(size(col(vecCol))).head().getInt(0)
+    // headOption: an empty corpus must fail with a named error, not a
+    // bare NoSuchElementException from head() (round-12 ADVICE)
+    val dims = emb.select(size(col(vecCol))).limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"IvfPqIndex.fit: the corpus frame is empty — nothing to index"))
+      .getInt(0)
     require(m * subDims == dims,
       s"m*subDims must equal the vector dims: m=$m x subDims=$subDims " +
         s"= ${m * subDims}, but $vecCol has $dims dims")
@@ -254,8 +259,10 @@ object IvfPqIndex {
   def read(spark: SparkSession, table: String, vecCol: String): IvfPqIndex = {
     val (model, cells) = Similarity.readPqIndex(spark, table)
     val meta = spark.table(s"${table}_meta").head()
-    val idCol = meta.getString(2)
-    val metric = meta.getString(3)
+    // by NAME, not position: a meta table from a different layout must
+    // fail with a named-column error, not misparse (round-12 ADVICE)
+    val idCol = meta.getAs[String]("id_col")
+    val metric = meta.getAs[String]("coarse_metric")
     val seeds =
       if (metric == "none") None
       else {

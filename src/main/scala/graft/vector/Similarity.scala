@@ -912,7 +912,8 @@ object Similarity {
       .foreach(sfx => spark.catalog.refreshTable(s"${table}_$sfx"))
     val meta = spark.table(s"${table}_meta").head()
     val (m, subDims, idCol) =
-      (meta.getInt(0), meta.getInt(1), meta.getString(2))
+      (meta.getAs[Int]("m"), meta.getAs[Int]("sub_dims"),
+        meta.getAs[String]("id_col"))
     val cent = (0 until m).map(s =>
       spark.table(s"${table}_cent").filter(col("s") === s).select("cid", "cv"))
     val asg = (0 until m).map(s =>
@@ -958,8 +959,9 @@ object Similarity {
       .foreach(sfx => spark.catalog.refreshTable(s"${table}_$sfx"))
     val meta = spark.table(s"${table}_meta").head()
     val (m, subDims, idCol, metric, buckets) =
-      (meta.getInt(0), meta.getInt(1), meta.getString(2), meta.getString(3),
-        meta.getInt(4)) // self-describing: the write's bucket spec
+      (meta.getAs[Int]("m"), meta.getAs[Int]("sub_dims"),
+        meta.getAs[String]("id_col"), meta.getAs[String]("coarse_metric"),
+        meta.getAs[Int]("buckets")) // self-describing: the write's bucket spec
     require(metric != "none",
       s"index $table was written without a coarse quantizer; pass " +
         "coarse=Some(...) to writePqIndex to make it growable")

@@ -305,6 +305,62 @@ class DedupSpec extends SparkSpec {
     assert(graphx.nonEmpty)
   }
 
+  test("fuzzyDedup: forced ccPath (GraphX, Catalyst) is bit-equal to Auto") {
+    // the clean-corpus escape hatch (round-12 verdict item 6): forcing
+    // either engine skips the pair-count probe but may never change the
+    // labeling — all three paths must agree row-for-row
+    val a = base
+    val b = base.replace("small dimension", "compact dimension")
+    val c = b.replace("columnar parquet", "vectorized parquet")
+    val corpus = Seq(
+      (10L, a), (11L, b), (12L, c), (20L, unrelated), (21L, unrelated),
+      (30L, "short text only")).toDF("doc_id", "text")
+    def run(p: Dedup.CcPath) =
+      Dedup.fuzzyDedup(spark, corpus, "doc_id", "text", bands = 8, ccPath = p)
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val auto = run(Dedup.CcPath.Auto)
+    assert(run(Dedup.CcPath.GraphX) == auto)
+    assert(run(Dedup.CcPath.Catalyst) == auto)
+    assert(auto.nonEmpty)
+  }
+
+  test("BandIndex facade: build/checkBatch/append/open replays the kernel " +
+      "paths; open recovers the stored parameters") {
+    import graft.dedup.{BandIndex, BandIndexConfig}
+    val a = base
+    val b = base.replace("small dimension", "compact dimension")
+    val day0 = Seq((1L, a), (2L, unrelated)).toDF("doc_id", "text")
+    val day1 = Seq((10L, b), (11L, "novel content about stream state")).toDF("doc_id", "text")
+    val day2 = Seq((20L, b), (21L, unrelated)).toDF("doc_id", "text")
+    val cfg = BandIndexConfig("doc_id", "text", bands = 8, numHashes = 16)
+    val tbl = "graft_band_facade_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_meta")
+    val idx = BandIndex.build(spark, tbl, day0, cfg)
+    // day-1 check == the no-index kernel on the same frames
+    val viaIdx = idx.checkBatch(day1, day0)
+      .as[(Long, Boolean, Option[Long])].collect().sortBy(_._1).toSeq
+    val viaKernel = Dedup.incrementalNearDup(day1, day0, "doc_id", "text",
+        numHashes = 16, bands = 8)
+      .as[(Long, Boolean, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(viaIdx == viaKernel)
+    assert(viaIdx.map(r => r._1 -> ((r._2, r._3))).toMap
+      .apply(10L) == ((true, Some(1L))))
+    // fold day-1 in; a freshly OPENED index (parameters from _meta, not
+    // the caller) must see day-1 docs through the appended bands
+    idx.append(day1)
+    val opened = BandIndex.open(spark, tbl)
+    assert(opened.cfg == cfg)
+    val d2 = opened.checkBatch(day2, day0.unionByName(day1))
+      .as[(Long, Boolean, Option[Long])].collect().map(r => r._1 -> r).toMap
+    assert(d2(20L) == ((20L, true, Some(1L))))  // near-dups day-0 doc 1
+    assert(d2(21L) == ((21L, true, Some(2L))))  // exact-dups day-0 doc 2
+    // checkOnce == the inline kernel
+    val once = BandIndex.checkOnce(day2, day0.unionByName(day1), cfg)
+      .as[(Long, Boolean, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(once == d2.values.toSeq.sortBy(_._1))
+  }
+
   test("incrementalNearDup: batch flagged against corpus only, smallest dup id, clean docs pass") {
     val a = base
     val b = base.replace("small dimension", "compact dimension")

@@ -44,7 +44,8 @@ def load_record(path):
                  "use the round's bench_detail.json instead")
     load = d.get("load") or [None, None]
     raw = d.get("raw") if isinstance(d.get("raw"), dict) else {}
-    return qs, load, d.get("git", "?"), d.get("sf", "?"), raw
+    peak = d.get("peak_mem") if isinstance(d.get("peak_mem"), dict) else {}
+    return qs, load, d.get("git", "?"), d.get("sf", "?"), raw, peak
 
 
 def mean_load(load):
@@ -77,8 +78,8 @@ def main():
         del argv[i:i + 2]
     if len(argv) < 2:
         sys.exit(__doc__)
-    old_qs, old_load, old_git, old_sf, old_raw = load_record(argv[0])
-    new_qs, new_load, new_git, new_sf, new_raw = load_record(argv[1])
+    old_qs, old_load, old_git, old_sf, old_raw, old_peak = load_record(argv[0])
+    new_qs, new_load, new_git, new_sf, new_raw, new_peak = load_record(argv[1])
     threshold = float(argv[2]) if len(argv) > 2 else 2.0
 
     lo, ln = mean_load(old_load), mean_load(new_load)
@@ -100,6 +101,28 @@ def main():
 
     flagged = [r for r in rows if r[4] is not None and r[4] > threshold]
     errored = [r for r in rows if r[3] is None]
+
+    # peak_mem mover gate (round-12 verdict item 4): a >2x growth in the
+    # min-time pass's peak execution memory is the tripwire for a silent
+    # sort/spill plan regression that sf0.1 wall time doesn't show.
+    # Noise discipline: only min-of-2+ artifacts are compared (a raw pair
+    # of length >= 2 on BOTH sides — single-pass scratch runs carry one
+    # sample and one listener-race can own it), peaks under 32 MiB are
+    # ignored (ratio-of-tiny noise), and offenders FLAG but never fail
+    # the exit code — wall-time movers and newly-errored queries remain
+    # the only hard gates.
+    PEAK_FLOOR = 32 * 1024 * 1024
+    peak_movers = []
+    for q in common:
+        p0, p1 = old_peak.get(q), new_peak.get(q)
+        if not (isinstance(p0, (int, float)) and isinstance(p1, (int, float))):
+            continue
+        if len(old_raw.get(q, [])) < 2 or len(new_raw.get(q, [])) < 2:
+            continue
+        if p1 < PEAK_FLOOR or p0 <= 0:
+            continue
+        if p1 / p0 > threshold:
+            peak_movers.append((q, p0, p1, p1 / p0))
     tot0 = sum(old_qs[q] for q in common if old_qs[q] and old_qs[q] > 0)
     tot1 = sum(new_qs[q] for q in common if new_qs[q] and new_qs[q] > 0)
 
@@ -141,11 +164,22 @@ def main():
                     f"added: {', '.join(added) or 'none'}; "
                     f"newly-errored: "
                     f"{', '.join(q for q, _, _ in new_broken) or 'none'}\n\n")
-            f.write("| query | old s | new s | raw x | adj x | new raw pair |\n")
-            f.write("|---|---|---|---|---|---|\n")
+            f.write("| query | old s | new s | raw x | adj x | new raw pair "
+                    "| peak MiB old->new |\n")
+            f.write("|---|---|---|---|---|---|---|\n")
             for q, t0, t1, ratio, adj in top:
+                p0, p1 = old_peak.get(q), new_peak.get(q)
+                pk = (f"{p0 / 2**20:.0f}->{p1 / 2**20:.0f}"
+                      if isinstance(p0, (int, float))
+                      and isinstance(p1, (int, float)) else "-")
                 f.write(f"| {q} | {t0:.2f} | {t1:.2f} | {ratio:.2f} | "
-                        f"{adj:.2f} | {new_raw.get(q, '-')} |\n")
+                        f"{adj:.2f} | {new_raw.get(q, '-')} | {pk} |\n")
+            if peak_movers:
+                f.write(f"\npeak_mem movers (> {threshold}x, advisory): "
+                        + "; ".join(
+                            f"{q} {p0 / 2**20:.0f}->{p1 / 2**20:.0f} MiB "
+                            f"({r:.1f}x)" for q, p0, p1, r in peak_movers)
+                        + "\n")
         print(f"markdown table appended to {md_path}")
 
     bad = False
@@ -160,6 +194,12 @@ def main():
             print(f"  {q}: {t0:.2f} s -> {t1:.2f} s  ({ratio:.2f}x raw, "
                   f"{adj:.2f}x adj){raw_note(new_raw, q)}")
         bad = True
+    if peak_movers:
+        print(f"\nPEAK-MEM MOVERS (> {threshold}x min-time-pass peak; "
+              "advisory, does not fail the gate):")
+        for q, p0, p1, r in sorted(peak_movers, key=lambda x: -x[3]):
+            print(f"  {q}: {p0 / 2**20:.0f} MiB -> {p1 / 2**20:.0f} MiB "
+                  f"({r:.2f}x)")
     if not bad:
         print(f"OK: no query moved >{threshold}x load-adjusted, none newly errored")
         return
