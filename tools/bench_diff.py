@@ -27,6 +27,7 @@ only — not part of the engine.
 """
 import json
 import os
+import re
 import sys
 
 
@@ -66,15 +67,15 @@ def main():
         md_path = argv[i + 1]
         # a numeric-LOOKING operand is almost certainly a misplaced
         # threshold — unless a file by that name actually exists (a
-        # path like '2024' is legal), in which case take it as the path
-        try:
-            float(md_path)
-            if not os.path.exists(md_path):
-                sys.exit(f"--md operand '{md_path}' looks like a threshold, "
-                         "not a file path — put the threshold before --md\n"
-                         + __doc__)
-        except ValueError:
-            pass
+        # path like '2024' is legal), in which case take it as the path.
+        # Plain-decimal regex, not float(): float() also accepts 'nan'/
+        # 'inf'/scientific notation, none of which anyone types as a
+        # threshold (round-12 ADVICE).
+        if re.fullmatch(r"\d+(\.\d+)?", md_path) \
+                and not os.path.exists(md_path):
+            sys.exit(f"--md operand '{md_path}' looks like a threshold, "
+                     "not a file path — put the threshold before --md\n"
+                     + __doc__)
         del argv[i:i + 2]
     if len(argv) < 2:
         sys.exit(__doc__)
