@@ -145,6 +145,26 @@ object GraphOps {
       }
     }
 
+  /** [[resolveBroadcastState]] with an exact second opinion for DENSE
+    * graphs. The statistics bound can only infer vertices ≤ 2·edges, so
+    * past ~25M edges it refuses the state broadcast even when the real
+    * vertex count is tiny — sf10's 59M-edge part×supplier graph has just
+    * 2.1M vertices (avg degree ~28), and the refusal turns EVERY
+    * superstep/refine pass into an edge-sized dst exchange of the
+    * 118M-row undirected cache (measured: q126's refine rounds at sf10).
+    * When the cheap bound refuses, ask for the truth: `vertexCount` is
+    * call-by-name and only evaluated then, so small graphs (where stats
+    * already say yes) pay nothing, and large graphs pay one aggregate
+    * over an already-persisted frame to save maxIter edge exchanges.
+    * The OOM ceiling is unchanged — the exact count checks against the
+    * same [[BroadcastVertexLimit]] the bound models. */
+  private def resolveBroadcastStateExact(
+      choice: Option[Boolean], edges: DataFrame,
+      vertexCount: => Long): Boolean =
+    choice.getOrElse(
+      resolveBroadcastState(None, edges) ||
+        vertexCount <= BroadcastVertexLimit)
+
   /** True when the caller handed us an already-persisted frame: derive
     * from their cache instead of re-persisting the directed edge list
     * (the union below scans its input TWICE — uncached, an expensive
@@ -154,7 +174,6 @@ object GraphOps {
 
   def lpaEdges(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int,
       broadcastState: Option[Boolean] = None, numPartitions: Option[Int] = None): DataFrame = {
-    val bc = resolveBroadcastState(broadcastState, edges)
     // The undirected expansion is cached PRE-PARTITIONED ON src — the
     // superstep aggregation key. Each superstep joins on dst against the
     // vertex-sized label state as a BROADCAST (hinted), so the cached
@@ -180,6 +199,11 @@ object GraphOps {
     val und = numPartitions.fold(base.repartition(col("src")))(
         n => base.repartition(n, col("src")))
       .persist()
+    // exact-count fallback: only evaluated when the stats bound refuses
+    // (dense-graph regime) — one distinct-count over the edge cache buys
+    // maxIter exchange-free supersteps
+    val bc = resolveBroadcastStateExact(broadcastState, edges,
+      und.select(col("src")).distinct().count())
     val labels = lpaSupersteps(und, maxIter, bc)
     und.unpersist(blocking = false)
     if (ownPre) pre.unpersist(blocking = false)
@@ -243,7 +267,6 @@ object GraphOps {
   def ccEdges(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 20,
       broadcastState: Option[Boolean] = None,
       numPartitions: Option[Int] = None): DataFrame = {
-    val bc = resolveBroadcastState(broadcastState, edges)
     val pre0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val ownPre = !callerCached(edges)
     // localCheckpoint, NOT persist: the superstep loop references this
@@ -270,6 +293,9 @@ object GraphOps {
     val und = numPartitions.fold(undBase.repartition(col("src")))(
         n => undBase.repartition(n, col("src")))
       .persist()
+    // exact-count fallback (evaluated only when the stats bound refuses)
+    val bc = resolveBroadcastStateExact(broadcastState, edges,
+      und.select(col("src")).distinct().count())
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     var cached: Option[DataFrame] = None
@@ -523,7 +549,6 @@ object GraphOps {
       iters: Int, dampingPct: Long = 85L,
       scale: Long = 1000000000000L,
       broadcastState: Option[Boolean] = None): DataFrame = {
-    val bc = resolveBroadcastState(broadcastState, edges)
     // The undirected expansion is cached PRE-PARTITIONED ON dst — the
     // per-iteration aggregation key. Each iteration joins the edge list
     // on src against the vertex-sized state as a BROADCAST (hinted), so
@@ -541,6 +566,8 @@ object GraphOps {
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       .persist()
     val n = deg.count() // one scalar agg job; also materializes deg + und
+    // n IS the vertex count — the exact-fallback resolution is free here
+    val bc = resolveBroadcastStateExact(broadcastState, edges, n)
     if (n == 0) { // empty edge set: no vertices, no rank mass to divide
       und.unpersist(blocking = false)
       deg.unpersist(blocking = false)
@@ -604,7 +631,6 @@ object GraphOps {
       iters: Int, dampingPct: Long = 85L,
       scale: Long = 1000000000000L,
       broadcastState: Option[Boolean] = None): DataFrame = {
-    val bc = resolveBroadcastState(broadcastState, edges)
     // dst-partitioned undirected cache + broadcast state joins — the
     // exchange-free iteration discipline; see pageRankFixedPoint
     val pre = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -614,6 +640,7 @@ object GraphOps {
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       .persist()
     val n = deg.count()
+    val bc = resolveBroadcastStateExact(broadcastState, edges, n)
     if (n == 0) {
       und.unpersist(blocking = false)
       deg.unpersist(blocking = false)
@@ -689,7 +716,6 @@ object GraphOps {
       iters: Int, dampingPct: Long = 85L,
       scale: Long = 1000000000000L,
       broadcastState: Option[Boolean] = None): DataFrame = {
-    val bc = resolveBroadcastState(broadcastState, edges)
     val pre = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(weightCol).cast("long").as("w"))
     val und = pre
@@ -699,6 +725,7 @@ object GraphOps {
     val deg = und.groupBy(col("src").as("id")).agg(sum(col("w")).as("wdeg"))
       .persist()
     val n = deg.count()
+    val bc = resolveBroadcastStateExact(broadcastState, edges, n)
     if (n == 0) {
       und.unpersist(blocking = false)
       deg.unpersist(blocking = false)
@@ -749,7 +776,6 @@ object GraphOps {
       edges: DataFrame, srcCol: String, dstCol: String,
       anchor: DataFrame, maxHops: Int,
       broadcastState: Option[Boolean] = None): DataFrame = {
-    val bc = resolveBroadcastState(broadcastState, edges)
     // The undirected expansion is cached PRE-PARTITIONED ON dst — the
     // per-hop dedup key. Each hop joins on src against the (small)
     // frontier as a BROADCAST and anti-joins the visited union the same
@@ -768,6 +794,10 @@ object GraphOps {
     val und = pre.union(pre.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("dst"))
       .persist()
+    // frontier ∪ visited state is bounded by the vertex count — the
+    // exact fallback only runs when the stats bound refuses (dense graph)
+    val bc = resolveBroadcastStateExact(broadcastState, edges,
+      und.select(col("src")).distinct().count())
     // Only the per-hop FRONTIER is persisted (the working set); the
     // visited set is the lazy union of the cached layers, so each hop is
     // one job (frontier join → dedup → anti-join vs cached layers) and
@@ -825,7 +855,6 @@ object GraphOps {
       edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, scale: Long = 1000000000L,
       broadcastState: Option[Boolean] = None): DataFrame = {
-    val bc = resolveBroadcastState(broadcastState, edges)
     // iters = 0 would leave `auth` null and NPE in the final union
     // (round-5 advice); a HITS run needs at least one power step
     require(iters >= 1, s"hitsFixedPoint needs iters >= 1, got $iters")
@@ -850,6 +879,10 @@ object GraphOps {
       eBySrc.unpersist(blocking = false)
       return srcs.select(col("id"), lit(0L).as("hub"), lit(0L).as("auth"))
     }
+    // hub state spans the srcs, auth state the dsts — the exact fallback
+    // bounds both sides (dst distinct evaluated only when stats refuse)
+    val bc = resolveBroadcastStateExact(broadcastState, edges,
+      nSrc + eByDst.select(col("dst")).distinct().count())
     // max(…,1): a unit of 0 (scale < nSrc) would zero every raw sum and
     // the rescale would divide by zero — floor the unit at 1 instead
     var hub = srcs.withColumn("h", lit(math.max(scale / nSrc, 1L)))
@@ -1245,7 +1278,6 @@ object GraphOps {
     // graph must still throw the intended IllegalArgumentException.
     require(gammaPcts.nonEmpty && gammaPcts.forall(_ >= 1),
       s"louvainRefine needs gammaPct >= 1, got $gammaPcts")
-    val bc = resolveBroadcastState(broadcastState, edges)
     val pre0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val ownPre = !callerCached(edges)
     val pre = if (ownPre) pre0.persist() else pre0
@@ -1255,6 +1287,10 @@ object GraphOps {
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("kv"))
       .persist()
     val m2 = und.count() // also materializes und (and fills deg lazily)
+    // exact-count fallback: deg is the vertex frame and refineCore reads
+    // it either way — its count is the true state size the broadcast
+    // decision wants (the stats bound refuses any dense graph)
+    val bc = resolveBroadcastStateExact(broadcastState, edges, deg.count())
     val out =
       if (m2 == 0)
         gammaPcts.map(g => assignment.select(lit(g).as("gamma_pct"),
@@ -1283,7 +1319,6 @@ object GraphOps {
     // throw IllegalArgumentException even when the graph is empty.
     require(gammaPcts.nonEmpty && gammaPcts.forall(_ >= 1),
       s"louvainRefine needs gammaPct >= 1, got $gammaPcts")
-    val bc = resolveBroadcastState(broadcastState, edges)
     val pre0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val ownPre = !callerCached(edges)
     val pre = if (ownPre) pre0.persist() else pre0
@@ -1293,6 +1328,9 @@ object GraphOps {
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("kv"))
       .persist()
     val m2 = und.count()
+    // exact-count fallback, as in louvainRefineMulti: the LPA supersteps
+    // AND every refine pass ride the same decision
+    val bc = resolveBroadcastStateExact(broadcastState, edges, deg.count())
     val out =
       if (m2 == 0)
         gammaPcts.map(g => und.select(lit(g).as("gamma_pct"),
@@ -1377,7 +1415,10 @@ object GraphOps {
     // bit-identical to the long path (round-10 overflow audit).
     def wd2Of(a: DataFrame, dC: DataFrame, k: DataFrame): (Long, BigInt) = {
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-      val row = k.join(a.withColumnRenamed("c", "cv"), "id")
+      // state side hinted like every other vertex-sized join in the
+      // loop: unhinted, this probe re-shuffled the EDGE-bounded k frame
+      // (~59M rows at sf10) once per round just to read two scalars
+      val row = k.join(stateSide(a.withColumnRenamed("c", "cv"), bc), "id")
         .filter(col("c") === col("cv"))
         .agg(coalesce(sum(col("kvc")), lit(0L)).as("w"))
         .crossJoin(
@@ -1415,8 +1456,10 @@ object GraphOps {
             lit(0L).as("kvc")))
           .groupBy("id", "c").agg(max(col("kvc")).as("kvc"))
         val moved = cand
-          .join(asg.select(col("id"), col("c").as("cv")), "id")
-          .join(deg, "id")
+          // asg and deg are vertex-sized — hinted, the candidate frame
+          // (edge-bounded) streams through both joins without an exchange
+          .join(stateSide(asg.select(col("id"), col("c").as("cv")), bc), "id")
+          .join(stateSide(deg, bc), "id")
           .join(stateSide(dC, bc), "c")
           .select(col("id"), col("c"),
             (gqm2 * col("kvc").cast(dec) - lit(gp) * col("kv").cast(dec) *
@@ -1528,13 +1571,14 @@ object GraphOps {
       edges: DataFrame, srcCol: String, dstCol: String,
       anchors: DataFrame, maxHops: Int,
       broadcastState: Option[Boolean] = None): DataFrame = {
-    val bc = resolveBroadcastState(broadcastState, edges)
     // dst-partitioned undirected cache + broadcast frontier/seen — the
     // exchange-free hop discipline (see bfsLevels)
     val pre = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val und = pre.union(pre.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("dst"))
       .persist()
+    val bc = resolveBroadcastStateExact(broadcastState, edges,
+      und.select(col("src")).distinct().count())
     var frontier = anchors
       .select(col(anchors.columns.head).as("id"))
       .distinct()
@@ -1678,7 +1722,6 @@ object GraphOps {
       edges: DataFrame, srcCol: String, dstCol: String,
       k: Int, rounds: Int,
       broadcastState: Option[Boolean] = None): DataFrame = {
-    val bc = resolveBroadcastState(broadcastState, edges)
     // canonical distinct set expanded and LOCALLY CHECKPOINTED: the
     // peeling rounds re-reference the edge list ~2× per round, and a
     // checkpoint materializes the (possibly expensive — q102's cosine
@@ -1695,6 +1738,9 @@ object GraphOps {
       .select(col("a").as("src"), col("b").as("dst"))
       .localCheckpoint()
     val allV = und.select(col("src").as("id")).distinct()
+    // survivor state ≤ the vertex count; the distinct-count fallback runs
+    // only when the stats bound refuses (one agg over the checkpoint)
+    val bc = resolveBroadcastStateExact(broadcastState, edges, allV.count())
     var surv = allV
     var degS = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
     for (r <- 1 to rounds) {
