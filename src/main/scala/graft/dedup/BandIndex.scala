@@ -99,11 +99,37 @@ final class BandIndex private (
 
 object BandIndex {
 
+  /** Drop the catalog entry AND its warehouse directory. A fresh
+    * session's catalog does not know a previous session's managed
+    * tables, so `DROP TABLE IF EXISTS` alone is a no-op there while
+    * the stale directory makes the subsequent `saveAsTable` fail with
+    * LOCATION_ALREADY_EXISTS — overwriting a table another session
+    * built needs the location gone too (the dropIndexTable pattern the
+    * query bodies use; surfaced by a fresh-session verify re-run). */
+  private def dropTableAndLocation(spark: SparkSession, tbl: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   /** Build the index over `corpus` (the one-time corpus-sized shuffle)
     * and persist its parameters alongside (`<table>_meta`). Overwrites
-    * any existing index of the same name. */
+    * any existing index of the same name.
+    *
+    * Crash-window discipline: BOTH tables are dropped up front, before
+    * either write. The two writes cannot be atomic together, but with
+    * the stale pair gone a failure between them leaves a MISSING table
+    * — [[open]] or the first read then fails loudly — instead of a new
+    * index silently paired with a previous build's parameters (band
+    * keys are md5 over the minhash slice, so that mismatch would
+    * return zero candidates with no error — the exact trap the façade
+    * exists to close). */
   def build(spark: SparkSession, table: String, corpus: DataFrame,
       cfg: BandIndexConfig): BandIndex = {
+    dropTableAndLocation(spark, table)
+    dropTableAndLocation(spark, s"${table}_meta")
     Dedup.writeBandIndex(table, corpus, cfg.idCol, cfg.textCol,
       cfg.shingleN, cfg.numHashes, cfg.bands, cfg.buckets)
     import spark.implicits._
@@ -120,7 +146,12 @@ object BandIndex {
     * drift fails with a clear error rather than misparsing). */
   def open(spark: SparkSession, table: String): BandIndex = {
     spark.catalog.refreshTable(s"${table}_meta")
-    val m = spark.table(s"${table}_meta").head()
+    // headOption: an empty meta table (an interrupted build's residue)
+    // must fail with a named error, not a bare NoSuchElementException
+    val m = spark.table(s"${table}_meta").limit(1).collect().headOption
+      .getOrElse(throw new IllegalStateException(
+        s"BandIndex.open: ${table}_meta exists but holds no parameter " +
+          s"row — the index build was interrupted; re-run BandIndex.build"))
     val cfg = BandIndexConfig(
       idCol = m.getAs[String]("id_col"),
       textCol = m.getAs[String]("text_col"),

@@ -156,14 +156,21 @@ object GraphOps {
     * call-by-name and only evaluated then, so small graphs (where stats
     * already say yes) pay nothing, and large graphs pay one aggregate
     * over an already-persisted frame to save maxIter edge exchanges.
-    * The OOM ceiling is unchanged — the exact count checks against the
-    * same [[BroadcastVertexLimit]] the bound models. */
+    *
+    * `stateCopies` budgets CONCURRENT broadcasts: block-chained loops
+    * hold up to SuperstepBlock state broadcasts live in one job, and
+    * the refine loop pins asg/deg/dC simultaneously — so the exact
+    * path admits vertexCount ≤ limit/stateCopies, keeping the TOTAL
+    * resident broadcast bytes at the single-broadcast ceiling the
+    * limit models (~1.2 GB). The stats path keeps its historical
+    * single-count rule: it only ever admits graphs ≤ 25M edges, whose
+    * blocks have always fit. */
   private def resolveBroadcastStateExact(
       choice: Option[Boolean], edges: DataFrame,
-      vertexCount: => Long): Boolean =
+      vertexCount: => Long, stateCopies: Int = SuperstepBlock): Boolean =
     choice.getOrElse(
       resolveBroadcastState(None, edges) ||
-        vertexCount <= BroadcastVertexLimit)
+        vertexCount * stateCopies <= BroadcastVertexLimit)
 
   /** True when the caller handed us an already-persisted frame: derive
     * from their cache instead of re-persisting the directed edge list
@@ -201,10 +208,16 @@ object GraphOps {
       .persist()
     // exact-count fallback: only evaluated when the stats bound refuses
     // (dense-graph regime) — one distinct-count over the edge cache buys
-    // maxIter exchange-free supersteps
+    // maxIter exchange-free supersteps. The probed vertex frame is
+    // persisted and handed to lpaSupersteps as the label seed, so the
+    // dense regime pays the vertex distinct once, not twice
+    val verts = und.select(col("src").as("id")).distinct()
+    var vertsProbed = false
     val bc = resolveBroadcastStateExact(broadcastState, edges,
-      und.select(col("src")).distinct().count())
-    val labels = lpaSupersteps(und, maxIter, bc)
+      { vertsProbed = true; verts.persist(); verts.count() })
+    val labels = lpaSupersteps(und, maxIter, bc,
+      seed = if (vertsProbed) Some(verts) else None)
+    if (vertsProbed) verts.unpersist(blocking = false)
     und.unpersist(blocking = false)
     if (ownPre) pre.unpersist(blocking = false)
     labels
@@ -216,8 +229,12 @@ object GraphOps {
     * persisted snapshot; callers that BRANCH on it (e.g. communityLevels)
     * must localCheckpoint it, or the shared subtree re-prints/
     * re-optimizes exponentially. */
-  private def lpaSupersteps(und: DataFrame, maxIter: Int, bc: Boolean): DataFrame = {
-    var labels = und.select(col("src").as("id")).distinct()
+  private def lpaSupersteps(und: DataFrame, maxIter: Int, bc: Boolean,
+      seed: Option[DataFrame] = None): DataFrame = {
+    // seed: a caller-persisted (id) vertex frame (the exact-count probe's)
+    // — reused so the initial distinct isn't recomputed; must be released
+    // by the caller AFTER this returns (the first block snapshot persists)
+    var labels = seed.getOrElse(und.select(col("src").as("id")).distinct())
       .withColumn("label", col("id"))
     var cached: Option[DataFrame] = None
     var done = 0
@@ -293,11 +310,15 @@ object GraphOps {
     val und = numPartitions.fold(undBase.repartition(col("src")))(
         n => undBase.repartition(n, col("src")))
       .persist()
-    // exact-count fallback (evaluated only when the stats bound refuses)
+    // exact-count fallback (evaluated only when the stats bound refuses);
+    // the probe PERSISTS the vertex frame it counts and the label seed
+    // reuses it, so the dense regime pays the vertex distinct once, not
+    // twice (review finding, round 13)
+    val verts = und.select(col("src").as("id")).distinct()
+    var vertsProbed = false
     val bc = resolveBroadcastStateExact(broadcastState, edges,
-      und.select(col("src")).distinct().count())
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+      { vertsProbed = true; verts.persist(); verts.count() })
+    var labels = verts.withColumn("label", col("id"))
     var cached: Option[DataFrame] = None
     // Convergence via the block-boundary label sum: min propagation only
     // ever DECREASES labels, so an unchanged exact sum between snapshots
@@ -333,6 +354,7 @@ object GraphOps {
       labels = snap
       iter += steps
     }
+    if (vertsProbed) verts.unpersist(blocking = false)
     und.unpersist(blocking = false)
     if (ownPre) releaseLocalCheckpoint(pre) // labels snap is materialized
     labels.withColumnRenamed("label", "component")
@@ -1739,8 +1761,11 @@ object GraphOps {
       .localCheckpoint()
     val allV = und.select(col("src").as("id")).distinct()
     // survivor state ≤ the vertex count; the distinct-count fallback runs
-    // only when the stats bound refuses (one agg over the checkpoint)
-    val bc = resolveBroadcastStateExact(broadcastState, edges, allV.count())
+    // only when the stats bound refuses (one agg over the checkpoint).
+    // stateCopies = 6: 3-round blocks × 2 survivor joins per round can
+    // hold six broadcasts live in one job
+    val bc = resolveBroadcastStateExact(broadcastState, edges, allV.count(),
+      stateCopies = 6)
     var surv = allV
     var degS = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
     for (r <- 1 to rounds) {

@@ -26,12 +26,19 @@ object CcPathTiming {
       "auto" -> Dedup.CcPath.Auto,
       "graphx" -> Dedup.CcPath.GraphX,
       "catalyst" -> Dedup.CcPath.Catalyst)
-    // warmup
+    // warmup on the small SF when present, else the measured dir (a
+    // silently-skipped warmup would load JIT/codegen cost onto the
+    // first timed variant — exactly the comparison this tool makes)
+    val warmDir =
+      if (new java.io.File("/root/testdata/sf0.001").isDirectory)
+        "/root/testdata/sf0.001"
+      else sfDir
     for ((_, p) <- paths) {
       try Dedup.fuzzyDedup(spark,
-        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        spark.read.parquet(s"$warmDir/documents.parquet"),
         "doc_id", "text", ccPath = p).count()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"CCPATH warmup failed ($warmDir): $e") }
       clear()
     }
     for ((name, p) <- paths; i <- 1 to n) {

@@ -70,8 +70,10 @@ def main():
         # path like '2024' is legal), in which case take it as the path.
         # Plain-decimal regex, not float(): float() also accepts 'nan'/
         # 'inf'/scientific notation, none of which anyone types as a
-        # threshold (round-12 ADVICE).
-        if re.fullmatch(r"\d+(\.\d+)?", md_path) \
+        # threshold (round-12 ADVICE). Bare-dot forms ('.5', '5.') ARE
+        # typed as thresholds, so the regex admits them too (round-13
+        # review).
+        if re.fullmatch(r"(\d+(\.\d*)?|\.\d+)", md_path) \
                 and not os.path.exists(md_path):
             sys.exit(f"--md operand '{md_path}' looks like a threshold, "
                      "not a file path — put the threshold before --md\n"
@@ -122,8 +124,12 @@ def main():
             continue
         if p1 < PEAK_FLOOR or p0 <= 0:
             continue
-        if p1 / p0 > threshold:
-            peak_movers.append((q, p0, p1, p1 / p0))
+        # floor the DENOMINATOR too: a sub-floor old-side peak (tiny
+        # memory grants vary with co-tenant task concurrency) would
+        # otherwise manufacture a huge ratio from pure grant noise
+        # (round-13 review)
+        if p1 / max(p0, PEAK_FLOOR) > threshold:
+            peak_movers.append((q, p0, p1, p1 / max(p0, PEAK_FLOOR)))
     tot0 = sum(old_qs[q] for q in common if old_qs[q] and old_qs[q] > 0)
     tot1 = sum(new_qs[q] for q in common if new_qs[q] and new_qs[q] > 0)
 
