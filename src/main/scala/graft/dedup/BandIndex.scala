@@ -128,6 +128,10 @@ object BandIndex {
     * exists to close). */
   def build(spark: SparkSession, table: String, corpus: DataFrame,
       cfg: BandIndexConfig): BandIndex = {
+    // both dropped BEFORE either write (writeBandIndex also cleans its
+    // own table, but the ordering here is what closes the crash window:
+    // a failure between the two writes must leave a missing table, not
+    // a stale pair)
     dropTableAndLocation(spark, table)
     dropTableAndLocation(spark, s"${table}_meta")
     Dedup.writeBandIndex(table, corpus, cfg.idCol, cfg.textCol,

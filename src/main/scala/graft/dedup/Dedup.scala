@@ -476,16 +476,28 @@ object Dedup {
     * bucketBy(band_key) makes the table's layout satisfy the band
     * join's distribution, so every subsequent batch joins the index
     * with zero index-side exchange (PlanSpec walks the executed plan).
-    * Columns: (old_id, band, band_key). */
+    * Columns: (old_id, band, band_key).
+    *
+    * Drop-and-clean before the write (the writePqIndex discipline): a
+    * warehouse directory can outlive the in-memory catalog (fresh
+    * session, stale location), and saveAsTable(overwrite) refuses a
+    * location it doesn't own with LOCATION_ALREADY_EXISTS. */
   def writeBandIndex(
       table: String, corpus: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      buckets: Int = 8): Unit =
+      buckets: Int = 8): Unit = {
+    val spark = corpus.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
     minhashBands(corpus, idCol, textCol, shingleN, numHashes, bands)
       .select(col(idCol).as("old_id"), col("band"), col("band_key"))
       .write.mode("overwrite")
       .bucketBy(buckets, "band_key").sortBy("band_key")
       .saveAsTable(table)
+  }
 
   /** MAINTAIN the band index: fold a processed batch's bands INTO the
     * bucketed table, so the next batch's dedup sees this batch's docs —
