@@ -361,6 +361,40 @@ class DedupSpec extends SparkSpec {
     assert(once == d2.values.toSeq.sortBy(_._1))
   }
 
+  test("BandIndex.build: rebuild succeeds over stale warehouse directories " +
+      "the catalog does not know (fresh-session rebuild)") {
+    // the round-13 regression: a fresh session's catalog doesn't know a
+    // previous session's managed tables, so DROP IF EXISTS no-ops while
+    // the stale directory makes saveAsTable(overwrite) refuse with
+    // LOCATION_ALREADY_EXISTS. Simulated here by planting orphan
+    // directories (no catalog entry) at both table locations.
+    import graft.dedup.{BandIndex, BandIndexConfig}
+    val tbl = "graft_band_stale_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_meta")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    for (t <- Seq(tbl, s"${tbl}_meta")) {
+      val d = new java.io.File(new java.net.URI(wh).getPath, t)
+      assert(d.mkdirs() || d.isDirectory)
+      java.nio.file.Files.writeString(d.toPath.resolve("junk"), "stale")
+    }
+    val docs = Seq((1L, base), (2L, unrelated)).toDF("doc_id", "text")
+    val idx = BandIndex.build(spark, tbl, docs, BandIndexConfig("doc_id", "text"))
+    assert(idx.bands.count() == 8) // 2 docs x 4 bands
+    assert(BandIndex.open(spark, tbl).cfg == idx.cfg)
+  }
+
+  test("BandIndex.open: empty meta table fails with a named error") {
+    val tbl = "graft_band_emptymeta_spec"
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_meta")
+    spark.range(0).selectExpr("'x' AS id_col").write
+      .mode("overwrite").saveAsTable(s"${tbl}_meta")
+    val e = intercept[IllegalStateException] {
+      graft.dedup.BandIndex.open(spark, tbl)
+    }
+    assert(e.getMessage.contains("interrupted"))
+  }
+
   test("incrementalNearDup: batch flagged against corpus only, smallest dup id, clean docs pass") {
     val a = base
     val b = base.replace("small dimension", "compact dimension")
