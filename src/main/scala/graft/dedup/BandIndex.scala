@@ -99,20 +99,12 @@ final class BandIndex private (
 
 object BandIndex {
 
-  /** Drop the catalog entry AND its warehouse directory. A fresh
-    * session's catalog does not know a previous session's managed
-    * tables, so `DROP TABLE IF EXISTS` alone is a no-op there while
-    * the stale directory makes the subsequent `saveAsTable` fail with
-    * LOCATION_ALREADY_EXISTS — overwriting a table another session
-    * built needs the location gone too (the dropIndexTable pattern the
-    * query bodies use; surfaced by a fresh-session verify re-run). */
-  private def dropTableAndLocation(spark: SparkSession, tbl: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    val p = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
-  }
+  /** Drop the catalog entry AND its warehouse directory — see
+    * [[graft.sinks.ManagedTables.dropTableAndLocation]] for the full
+    * fresh-session / external-table rules (location resolved from the
+    * catalog, never guessed). */
+  private def dropTableAndLocation(spark: SparkSession, tbl: String): Unit =
+    graft.sinks.ManagedTables.dropTableAndLocation(spark, tbl)
 
   /** Build the index over `corpus` (the one-time corpus-sized shuffle)
     * and persist its parameters alongside (`<table>_meta`). Overwrites

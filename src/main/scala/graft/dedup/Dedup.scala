@@ -487,11 +487,7 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       buckets: Int = 8): Unit = {
     val spark = corpus.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val p = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    graft.sinks.ManagedTables.dropTableAndLocation(spark, table)
     minhashBands(corpus, idCol, textCol, shingleN, numHashes, bands)
       .select(col(idCol).as("old_id"), col("band"), col("band_key"))
       .write.mode("overwrite")

@@ -588,8 +588,11 @@ object GraphOps {
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       .persist()
     val n = deg.count() // one scalar agg job; also materializes deg + und
-    // n IS the vertex count — the exact-fallback resolution is free here
-    val bc = resolveBroadcastStateExact(broadcastState, edges, n)
+    // n IS the vertex count — the exact-fallback resolution is free here.
+    // stateCopies: PR blocks chain 2·SuperstepBlock lazy steps per job,
+    // each pinning its own state broadcast — budget all 8, not 4
+    val bc = resolveBroadcastStateExact(broadcastState, edges, n,
+      stateCopies = 2 * SuperstepBlock)
     if (n == 0) { // empty edge set: no vertices, no rank mass to divide
       und.unpersist(blocking = false)
       deg.unpersist(blocking = false)
@@ -662,7 +665,9 @@ object GraphOps {
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       .persist()
     val n = deg.count()
-    val bc = resolveBroadcastStateExact(broadcastState, edges, n)
+    // 2·SuperstepBlock lazy steps per block job (see pageRankFixedPoint)
+    val bc = resolveBroadcastStateExact(broadcastState, edges, n,
+      stateCopies = 2 * SuperstepBlock)
     if (n == 0) {
       und.unpersist(blocking = false)
       deg.unpersist(blocking = false)
@@ -747,7 +752,9 @@ object GraphOps {
     val deg = und.groupBy(col("src").as("id")).agg(sum(col("w")).as("wdeg"))
       .persist()
     val n = deg.count()
-    val bc = resolveBroadcastStateExact(broadcastState, edges, n)
+    // 2·SuperstepBlock lazy steps per block job (see pageRankFixedPoint)
+    val bc = resolveBroadcastStateExact(broadcastState, edges, n,
+      stateCopies = 2 * SuperstepBlock)
     if (n == 0) {
       und.unpersist(blocking = false)
       deg.unpersist(blocking = false)
@@ -902,9 +909,15 @@ object GraphOps {
       return srcs.select(col("id"), lit(0L).as("hub"), lit(0L).as("auth"))
     }
     // hub state spans the srcs, auth state the dsts — the exact fallback
-    // bounds both sides (dst distinct evaluated only when stats refuse)
+    // bounds both sides with distinct(src ∪ dst), not nSrc + |dst|: the
+    // sum double-counts vertices on both sides (every vertex, in
+    // undirected-style graphs) and would refuse dense graphs whose true
+    // combined state fits (round-13 advice). Evaluated only when the
+    // stats bound refuses.
     val bc = resolveBroadcastStateExact(broadcastState, edges,
-      nSrc + eByDst.select(col("dst")).distinct().count())
+      eBySrc.select(col("src").as("id"))
+        .union(eByDst.select(col("dst").as("id")))
+        .distinct().count())
     // max(…,1): a unit of 0 (scale < nSrc) would zero every raw sum and
     // the rescale would divide by zero — floor the unit at 1 instead
     var hub = srcs.withColumn("h", lit(math.max(scale / nSrc, 1L)))

@@ -236,6 +236,41 @@ object Relational {
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Sizing rule for [[saltedJoin]]'s `salts` (round-13 verdict item 6):
+    * the benefit caps at the skew — spreading a hot key over more
+    * reducers than it has rows-per-target buys nothing — while the COST
+    * is the `salts`× right-side replication, whose shuffle volume and
+    * per-task build memory scale as |right| · salts / shufflePartitions.
+    * So: salts = ceil(hottestKeyRows / targetRowsPerSalt), clamped to
+    * [1, maxSalts]. `hottestKeyRows` comes from one probe aggregation
+    * over the left side's key column (cheap next to the join itself; at
+    * 100 TB, probe a fixed-seed sample and scale, accepting a ±few-%
+    * salt estimate — the result is identical for ANY salts ≥ 1). */
+  def adaptiveSalts(
+      left: DataFrame, key: String,
+      targetRowsPerSalt: Long = 1L << 20, maxSalts: Int = 64): Int = {
+    require(targetRowsPerSalt > 0 && maxSalts >= 1)
+    // 1-row scalar probe (the deg.count() discipline): hottest key count
+    val hot = left.groupBy(col(key)).agg(count(lit(1)).as("__c"))
+      .agg(max(col("__c"))).limit(1).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(0L)
+    math.max(1, math.min(maxSalts.toLong,
+      (hot + targetRowsPerSalt - 1) / targetRowsPerSalt)).toInt
+  }
+
+  /** [[saltedJoin]] with the salt factor measured from the data: pays
+    * one probe aggregation to size the replication to the ACTUAL skew
+    * instead of a guessed constant — uniform keys degenerate to salts=1
+    * (the plain join, zero replication), and a melted-reducer key gets
+    * exactly the spread it needs. Result ≡ the plain equi-join for any
+    * salts (RelationalSpec pins both). */
+  def saltedJoinAuto(
+      left: DataFrame, right: DataFrame, key: String,
+      targetRowsPerSalt: Long = 1L << 20, maxSalts: Int = 64): DataFrame =
+    saltedJoin(left, right, key,
+      salts = adaptiveSalts(left, key, targetRowsPerSalt, maxSalts))
+
   /** Group-wise z-score standardization of a numeric column (the feature
     * normalization step of ML data prep), deterministic under any
     * aggregation order: mean/variance come from DECIMAL-exact Σx and Σx²

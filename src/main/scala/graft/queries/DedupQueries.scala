@@ -817,11 +817,7 @@ object DedupQueries {
   private def dropIndexTable(s: org.apache.spark.sql.SparkSession,
       dir: String, prefix: String): String = {
     val tbl = s"${prefix}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
-    val p = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    graft.sinks.ManagedTables.dropTableAndLocation(s, tbl)
     tbl
   }
 

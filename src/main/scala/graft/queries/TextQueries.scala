@@ -873,7 +873,72 @@ object TextQueries {
         col("doc_id"),
         TextExpressions.fixMojibake(lossy, passes = 1).as("repaired"))
     },
+
+    q178BpeExact,
   )
+
+  /** q178 fixture merges (the exact-BPE demo model): 18 common-English
+    * pairs, WELL-FORMED — every merge's components are base characters
+    * or results of earlier merges, and all results are distinct — so
+    * the engine's lowest-rank-first loop and the oracle's rank-order
+    * replace pass provably coincide ([[graft.text.BpeModel]]'s
+    * equivalence note; the property is also pinned brute-force in
+    * BpeSpec). This is a QUERY fixture, not a bundled model: the
+    * library takes merges as caller data (BpeModel.fromDataFrame). */
+  // lazy: `all` above initializes first and q178BpeExact reads this
+  private[graft] lazy val Q178Merges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "o" -> "n",
+    "e" -> "r", "a" -> "t", "e" -> "n", "o" -> "r", "an" -> "d",
+    "in" -> "g", "o" -> "u", "s" -> "t", "a" -> "r", "o" -> "f",
+    "e" -> "s", "r" -> "e", "i" -> "s")
+
+  /** T3 EXACT mode (closes the last documented deviation): per-document
+    * token counts from a REAL merges-table BPE (graft.text.BpeModel —
+    * true lowest-rank-first merging, the HF/GPT-2 algorithm), plus the
+    * closed-form 2048/512 window budget over them. The DuckDB oracle
+    * re-derives every count independently: each distinct word is
+    * paren-wrapped per character and the merges are replayed IN RANK
+    * ORDER as nested `replace` calls (SQL replace is left-to-right and
+    * non-overlapping — exactly BPE's merge-all step), so an oracle
+    * match is a cross-engine proof of the tokenizer, not a shared-code
+    * tautology. Distinct-word granularity keeps the oracle linear in
+    * vocabulary, and the engine memoises per task for the same reason
+    * (Zipf: distinct words ≪ tokens). */
+  private def q178BpeExact: Q = {
+    val folded = Q178Merges.foldLeft("e") { case (acc, (a, b)) =>
+      s"replace($acc, '($a)($b)', '($a$b)')"
+    }
+    Q("q178_bpe_exact_tokens",
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+         |  FROM documents),
+         |dw AS (SELECT DISTINCT w FROM words),
+         |enc AS (SELECT w, regexp_replace(w, '(.)', '(\\1)', 'g') AS e FROM dw),
+         |tokd AS (SELECT w, $folded AS t FROM enc),
+         |cnt AS (SELECT w, CAST(length(t) - length(replace(t, '(', '')) AS BIGINT) AS n
+         |        FROM tokd),
+         |wsum AS (SELECT doc_id, SUM(n) AS wn FROM words JOIN cnt USING (w) GROUP BY doc_id),
+         |tot AS (
+         |  SELECT d.doc_id,
+         |    CAST(COALESCE(w.wn, 0)
+         |         + len(regexp_extract_all(d.text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS bpe_tokens
+         |  FROM documents d LEFT JOIN wsum w ON d.doc_id = w.doc_id)
+         |SELECT doc_id, bpe_tokens,
+         |  GREATEST(1, CAST(CEIL((bpe_tokens - 512) / 1536.0) AS BIGINT)) AS n_chunks
+         |FROM tot""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val model = graft.text.BpeModel(Q178Merges)
+      Tables(s, dir, "documents").select("doc_id", "text").as[(Long, String)]
+        .mapPartitions { it =>
+          val memo = new java.util.HashMap[String, Integer](1 << 12)
+          it.map { case (id, t0) =>
+            val n = model.textTokenLen(Option(t0).getOrElse(""), memo)
+            (id, n.toLong,
+              Chunker.nChunks(n, Chunker.RagSizeTokens, Chunker.RagOverlapTokens).toLong)
+          }
+        }.toDF("doc_id", "bpe_tokens", "n_chunks")
+    }
+  }
 
   /** Shared oracle prelude for q83/q85: the greedy per-source packing
     * fold as a recursive CTE (state = item index, bin fill, bin index;

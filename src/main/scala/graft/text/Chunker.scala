@@ -191,6 +191,36 @@ object Chunker {
   def tokenChunks(text: String): Seq[String] =
     recursiveChunksBy(text, RagSizeTokens, RagOverlapTokens, proxyTokenLen)
 
+  /** T3 EXACT mode: the same separator-cascade chunker budgeted by a
+    * real BPE tokenizer ([[BpeModel]]) instead of the calibrated proxy —
+    * token-exact chunk boundaries for whatever merges table the caller
+    * supplies (their model's `merges.txt` as data; nothing bundled).
+    * The proxy remains the no-model default: `tokenChunks` is unchanged.
+    * Same additivity caveat as every lenFn here (exact at separator
+    * boundaries, where alnum runs never span pieces; the "" fallback
+    * splits at `size` chars, safe because BPE tokens(s) <= |s|). */
+  def tokenChunksExact(text: String, model: BpeModel,
+      size: Int = RagSizeTokens, overlap: Int = RagOverlapTokens): Seq[String] =
+    recursiveChunksBy(text, size, overlap, model.lenFnWithMemo())
+
+  /** Dataset generator for the exact mode — one word-count memo per
+    * TASK (not per document), so the Zipfian repetition of natural text
+    * amortizes the per-word BPE across the whole partition. */
+  def explodeTokensExact(docs: DataFrame, model: BpeModel,
+      size: Int = RagSizeTokens, overlap: Int = RagOverlapTokens): Dataset[DocChunk] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id", "text").as[(Long, String)].mapPartitions { it =>
+      val lenFn = model.lenFnWithMemo()
+      it.flatMap { case (id, text0) =>
+        val cs = recursiveChunksBy(Option(text0).getOrElse(""), size, overlap, lenFn)
+        cs.zipWithIndex.map { case (c, i) =>
+          DocChunk(id, i, s"${id}_chunk_${i + 1}", c, cs.length)
+        }
+      }
+    }
+  }
+
   /** Dataset generator over documents(doc_id, text) at the reference's
     * token-budget parameters (the production RAG path; `explode` below
     * keeps the char-budget variants the closed-form oracles replay). */

@@ -866,15 +866,11 @@ object Similarity {
       s"cells frame needs (cell_id, cell) columns; got ${cells.columns.mkString(",")}")
     // drop-and-clean: a warehouse directory can outlive the in-memory
     // catalog (fresh session, stale location), and saveAsTable refuses
-    // to CREATE over an orphan directory — the q105 lesson, same
-    // discipline as DedupQueries.dropIndexTable
+    // to CREATE over an orphan directory — the q105 lesson; location
+    // resolution centralized in ManagedTables (round-13 advice: never
+    // guess <warehouse>/<tbl>)
     Seq("meta", "cent", "codes", "cells", "coarse").foreach { sfx =>
-      val tbl = s"${table}_$sfx"
-      spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      val p = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+      graft.sinks.ManagedTables.dropTableAndLocation(spark, s"${table}_$sfx")
     }
     coarse.foreach { case (c, _) =>
       c.select(col("cell"), col("cv"))
@@ -910,7 +906,13 @@ object Similarity {
       table: String): (PqModel, DataFrame) = {
     Seq("meta", "cent", "codes", "cells")
       .foreach(sfx => spark.catalog.refreshTable(s"${table}_$sfx"))
-    val meta = spark.table(s"${table}_meta").head()
+    // headOption: an empty meta table (an interrupted build's residue)
+    // must fail with a named error, not a bare NoSuchElementException
+    // (the BandIndex.open discipline, round-13 verdict item 4)
+    val meta = spark.table(s"${table}_meta").limit(1).collect().headOption
+      .getOrElse(throw new IllegalStateException(
+        s"${table}_meta exists but holds no parameter row — the index " +
+          s"build was interrupted; re-run writePqIndex/IvfPqIndex.write"))
     val (m, subDims, idCol) =
       (meta.getAs[Int]("m"), meta.getAs[Int]("sub_dims"),
         meta.getAs[String]("id_col"))
@@ -957,7 +959,13 @@ object Similarity {
       table: String, newEmb: DataFrame, vecCol: String): Unit = {
     Seq("meta", "cent", "codes", "cells")
       .foreach(sfx => spark.catalog.refreshTable(s"${table}_$sfx"))
-    val meta = spark.table(s"${table}_meta").head()
+    // headOption: an empty meta table (an interrupted build's residue)
+    // must fail with a named error, not a bare NoSuchElementException
+    // (the BandIndex.open discipline, round-13 verdict item 4)
+    val meta = spark.table(s"${table}_meta").limit(1).collect().headOption
+      .getOrElse(throw new IllegalStateException(
+        s"${table}_meta exists but holds no parameter row — the index " +
+          s"build was interrupted; re-run writePqIndex/IvfPqIndex.write"))
     val (m, subDims, idCol, metric, buckets) =
       (meta.getAs[Int]("m"), meta.getAs[Int]("sub_dims"),
         meta.getAs[String]("id_col"), meta.getAs[String]("coarse_metric"),

@@ -133,4 +133,57 @@ class IvfPqIndexSpec extends SparkSpec {
         .search(e.orderBy("vec_id").limit(1), topK = 5))
     assert(after == before, "failed preflight destroyed the index")
   }
+
+  test("write: rebuild succeeds over stale warehouse directories the " +
+      "catalog does not know (fresh-session rebuild — BandIndex twin)") {
+    // round-13 verdict item 4: the PQ index write shares BandIndex's
+    // catalog+location idiom, so it needs the same pin — a fresh
+    // session's catalog doesn't know a previous session's managed
+    // tables (DROP IF EXISTS no-ops) while the stale directories make
+    // saveAsTable refuse with LOCATION_ALREADY_EXISTS. Simulated by
+    // planting orphan directories at all five table locations.
+    val tbl = "ivfpq_stale_spec"
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    for (sfx <- Seq("meta", "cent", "codes", "cells", "coarse")) {
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_$sfx")
+      val d = new java.io.File(new java.net.URI(wh).getPath, s"${tbl}_$sfx")
+      assert(d.mkdirs() || d.isDirectory)
+      java.nio.file.Files.writeString(d.toPath.resolve("junk"), "stale")
+    }
+    val e = emb
+    val idx = IvfPqIndex.fit(e, IvfPqConfig("vec_id", "embedding",
+      nCells = 8, m = 4, subDims = 16, k = 4, iters = 2))
+    idx.write(tbl) // must not throw LOCATION_ALREADY_EXISTS
+    idx.release()
+    val served = IvfPqIndex.read(spark, tbl, "embedding")
+      .search(e.orderBy("vec_id").limit(1), topK = 5)
+    assert(collect(served).nonEmpty)
+  }
+
+  test("read: empty meta table (interrupted build) fails with a named " +
+      "error, not a bare NoSuchElementException") {
+    val tbl = "ivfpq_emptymeta_spec"
+    // interrupted-build residue: every table present, meta rowless (the
+    // readers refresh the sibling tables before the meta read, so they
+    // must exist for the guard itself to be reachable)
+    for (sfx <- Seq("meta", "cent", "codes", "cells", "coarse")) {
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_$sfx")
+      spark.range(0).selectExpr("'x' AS placeholder")
+        .write.mode("overwrite").saveAsTable(s"${tbl}_$sfx")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_meta")
+    spark.range(0)
+      .selectExpr("CAST(0 AS INT) AS m", "CAST(0 AS INT) AS sub_dims",
+        "'x' AS id_col", "'none' AS coarse_metric", "CAST(0 AS INT) AS buckets")
+      .write.mode("overwrite").saveAsTable(s"${tbl}_meta")
+    val e1 = intercept[IllegalStateException] {
+      IvfPqIndex.read(spark, tbl, "embedding")
+    }
+    assert(e1.getMessage.contains("interrupted"))
+    val e2 = intercept[IllegalStateException] {
+      Similarity.appendPqIndex(spark, tbl,
+        emb.limit(1), "embedding")
+    }
+    assert(e2.getMessage.contains("interrupted"))
+  }
 }

@@ -210,6 +210,27 @@ class RelationalSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq && plain.nonEmpty)
   }
 
+  test("adaptiveSalts sizes to the measured skew; saltedJoinAuto ≡ plain " +
+      "join at every regime (uniform → 1 salt, hot key → spread, clamp)") {
+    // 100-row hot key + singletons: target 10 rows/salt → 10 salts;
+    // clamp wins when maxSalts < need; uniform data degenerates to 1
+    val hot = (1 to 100).map(i => (7L, s"h$i")) ++
+      Seq((2L, "x"), (3L, "y"))
+    val left = hot.toDF("k", "lv")
+    assert(R.adaptiveSalts(left, "k", targetRowsPerSalt = 10) == 10)
+    assert(R.adaptiveSalts(left, "k", targetRowsPerSalt = 10, maxSalts = 4) == 4)
+    assert(R.adaptiveSalts(left, "k", targetRowsPerSalt = 1000) == 1)
+    val uniform = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "lv")
+    assert(R.adaptiveSalts(uniform, "k") == 1)
+    assert(R.adaptiveSalts(uniform.limit(0), "k") == 1) // empty probe side
+    val right = Seq((7L, "X"), (7L, "Y"), (2L, "Z")).toDF("k", "rv")
+    val auto = R.saltedJoinAuto(left, right, "k", targetRowsPerSalt = 10)
+      .select("k", "lv", "rv").as[(Long, String, String)].collect().sorted
+    val plain = left.join(right, "k")
+      .select("k", "lv", "rv").as[(Long, String, String)].collect().sorted
+    assert(auto.toSeq == plain.toSeq && plain.nonEmpty)
+  }
+
   test("zscore: hand-computed values, constant group nulls out") {
     val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("c", 7.0), ("c", 7.0))
       .toDF("grp", "x")

@@ -20,10 +20,19 @@ Accepts either artifact shape:
 A record whose "queries" map is the compact {"n": N} fallback carries no
 per-query data and is rejected with a pointer to bench_detail.json.
 
-Load adjustment: ratio_adj = ratio / max(1, mean(load_new)/mean(load_old)).
-A busier box on the NEW side discounts apparent regressions; a quieter
-box never inflates them (a 2x move on an idle box is real). Dev tooling
-only — not part of the engine.
+Box-factor adjustment (round-13 verdict item 2): load stamps proved
+misleading (r13's stamps were near-idle while the box ran 1.15x slow),
+so the normalizer is now the PINNED CONTROL QUERIES — queries no round
+touches, whose ratio measures the box, not the code:
+  q10 (fixed-overhead anti-join), q22 (CPU-bound regex+md5 over
+  documents), q01 (shuffle-bound lineitem aggregate)
+ratio_adj = ratio / max(1, median(control ratios)). The median survives
+one disturbed control; the 1.0 floor keeps a quieter new box from
+discounting real movers (a 2x move on an idle box is real). Override
+the set with --controls q10,q22 (e.g. for subset records). When NO
+control is present on both sides, falls back to the old load-stamp
+factor and says so. The control factor is printed as `ctl x` and only
+movers above it flag. Dev tooling only — not part of the engine.
 """
 import json
 import os
@@ -79,6 +88,14 @@ def main():
                      "not a file path — put the threshold before --md\n"
                      + __doc__)
         del argv[i:i + 2]
+    controls = ["q10", "q22", "q01"]
+    if "--controls" in argv:
+        i = argv.index("--controls")
+        if i + 1 >= len(argv):
+            sys.exit("--controls requires a comma-separated query list\n"
+                     + __doc__)
+        controls = [c for c in argv[i + 1].split(",") if c]
+        del argv[i:i + 2]
     if len(argv) < 2:
         sys.exit(__doc__)
     old_qs, old_load, old_git, old_sf, old_raw, old_peak = load_record(argv[0])
@@ -86,7 +103,26 @@ def main():
     threshold = float(argv[2]) if len(argv) > 2 else 2.0
 
     lo, ln = mean_load(old_load), mean_load(new_load)
-    factor = max(1.0, ln / lo) if lo and ln and lo > 0 else 1.0
+    load_factor = max(1.0, ln / lo) if lo and ln and lo > 0 else 1.0
+    # control ratios: only controls that RAN (>0) on both sides count
+    ctl_ratios = sorted(
+        new_qs[q] / old_qs[q] for q in controls
+        if isinstance(old_qs.get(q), (int, float))
+        and isinstance(new_qs.get(q), (int, float))
+        and old_qs[q] > 0 and new_qs[q] > 0)
+    if ctl_ratios:
+        mid = len(ctl_ratios) // 2
+        ctl = (ctl_ratios[mid] if len(ctl_ratios) % 2
+               else (ctl_ratios[mid - 1] + ctl_ratios[mid]) / 2)
+        factor = max(1.0, ctl)
+        factor_src = (f"ctl {ctl:.2f}x (median of "
+                      + ", ".join(f"{q}" for q in controls
+                                  if isinstance(old_qs.get(q), (int, float))
+                                  and isinstance(new_qs.get(q), (int, float))
+                                  and old_qs[q] > 0 and new_qs[q] > 0) + ")")
+    else:
+        factor = load_factor
+        factor_src = f"load {load_factor:.2f}x (NO control present on both sides)"
     common = sorted(set(old_qs) & set(new_qs))
     added = sorted(set(new_qs) - set(old_qs))
     removed = sorted(set(old_qs) - set(new_qs))
@@ -146,9 +182,10 @@ def main():
     print(f"old: {argv[0]} git={old_git} sf={old_sf} load={old_load}")
     print(f"new: {argv[1]} git={new_git} sf={new_sf} load={new_load}")
     print(f"common={len(common)} added={len(added)} removed={len(removed)} "
-          f"load_factor={factor:.2f} threshold={threshold}x")
+          f"box_factor={factor:.2f} [{factor_src}; load stamps "
+          f"{old_load}->{new_load}] threshold={threshold}x")
     print(f"common-query total: {tot0:.1f} s -> {tot1:.1f} s "
-          f"({tot1 / tot0:.2f}x raw, {tot1 / tot0 / factor:.2f}x load-adj)"
+          f"({tot1 / tot0:.2f}x raw, {tot1 / tot0 / factor:.2f}x box-adj)"
           if tot0 > 0 else "no comparable totals")
     if added:
         print("added:", ", ".join(added))
@@ -161,11 +198,11 @@ def main():
         top = sorted((r for r in rows if r[3] is not None),
                      key=lambda r: -r[2])[:15]
         ratio_txt = (f"({tot1 / tot0:.2f}x raw, "
-                     f"{tot1 / tot0 / factor:.2f}x load-adj)"
+                     f"{tot1 / tot0 / factor:.2f}x box-adj)"
                      if tot0 > 0 else "(no comparable totals)")
         with open(md_path, "a") as f:
             f.write(f"\n### bench_diff {old_git} -> {new_git} "
-                    f"(sf={new_sf}, load_factor={factor:.2f})\n\n")
+                    f"(sf={new_sf}, box_factor={factor:.2f} [{factor_src}])\n\n")
             f.write(f"common={len(common)} total {tot0:.1f} s -> {tot1:.1f} s "
                     f"{ratio_txt}; "
                     f"added: {', '.join(added) or 'none'}; "
@@ -196,7 +233,7 @@ def main():
             print(f"  {q}: old={t0} new={t1}")
         bad = True
     if flagged:
-        print(f"\nFLAGGED (> {threshold}x load-adjusted):")
+        print(f"\nFLAGGED (> {threshold}x box-adjusted):")
         for q, t0, t1, ratio, adj in sorted(flagged, key=lambda r: -r[4]):
             print(f"  {q}: {t0:.2f} s -> {t1:.2f} s  ({ratio:.2f}x raw, "
                   f"{adj:.2f}x adj){raw_note(new_raw, q)}")
@@ -208,7 +245,7 @@ def main():
             print(f"  {q}: {p0 / 2**20:.0f} MiB -> {p1 / 2**20:.0f} MiB "
                   f"({r:.2f}x)")
     if not bad:
-        print(f"OK: no query moved >{threshold}x load-adjusted, none newly errored")
+        print(f"OK: no query moved >{threshold}x box-adjusted, none newly errored")
         return
     sys.exit(1)
 
