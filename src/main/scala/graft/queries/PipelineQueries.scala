@@ -415,16 +415,10 @@ object PipelineQueries {
       val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
       // the warehouse DIRECTORY outlives the session's in-memory catalog:
       // a fresh session can't overwrite a table it doesn't know whose
-      // location survived a prior run — drop both catalog entry and dir
-      def reset(name: String): Unit = {
-        s.sql(s"DROP TABLE IF EXISTS $name")
-        val p = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-      }
-      reset(s"graft_bkt_li_$sfx")
-      reset(s"graft_bkt_ord_$sfx")
+      // location survived a prior run — drop catalog entry and orphan dir
+      // (centralized: location resolved from the catalog, never guessed)
+      graft.sinks.ManagedTables.dropTableAndLocation(s, s"graft_bkt_li_$sfx")
+      graft.sinks.ManagedTables.dropTableAndLocation(s, s"graft_bkt_ord_$sfx")
       Tables(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
         .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable(s"graft_bkt_li_$sfx")

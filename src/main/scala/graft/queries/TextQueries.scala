@@ -910,7 +910,11 @@ object TextQueries {
     }
     Q("q178_bpe_exact_tokens",
       s"""WITH words AS (
-         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+         |  -- ASCII classes on the RAW text, lower() only on the extracted
+         |  -- ASCII word: the engine lowercases A-Z alone, while lower(text)
+         |  -- is full-Unicode (U+0130 'İ' → 'i'+combining dot would mint a
+         |  -- word the engine never sees) — the q135 discipline
+         |  SELECT doc_id, lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS w
          |  FROM documents),
          |dw AS (SELECT DISTINCT w FROM words),
          |enc AS (SELECT w, regexp_replace(w, '(.)', '(\\1)', 'g') AS e FROM dw),
@@ -919,9 +923,12 @@ object TextQueries {
          |        FROM tokd),
          |wsum AS (SELECT doc_id, SUM(n) AS wn FROM words JOIN cnt USING (w) GROUP BY doc_id),
          |tot AS (
+         |  -- COALESCE both terms: a NULL text must yield 0 tokens / 1 chunk
+         |  -- exactly like the engine's getOrElse(""), not NULL
          |  SELECT d.doc_id,
          |    CAST(COALESCE(w.wn, 0)
-         |         + len(regexp_extract_all(d.text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS bpe_tokens
+         |         + COALESCE(len(regexp_extract_all(d.text, '[^a-zA-Z0-9\\s]')), 0)
+         |         AS BIGINT) AS bpe_tokens
          |  FROM documents d LEFT JOIN wsum w ON d.doc_id = w.doc_id)
          |SELECT doc_id, bpe_tokens,
          |  GREATEST(1, CAST(CEIL((bpe_tokens - 512) / 1536.0) AS BIGINT)) AS n_chunks

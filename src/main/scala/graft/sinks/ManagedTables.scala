@@ -14,14 +14,17 @@ import org.apache.spark.sql.SparkSession
   * q141/q152 regression). Rebuild paths therefore need the location
   * gone too — but resolved CORRECTLY, not guessed:
   *
-  *   - catalog KNOWS the table → plain `DROP TABLE` already deletes a
-  *     managed table's directory, wherever it really lives (non-default
-  *     database, custom db location), and deliberately PRESERVES an
-  *     external table's data. No manual delete: the old guessed-path
+  *   - catalog knows the table as MANAGED → plain `DROP TABLE` deletes
+  *     its directory, wherever it really lives (non-default database,
+  *     custom db location). No manual delete: the old guessed-path
   *     `fs.delete` could destroy external data DROP meant to keep.
-  *   - catalog does NOT know the table (the orphan case) → only then
-  *     delete the managed layout `<databaseLocation>/<table>`, with the
-  *     database location resolved from the catalog (guessing
+  *   - catalog knows it as EXTERNAL → DROP preserves its data at its
+  *     own location (by contract), then the db-default managed path is
+  *     swept for a PREVIOUS session's orphan directory, which would
+  *     otherwise still fail the rebuild.
+  *   - catalog does NOT know the table (the orphan case) → delete the
+  *     managed layout `<databaseLocation>/<table>`, with the database
+  *     location resolved from the catalog (guessing
   *     `<warehouse>/<table>` silently no-ops for qualified names and
   *     non-default current databases — round-13 advice).
   */
@@ -37,17 +40,33 @@ object ManagedTables {
       case _ => throw new IllegalArgumentException(
         s"dropTableAndLocation: expected 'tbl' or 'db.tbl', got '$table'")
     }
-    if (spark.catalog.tableExists(table)) {
-      spark.sql(s"DROP TABLE IF EXISTS $table")
-    } else {
+    val known = spark.catalog.tableExists(table)
+    // EXTERNAL tables keep their data across DROP by contract — record
+    // the type BEFORE dropping so the orphan sweep below can still run
+    // for them (their data lives at their own location; the managed
+    // default path is a separate directory a previous session may have
+    // left behind). MANAGED tables need no sweep: DROP deletes theirs.
+    val wasManaged = known &&
+      spark.catalog.getTable(table).tableType == "MANAGED"
+    if (known) spark.sql(s"DROP TABLE IF EXISTS $table")
+    if (!wasManaged) {
       val db = dbOpt.getOrElse(spark.catalog.currentDatabase)
       // a db that doesn't exist has no orphan directory to clean — the
       // subsequent saveAsTable will surface the real error if any
       if (spark.catalog.databaseExists(db)) {
         val dbLoc = spark.catalog.getDatabase(db).locationUri
+        // Locale.ROOT: catalog identifiers lowercase locale-invariantly
+        // (a tr-TR default locale would dotless-ı 'I' into a path the
+        // catalog never wrote)
         val p = new org.apache.hadoop.fs.Path(
-          new org.apache.hadoop.fs.Path(dbLoc), tbl.toLowerCase)
+          new org.apache.hadoop.fs.Path(dbLoc),
+          tbl.toLowerCase(java.util.Locale.ROOT))
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // Caveat, documented: an EXTERNAL table deliberately LOCATED at
+        // the db-default managed path will lose its directory here —
+        // that name is about to be overwritten as a managed index, and
+        // the rebuild contract wins over a table parked in the managed
+        // namespace.
         if (fs.exists(p)) fs.delete(p, true)
       }
     }

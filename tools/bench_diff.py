@@ -104,22 +104,19 @@ def main():
 
     lo, ln = mean_load(old_load), mean_load(new_load)
     load_factor = max(1.0, ln / lo) if lo and ln and lo > 0 else 1.0
-    # control ratios: only controls that RAN (>0) on both sides count
-    ctl_ratios = sorted(
-        new_qs[q] / old_qs[q] for q in controls
-        if isinstance(old_qs.get(q), (int, float))
-        and isinstance(new_qs.get(q), (int, float))
-        and old_qs[q] > 0 and new_qs[q] > 0)
+    # control ratios: only controls that RAN (>0) on both sides count —
+    # ONE presence list drives both the median and the printed label
+    present = [q for q in controls
+               if isinstance(old_qs.get(q), (int, float))
+               and isinstance(new_qs.get(q), (int, float))
+               and old_qs[q] > 0 and new_qs[q] > 0]
+    ctl_ratios = sorted(new_qs[q] / old_qs[q] for q in present)
     if ctl_ratios:
         mid = len(ctl_ratios) // 2
         ctl = (ctl_ratios[mid] if len(ctl_ratios) % 2
                else (ctl_ratios[mid - 1] + ctl_ratios[mid]) / 2)
         factor = max(1.0, ctl)
-        factor_src = (f"ctl {ctl:.2f}x (median of "
-                      + ", ".join(f"{q}" for q in controls
-                                  if isinstance(old_qs.get(q), (int, float))
-                                  and isinstance(new_qs.get(q), (int, float))
-                                  and old_qs[q] > 0 and new_qs[q] > 0) + ")")
+        factor_src = f"ctl {ctl:.2f}x (median of " + ", ".join(present) + ")"
     else:
         factor = load_factor
         factor_src = f"load {load_factor:.2f}x (NO control present on both sides)"
