@@ -1466,8 +1466,16 @@ object GraphOps {
     val (w0, d20) = wd2Of(asg0, dC0, k0)
     // per-γ gated local-move loops over the shared start state; `own`
     // tracks whether (asg, dC, k) are this γ's private frames (safe to
-    // release) or the shared ones (released once, after all γ)
-    val finals = gammaPcts.map { g =>
+    // release) or the shared ones (released once, after all γ).
+    // The γ loops run CONCURRENTLY (round 14): each is driver-gated — a
+    // scalar wd2Of probe per round — so run sequentially the ladder's
+    // rounds serialize end to end despite sharing nothing but the
+    // already-materialized start state (the wd2Of(asg0,·) probe above is
+    // the materializer: it reads asg0's lazy checkpoint AND fills the
+    // dC0/k0 caches, satisfying Concurrent's shared-inputs contract).
+    // Each γ touches only its own frames after that, so results — and
+    // the q134/q140/q147/q150/q60 oracles — are bit-identical.
+    val finals = graft.operators.Concurrent.mapInParallel(gammaPcts) { g =>
       val (gp, gq) = reduced(g)
       var asg = asg0; var dC = dC0; var k = k0
       var own = false

@@ -557,12 +557,30 @@ object Similarity {
     * frames are persisted and materialized here so downstream consumers
     * (code extraction, any number of ADC searches) never re-run a fit.
     * Scale shape unchanged from pqCodes/pqAdcTopK: broadcast centroids,
-    * k·subDims-bounded aggs, no pairwise work. */
+    * k·subDims-bounded aggs, no pairwise work.
+    *
+    * The m chains materialize CONCURRENTLY (round 14): kmeans builds a
+    * lazy plan, so the fit's only driver barriers were the per-subspace
+    * `cent.count()` calls — sequential, they serialized m full Lloyd
+    * DAGs end to end even though the chains share nothing. One
+    * submitting thread per chain overlaps them (Spark job submission is
+    * thread-safe; under FIFO, idle task slots drain later jobs' stages
+    * — the iteration stages are k·dim-sized aggs that never saturate a
+    * cluster alone). Results are bit-identical either way: each chain
+    * is a pure function of its slice (the determinism contract above),
+    * and the q145/q151/q153/q167–q176 oracles pin exactly that.
+    * One prerequisite: a caller-persisted input (the residual variants
+    * pass a lazily-persisted `resid` frame) is materialized HERE, before
+    * the fan-out — otherwise every chain's first job races to compute
+    * the shared upstream plan m times over (same answers, m× the work;
+    * Spark's cache fills per-partition best-effort under concurrency). */
   def pqFit(
       emb: DataFrame, idCol: String, vecCol: String,
       m: Int, subDims: Int, k: Int, iters: Int,
       distinctSeeds: Boolean = false): PqModel = {
-    val fitted = (0 until m).map { s =>
+    if (emb.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      emb.count() // one pass fills the cache the m chains then share
+    val fitted = graft.operators.Concurrent.mapInParallel(0 until m) { s =>
       val sub = emb.select(col(idCol),
         slice(vecD(col(vecCol)), s * subDims + 1, subDims).as("sub"))
       val asg = Clustering.kmeans(sub, idCol, "sub", k, iters, distinctSeeds)
