@@ -890,25 +890,38 @@ object Similarity {
     Seq("meta", "cent", "codes", "cells", "coarse").foreach { sfx =>
       graft.sinks.ManagedTables.dropTableAndLocation(spark, s"${table}_$sfx")
     }
-    coarse.foreach { case (c, _) =>
-      c.select(col("cell"), col("cv"))
-        .write.mode("overwrite").saveAsTable(s"${table}_coarse")
-    }
+    // The five tables are disjoint — write them CONCURRENTLY (round 14).
+    // Each saveAsTable stages under its own table directory and registers
+    // its own catalog entry, so the writes share nothing on disk or in
+    // the catalog. The model frames are materialized (pqFit persisted and
+    // counted them); cells/coarse may be caller-lazy, where the worst a
+    // concurrent read of a shared upstream costs is computing it twice
+    // (they are k- and n-row frames) — never a wrong answer. The
+    // crash-window story is unchanged: ANY partial subset fails loudly at
+    // read (missing table or empty meta), exactly as a mid-sequence crash
+    // always has.
     // buckets lands in meta so appends are self-describing — a mismatched
     // bucket spec on append would fail the ingest job (round-11 review)
-    Seq((model.m, model.subDims, idCol, metric, buckets))
-      .toDF("m", "sub_dims", "id_col", "coarse_metric", "buckets")
-      .write.mode("overwrite").saveAsTable(s"${table}_meta")
-    model.cent.zipWithIndex
-      .map { case (c, s) => c.select(lit(s).as("s"), col("cid"), col("cv")) }
-      .reduce(_ unionByName _)
-      .write.mode("overwrite").saveAsTable(s"${table}_cent")
-    pqCodesFromModel(model, idCol)
-      .write.mode("overwrite").bucketBy(buckets, idCol).sortBy(idCol)
-      .saveAsTable(s"${table}_codes")
-    cells.select(col("cell_id"), col("cell"))
-      .write.mode("overwrite").bucketBy(buckets, "cell_id").sortBy("cell_id")
-      .saveAsTable(s"${table}_cells")
+    val writes: Seq[() => Unit] =
+      coarse.map { case (c, _) => () =>
+        c.select(col("cell"), col("cv"))
+          .write.mode("overwrite").saveAsTable(s"${table}_coarse")
+      }.toSeq ++ Seq(
+        () => Seq((model.m, model.subDims, idCol, metric, buckets))
+          .toDF("m", "sub_dims", "id_col", "coarse_metric", "buckets")
+          .write.mode("overwrite").saveAsTable(s"${table}_meta"),
+        () => model.cent.zipWithIndex
+          .map { case (c, s) => c.select(lit(s).as("s"), col("cid"), col("cv")) }
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").saveAsTable(s"${table}_cent"),
+        () => pqCodesFromModel(model, idCol)
+          .write.mode("overwrite").bucketBy(buckets, idCol).sortBy(idCol)
+          .saveAsTable(s"${table}_codes"),
+        () => cells.select(col("cell_id"), col("cell"))
+          .write.mode("overwrite").bucketBy(buckets, "cell_id").sortBy("cell_id")
+          .saveAsTable(s"${table}_cells"))
+    graft.operators.Concurrent.mapInParallel(writes)(_())
+    ()
   }
 
   /** Read a persisted IVF-PQ index back into serving shape, from ANY
@@ -997,33 +1010,43 @@ object Similarity {
     // anti-joins the ids it already holds, so a duplicate append is a
     // no-op and a retry after a partial failure (codes written, cells
     // not) completes exactly the missing half.
-    // codes: nearest stored codeword per subvector (grid units) — the
-    // kmeans assignment rule against the final codebook, via the shared
-    // Clustering.assignTo body
-    val codes = (0 until m).map { s =>
-      val cent = spark.table(s"${table}_cent")
-        .filter(col("s") === s).select("cid", "cv")
-      Clustering.assignTo(newEmb, idCol,
-          slice(vecD(col(vecCol)), s * subDims + 1, subDims), cent)
-        .select(col(idCol), col("cluster").as(s"code_$s"))
-    }.reduce(_.join(_, Seq(idCol)))
-      .join(spark.table(s"${table}_codes").select(col(idCol)),
-        Seq(idCol), "left_anti")
-    codes.write.mode("append").bucketBy(buckets, idCol).sortBy(idCol)
-      .saveAsTable(s"${table}_codes")
-    // cells: the stored coarse quantizer under its recorded metric, via
-    // the SAME shared bodies the build used (cosAssign / assignTo)
-    val coarse = spark.table(s"${table}_coarse")
-    val newCells = (metric match {
-      case "cos_raw" => cosAssign(newEmb, idCol, vecCol, coarse)
-      case "l2_grid" =>
-        Clustering.assignTo(newEmb, idCol, col(vecCol),
-            coarse.select(col("cell").as("cid"), col("cv")))
-          .select(col(idCol).as("cell_id"), col("cluster").as("cell"))
-    }).join(spark.table(s"${table}_cells").select(col("cell_id")),
-      Seq("cell_id"), "left_anti")
-    newCells.write.mode("append").bucketBy(buckets, "cell_id").sortBy("cell_id")
-      .saveAsTable(s"${table}_cells")
+    // The two appends target disjoint tables (each anti-joins only its
+    // OWN target) — they run concurrently (round 14); a shared lazy
+    // newEmb upstream costs at most one duplicate batch-sized compute.
+    val appends: Seq[() => Unit] = Seq(
+      () => {
+        // codes: nearest stored codeword per subvector (grid units) — the
+        // kmeans assignment rule against the final codebook, via the
+        // shared Clustering.assignTo body
+        val codes = (0 until m).map { s =>
+          val cent = spark.table(s"${table}_cent")
+            .filter(col("s") === s).select("cid", "cv")
+          Clustering.assignTo(newEmb, idCol,
+              slice(vecD(col(vecCol)), s * subDims + 1, subDims), cent)
+            .select(col(idCol), col("cluster").as(s"code_$s"))
+        }.reduce(_.join(_, Seq(idCol)))
+          .join(spark.table(s"${table}_codes").select(col(idCol)),
+            Seq(idCol), "left_anti")
+        codes.write.mode("append").bucketBy(buckets, idCol).sortBy(idCol)
+          .saveAsTable(s"${table}_codes")
+      },
+      () => {
+        // cells: the stored coarse quantizer under its recorded metric,
+        // via the SAME shared bodies the build used (cosAssign / assignTo)
+        val coarse = spark.table(s"${table}_coarse")
+        val newCells = (metric match {
+          case "cos_raw" => cosAssign(newEmb, idCol, vecCol, coarse)
+          case "l2_grid" =>
+            Clustering.assignTo(newEmb, idCol, col(vecCol),
+                coarse.select(col("cell").as("cid"), col("cv")))
+              .select(col(idCol).as("cell_id"), col("cluster").as("cell"))
+        }).join(spark.table(s"${table}_cells").select(col("cell_id")),
+          Seq("cell_id"), "left_anti")
+        newCells.write.mode("append")
+          .bucketBy(buckets, "cell_id").sortBy("cell_id")
+          .saveAsTable(s"${table}_cells")
+      })
+    graft.operators.Concurrent.mapInParallel(appends)(_())
     Seq("codes", "cells")
       .foreach(sfx => spark.catalog.refreshTable(s"${table}_$sfx"))
   }
