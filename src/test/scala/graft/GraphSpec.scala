@@ -493,6 +493,31 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("louvainRefineMulti: concurrent ladder equals sequential per-gamma runs") {
+    // The multi-γ ladder materializes its γ loops CONCURRENTLY (round 14,
+    // Concurrent.mapInParallel); a single-γ call short-circuits to the
+    // calling thread. Equality between the 3-γ concurrent run and three
+    // 1-γ sequential runs pins the determinism contract the concurrency
+    // relies on — each γ loop a pure function of the materialized shared
+    // start state.
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val e = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(11L, 12L, 13L, 14L)) ++
+      Seq((4L, 11L), (14L, 20L), (20L, 21L))).toDF("src", "dst")
+    val asg = (1L to 4L).map(_ -> 1L).toDF("id", "label")
+      .union(Seq(11L, 12L, 13L, 14L, 20L, 21L).map(_ -> 11L).toDF("id", "label"))
+    val gammas = Seq(200L, 50L, 10L)
+    val multi = GraphOps.louvainRefineMulti(e, "src", "dst", asg, "id", "label",
+        rounds = 3, gammaPcts = gammas)
+      .as[(Long, Long, Long)].collect().toSet
+    val seq = gammas.flatMap { g =>
+      GraphOps.louvainRefine(e, "src", "dst", asg, "id", "label",
+          rounds = 3, gammaPct = g)
+        .as[(Long, Long)].collect().map { case (id, l) => (g, id, l) }
+    }.toSet
+    assert(multi == seq)
+  }
+
   test("multiSourceBfs: nearest landmark with smallest-id tie-break") {
     // path 1-2-3-4-5 with landmarks {1, 5}: 2→1, 4→5, 3 ties → 1
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
