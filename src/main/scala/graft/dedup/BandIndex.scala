@@ -95,6 +95,17 @@ final class BandIndex private (
   def append(batch: DataFrame): Unit =
     Dedup.appendBandIndex(table, batch, cfg.idCol, cfg.textCol,
       cfg.shingleN, cfg.numHashes, cfg.bands, cfg.buckets)
+
+  /** COMPACT the index back to one file per bucket — each [[append]]
+    * adds `buckets` files, so N daily batches make every band join open
+    * N·buckets files. The rewrite preserves the bucketBy(band_key)
+    * layout (zero index-side exchange still holds — PlanSpec), and the
+    * tmp-write → drop → rename protocol keeps a crash from ever losing
+    * the index ([[graft.sinks.ManagedTables.compactBucketedTable]]). */
+  def compact(): Unit = {
+    graft.sinks.ManagedTables.compactBucketedTable(spark, table)
+    ()
+  }
 }
 
 object BandIndex {

@@ -389,6 +389,28 @@ object DedupQueries {
         .checkBatch(day2, docs.filter(col("doc_id") % 3 =!= 2))
     },
 
+    // COMPACT the maintained band index (round 14): q152's grow flow
+    // with BandIndex.compact() after the day-1 fold — compaction is a
+    // pure physical rewrite back to one file per bucket (each append
+    // adds `buckets` files; N daily batches = N·buckets-file scans), so
+    // day-2's check is bit-identical and the oracle is q152's verbatim.
+    // The layout properties (file shrink, zero index-side exchange
+    // after compaction) are pinned engine-side in DedupSpec/PlanSpec.
+    Q("q180_band_index_compact",
+      incrementalNearDupOracle(newPred = "% 3 = 2", oldPred = "% 3 <> 2")) { (s, dir) =>
+      val tbl = dropIndexTable(s, dir, "graft_band_idx_cmp")
+      val docs = Tables(s, dir, "documents")
+      val day0 = docs.filter(col("doc_id") % 3 === 0)
+      val day1 = docs.filter(col("doc_id") % 3 === 1)
+      val day2 = docs.filter(col("doc_id") % 3 === 2)
+      val idx = BandIndex.build(s, tbl, day0, BandIndexConfig("doc_id", "text"))
+      idx.checkBatch(day1, day0).count()
+      idx.append(day1)
+      idx.compact()
+      BandIndex.open(s, tbl)
+        .checkBatch(day2, docs.filter(col("doc_id") % 3 =!= 2))
+    },
+
     // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     // 100 docs drawn proportional to length (n_chars) — the
     // quality/size-weighted reproducible subsample a mixture builder

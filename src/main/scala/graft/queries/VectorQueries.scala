@@ -1138,70 +1138,7 @@ object VectorQueries {
     // rows the final-codebook assignment (add-time); cells are one
     // cosine argmax over the old seeds for ALL rows (the append uses
     // the same stored quantizer the build used).
-    Q("q176_pq_index_append", {
-      val (m, sub, k, iters) = (4, 16, 4, 2)
-      val chains = (0 until m).map { s =>
-        val sfx = s"p$s"
-        s"""${kmeansCtes(k, iters, sfx = sfx, dims = sub,
-             srcList = s"embedding[${s * sub + 1}:${(s + 1) * sub}]",
-             srcFrom = "eold")},
-           |uF$s AS (SELECT a.cid, d, CAST(SUM(ed$sfx.qv[d]) AS BIGINT) AS s,
-           |           COUNT(*) AS n
-           |         FROM a$sfx$iters a JOIN ed$sfx USING (vec_id)
-           |         CROSS JOIN range(1, ${sub + 1}) r(d) GROUP BY a.cid, d),
-           |cF$s AS (SELECT cid, array_agg(CAST(s AS DOUBLE) / n ORDER BY d) AS cv
-           |         FROM uF$s GROUP BY cid),
-           |ednew$s AS (SELECT vec_id,
-           |    list_transform(embedding[${s * sub + 1}:${(s + 1) * sub}],
-           |      x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE)) AS dv
-           |  FROM enew),
-           |anew$s AS (SELECT vec_id, cid FROM (
-           |  SELECT en.vec_id, cF$s.cid, row_number() OVER (PARTITION BY en.vec_id
-           |    ORDER BY list_reduce(list_transform(generate_series(1, $sub),
-           |      d -> (en.dv[d] - cF$s.cv[d]) * (en.dv[d] - cF$s.cv[d])),
-           |      (x, y) -> x + y) ASC, cF$s.cid) AS rn
-           |  FROM ednew$s en CROSS JOIN cF$s) t WHERE rn = 1),
-           |acomb$s AS (SELECT vec_id, cid FROM a$sfx$iters
-           |            UNION ALL SELECT vec_id, cid FROM anew$s),
-           |qq$s AS (SELECT list_transform(embedding[${s * sub + 1}:${(s + 1) * sub}],
-           |           x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE)) AS qd
-           |         FROM enew ORDER BY vec_id LIMIT 1),
-           |dt$s AS (SELECT cid,
-           |           list_reduce(list_transform(generate_series(1, $sub),
-           |             d -> (qq.qd[d] - cv[d]) * (qq.qd[d] - cv[d])), (x, y) -> x + y) AS ds
-           |         FROM cF$s CROSS JOIN qq$s qq)""".stripMargin
-      }.mkString(",\n")
-      val joins = (0 until m).map(s =>
-        s"JOIN acomb$s a$s ON ic.cell_id = a$s.vec_id JOIN dt$s ON a$s.cid = dt$s.cid")
-        .mkString("\n")
-      val adc = (0 until m).map(s => s"dt$s.ds").mkString(" + ")
-      s"""WITH eold AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
-         |enew AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
-         |nA AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |       FROM embeddings),
-         |nN AS (SELECT vec_id, v,
-         |         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
-         |       FROM nA),
-         |icent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM nN
-         |          WHERE vec_id % 10 <> 0 ORDER BY vec_id LIMIT 16),
-         |iasg AS (
-         |  SELECT nN.vec_id, cid,
-         |    row_number() OVER (PARTITION BY nN.vec_id ORDER BY
-         |      list_reduce(list_transform(generate_series(1, 64), k -> nN.v[k] * cv[k]),
-         |        (x, y) -> x + y) / (nN.nrm * cnrm) DESC, cid) AS rn
-         |  FROM nN CROSS JOIN icent),
-         |icells AS (SELECT vec_id AS cell_id, cid AS cell FROM iasg WHERE rn = 1),
-         |qc AS (SELECT cell AS q_cell, cell_id AS q_id FROM icells
-         |       WHERE cell_id % 10 = 0 ORDER BY cell_id LIMIT 1),
-         |$chains
-         |SELECT ic.cell_id AS vec_id, ROUND($adc, 6) AS adc_dist
-         |FROM icells ic
-         |$joins
-         |CROSS JOIN qc
-         |WHERE ic.cell = qc.q_cell AND ic.cell_id <> qc.q_id
-         |ORDER BY $adc ASC, ic.cell_id
-         |LIMIT 10""".stripMargin
-    }) { (s, dir) =>
+    Q("q176_pq_index_append", pqIndexAppendServeOracle) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       val old = emb.filter(col("vec_id") % 10 =!= 0)
       val fresh = emb.filter(col("vec_id") % 10 === 0)
@@ -1211,6 +1148,27 @@ object VectorQueries {
       idx.write(table) // growable by default: coarse seeds stored
       idx.release()
       IvfPqIndex.append(s, table, fresh, "embedding")
+      val q = fresh.orderBy("vec_id").limit(1)
+      IvfPqIndex.read(s, table, "embedding").search(q, topK = 10)
+    },
+
+    // COMPACT the appended index (round 14): same build + append + serve
+    // flow as q176, with IvfPqIndex.compact between append and serve —
+    // compaction is a pure physical rewrite (one file per bucket), so
+    // the served top-k is bit-identical and the oracle is q176's
+    // verbatim. The file-count shrink itself is pinned by
+    // IvfPqIndexSpec (an engine-layout property DuckDB can't see).
+    Q("q179_pq_index_compact", pqIndexAppendServeOracle) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val old = emb.filter(col("vec_id") % 10 =!= 0)
+      val fresh = emb.filter(col("vec_id") % 10 === 0)
+      val idx = IvfPqIndex.fit(old, IvfPqConfig("vec_id", "embedding",
+        nCells = 16, m = 4, subDims = 16, k = 4, iters = 2))
+      val table = "pq_index_q179_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      idx.write(table)
+      idx.release()
+      IvfPqIndex.append(s, table, fresh, "embedding")
+      IvfPqIndex.compact(s, table)
       val q = fresh.orderBy("vec_id").limit(1)
       IvfPqIndex.read(s, table, "embedding").search(q, topK = 10)
     },
@@ -1401,6 +1359,75 @@ object VectorQueries {
   /** q153's own-cell IVF-PQ ADC oracle, factored for reuse: q175's
     * persisted-index roundtrip must return BIT-IDENTICAL results, so it
     * shares this SQL verbatim. */
+  /** The q176/q179 oracle: build on the 90% slice, append the 10%
+    * batch with the stored-codebook add-time encoding, serve an
+    * appended-batch query — compaction (q179) changes only the file
+    * layout, never the rows, so both queries replay this verbatim. */
+  private lazy val pqIndexAppendServeOracle: String = {
+      val (m, sub, k, iters) = (4, 16, 4, 2)
+      val chains = (0 until m).map { s =>
+        val sfx = s"p$s"
+        s"""${kmeansCtes(k, iters, sfx = sfx, dims = sub,
+             srcList = s"embedding[${s * sub + 1}:${(s + 1) * sub}]",
+             srcFrom = "eold")},
+           |uF$s AS (SELECT a.cid, d, CAST(SUM(ed$sfx.qv[d]) AS BIGINT) AS s,
+           |           COUNT(*) AS n
+           |         FROM a$sfx$iters a JOIN ed$sfx USING (vec_id)
+           |         CROSS JOIN range(1, ${sub + 1}) r(d) GROUP BY a.cid, d),
+           |cF$s AS (SELECT cid, array_agg(CAST(s AS DOUBLE) / n ORDER BY d) AS cv
+           |         FROM uF$s GROUP BY cid),
+           |ednew$s AS (SELECT vec_id,
+           |    list_transform(embedding[${s * sub + 1}:${(s + 1) * sub}],
+           |      x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE)) AS dv
+           |  FROM enew),
+           |anew$s AS (SELECT vec_id, cid FROM (
+           |  SELECT en.vec_id, cF$s.cid, row_number() OVER (PARTITION BY en.vec_id
+           |    ORDER BY list_reduce(list_transform(generate_series(1, $sub),
+           |      d -> (en.dv[d] - cF$s.cv[d]) * (en.dv[d] - cF$s.cv[d])),
+           |      (x, y) -> x + y) ASC, cF$s.cid) AS rn
+           |  FROM ednew$s en CROSS JOIN cF$s) t WHERE rn = 1),
+           |acomb$s AS (SELECT vec_id, cid FROM a$sfx$iters
+           |            UNION ALL SELECT vec_id, cid FROM anew$s),
+           |qq$s AS (SELECT list_transform(embedding[${s * sub + 1}:${(s + 1) * sub}],
+           |           x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE)) AS qd
+           |         FROM enew ORDER BY vec_id LIMIT 1),
+           |dt$s AS (SELECT cid,
+           |           list_reduce(list_transform(generate_series(1, $sub),
+           |             d -> (qq.qd[d] - cv[d]) * (qq.qd[d] - cv[d])), (x, y) -> x + y) AS ds
+           |         FROM cF$s CROSS JOIN qq$s qq)""".stripMargin
+      }.mkString(",\n")
+      val joins = (0 until m).map(s =>
+        s"JOIN acomb$s a$s ON ic.cell_id = a$s.vec_id JOIN dt$s ON a$s.cid = dt$s.cid")
+        .mkString("\n")
+      val adc = (0 until m).map(s => s"dt$s.ds").mkString(" + ")
+      s"""WITH eold AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+         |enew AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+         |nA AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |       FROM embeddings),
+         |nN AS (SELECT vec_id, v,
+         |         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+         |       FROM nA),
+         |icent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM nN
+         |          WHERE vec_id % 10 <> 0 ORDER BY vec_id LIMIT 16),
+         |iasg AS (
+         |  SELECT nN.vec_id, cid,
+         |    row_number() OVER (PARTITION BY nN.vec_id ORDER BY
+         |      list_reduce(list_transform(generate_series(1, 64), k -> nN.v[k] * cv[k]),
+         |        (x, y) -> x + y) / (nN.nrm * cnrm) DESC, cid) AS rn
+         |  FROM nN CROSS JOIN icent),
+         |icells AS (SELECT vec_id AS cell_id, cid AS cell FROM iasg WHERE rn = 1),
+         |qc AS (SELECT cell AS q_cell, cell_id AS q_id FROM icells
+         |       WHERE cell_id % 10 = 0 ORDER BY cell_id LIMIT 1),
+         |$chains
+         |SELECT ic.cell_id AS vec_id, ROUND($adc, 6) AS adc_dist
+         |FROM icells ic
+         |$joins
+         |CROSS JOIN qc
+         |WHERE ic.cell = qc.q_cell AND ic.cell_id <> qc.q_id
+         |ORDER BY $adc ASC, ic.cell_id
+         |LIMIT 10""".stripMargin
+    }
+
   private def ivfPqAdcOracle(m: Int, sub: Int, k: Int, iters: Int): String = {
     val chains = (0 until m).map { s =>
       val sfx = s"p$s"

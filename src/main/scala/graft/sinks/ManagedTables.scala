@@ -71,4 +71,100 @@ object ManagedTables {
       }
     }
   }
+
+  /** COMPACT a bucketed managed table: rewrite its content as one fresh
+    * bucketed layout and swap it in. Every `mode("append")` saveAsTable
+    * adds `buckets` new files, so a maintained index (band index, PQ
+    * index) fragments linearly in append count — after N daily batches a
+    * serving scan opens N·buckets files. Compaction rewrites to exactly
+    * `buckets` files (one per bucket) while preserving the bucket spec,
+    * so downstream joins still plan zero index-side exchange.
+    *
+    * Protocol — never a driver-side materialization, crash-safe at every
+    * boundary:
+    *   1. write the table's content to `<table>__compacting` with the
+    *      SAME bucketBy/sortBy (read from the catalog, never guessed);
+    *   2. DROP the serving table;
+    *   3. RENAME the compacted table into the serving name.
+    * A crash before (2) leaves the serving table untouched (stale tmp is
+    * swept on the next run); a crash between (2) and (3) leaves the data
+    * safe under the tmp name — re-running compact() detects the
+    * half-swap (serving name gone, tmp present) and completes the
+    * rename without re-reading anything. Readers in other sessions go
+    * through the guarded read paths (BandIndex.open / IvfPqIndex.read),
+    * which refresh their relation cache before planning.
+    *
+    * Returns the number of data files after compaction (the spec's
+    * shrink assertion reads it). */
+  def compactBucketedTable(spark: SparkSession, table: String): Long = {
+    val tmp = s"${table}__compacting"
+    if (!spark.catalog.tableExists(table)) {
+      require(spark.catalog.tableExists(tmp),
+        s"compactBucketedTable: neither $table nor $tmp exists")
+      // interrupted swap: the previous compact crashed between DROP and
+      // RENAME — the compacted data is complete under tmp; finish it.
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      spark.catalog.refreshTable(table)
+      return dataFileCount(spark, table)
+    }
+    // bucket spec from DESCRIBE EXTENDED (public SQL surface): rows
+    // ("Num Buckets", "8"), ("Bucket Columns", "[`band_key`]"),
+    // ("Sort Columns", "[`band_key`]")
+    val desc = spark.sql(s"DESCRIBE EXTENDED $table")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    def cols(key: String): Seq[String] = desc.get(key) match {
+      case Some(v) if v.trim.nonEmpty =>
+        v.trim.stripPrefix("[").stripSuffix("]").split(",")
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
+      case _ => Seq.empty
+    }
+    val bucketCols = cols("Bucket Columns")
+    val sortCols = cols("Sort Columns")
+    val nBuckets = desc.get("Num Buckets").map(_.trim.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"compactBucketedTable: $table is not bucketed"))
+    require(bucketCols.nonEmpty,
+      s"compactBucketedTable: $table has no bucket columns")
+    dropTableAndLocation(spark, tmp) // a prior run's stale tmp
+    // Layout control — subtle, probed (round 14): a bucketed write emits
+    // one file per bucket PER WRITE TASK, so the rewrite must arrive in
+    // exactly one task per bucket. A plain repartition(nBuckets, cols)
+    // does NOT achieve that here: the source scan's bucket layout
+    // already satisfies the requested HashPartitioning, so the exchange
+    // is elided — and then DisableUnnecessaryBucketedScan un-buckets the
+    // scan (the V1 write's layout need is invisible to it), leaving
+    // arbitrary file-split partitions that fragment the output
+    // (task×bucket files). Forcing the bucketed scan for the window
+    // makes the rewrite a pure per-bucket file MERGE: partitions == the
+    // source buckets, ZERO shuffle, one file per bucket out. The
+    // repartition stays as a no-op safety net (elided when the scan
+    // already satisfies it; enforces the layout if it ever doesn't).
+    val scanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prior = spark.conf.getOption(scanKey)
+    spark.conf.set(scanKey, "false")
+    try {
+      val one = spark.table(table).repartition(nBuckets,
+        bucketCols.map(org.apache.spark.sql.functions.col): _*)
+      val w0 = one.write.mode("overwrite")
+        .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      val w = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*)
+              else w0
+      w.saveAsTable(tmp)
+    } finally prior match {
+      case Some(v) => spark.conf.set(scanKey, v)
+      case None    => spark.conf.unset(scanKey)
+    }
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.catalog.refreshTable(table)
+    dataFileCount(spark, table)
+  }
+
+  /** Distinct data files currently backing `table` — via
+    * input_file_name(), the public surface (no catalog-internal file
+    * listing). One small distributed agg; never collects rows. */
+  def dataFileCount(spark: SparkSession, table: String): Long =
+    spark.table(table)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .distinct().count()
 }

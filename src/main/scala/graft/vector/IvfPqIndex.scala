@@ -279,4 +279,22 @@ object IvfPqIndex {
   def append(spark: SparkSession, table: String,
       newEmb: DataFrame, vecCol: String): Unit =
     Similarity.appendPqIndex(spark, table, newEmb, vecCol)
+
+  /** COMPACT the index's bucketed tables (codes, cells) back to one
+    * file per bucket. Each [[append]] adds `buckets` files to both, so
+    * a daily-ingest index fragments linearly — after N batches every
+    * serving scan opens N·buckets files per table. Compaction restores
+    * the write-time layout without touching the k-row frames (meta,
+    * cent, coarse — they never grow). The two rewrites are disjoint
+    * tables and run concurrently. Crash-safe and resumable:
+    * [[graft.sinks.ManagedTables.compactBucketedTable]]'s
+    * tmp-write → drop → rename protocol. Serving results are
+    * bit-identical before and after (same rows, same bucket spec — the
+    * spec and q179's oracle pin it). */
+  def compact(spark: SparkSession, table: String): Unit = {
+    graft.operators.Concurrent.mapInParallel(Seq("codes", "cells")) { sfx =>
+      graft.sinks.ManagedTables.compactBucketedTable(spark, s"${table}_$sfx")
+    }
+    ()
+  }
 }

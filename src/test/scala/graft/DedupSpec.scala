@@ -361,6 +361,44 @@ class DedupSpec extends SparkSpec {
     assert(once == d2.values.toSeq.sortBy(_._1))
   }
 
+  test("BandIndex.compact: appended index shrinks to one file per bucket " +
+      "and the next batch's check is unchanged") {
+    import graft.dedup.{BandIndex, BandIndexConfig}
+    import graft.sinks.ManagedTables.dataFileCount
+    val a = base
+    val b = base.replace("small dimension", "compact dimension")
+    val day0 = Seq((1L, a), (2L, unrelated)).toDF("doc_id", "text")
+    val day1 = Seq((10L, b), (11L, "novel content about stream state")).toDF("doc_id", "text")
+    val day2 = Seq((20L, b), (21L, unrelated)).toDF("doc_id", "text")
+    val cfg = BandIndexConfig("doc_id", "text", bands = 8, numHashes = 16,
+      buckets = 4)
+    val tbl = "graft_band_compact_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_meta")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__compacting")
+    val idx = BandIndex.build(spark, tbl, day0, cfg)
+    idx.append(day1)
+    val pre = dataFileCount(spark, tbl)
+    val before = idx.checkBatch(day2, day0.unionByName(day1))
+      .as[(Long, Boolean, Option[Long])].collect().sortBy(_._1).toSeq
+    idx.compact()
+    assert(dataFileCount(spark, tbl) == 4L)
+    assert(dataFileCount(spark, tbl) < pre,
+      s"compaction must shrink the file count (was $pre)")
+    // the grown-and-compacted index answers the next batch identically,
+    // from the compacting session AND from a fresh open
+    val after = idx.checkBatch(day2, day0.unionByName(day1))
+      .as[(Long, Boolean, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(after == before)
+    val reopened = BandIndex.open(spark, tbl)
+      .checkBatch(day2, day0.unionByName(day1))
+      .as[(Long, Boolean, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(reopened == before)
+    // still appendable after the rewrite
+    idx.append(day2)
+    assert(spark.table(tbl).select("old_id").distinct().count() == 6L)
+  }
+
   test("BandIndex.build: rebuild succeeds over stale warehouse directories " +
       "the catalog does not know (fresh-session rebuild)") {
     // the round-13 regression: a fresh session's catalog doesn't know a

@@ -160,6 +160,66 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(collect(served).nonEmpty)
   }
 
+  test("compact: appended index shrinks to one file per bucket, serves " +
+      "bit-equal, and stays appendable") {
+    val tbl = "ivfpq_compact_spec"
+    import graft.sinks.ManagedTables.dataFileCount
+    val e = emb
+    val old = e.filter(col("vec_id") % 10 =!= 0)
+    val b1 = e.filter(col("vec_id") % 10 === 0 && col("vec_id") % 20 === 0)
+    val b2 = e.filter(col("vec_id") % 10 === 0 && col("vec_id") % 20 =!= 0)
+    val buckets = 4
+    val idx = IvfPqIndex.fit(old, IvfPqConfig("vec_id", "embedding",
+      nCells = 8, m = 4, subDims = 16, k = 4, iters = 2))
+    idx.write(tbl, buckets = buckets)
+    idx.release()
+    IvfPqIndex.append(spark, tbl, b1, "embedding")
+    IvfPqIndex.append(spark, tbl, b2, "embedding")
+    // fragmented: each of the three writes emitted (up to) buckets files
+    // PER WRITE TASK — strictly more than the minimal one-per-bucket
+    val preCodes = dataFileCount(spark, s"${tbl}_codes")
+    val preCells = dataFileCount(spark, s"${tbl}_cells")
+    assert(preCodes > buckets && preCells > buckets,
+      s"expected fragmentation before compact: codes=$preCodes cells=$preCells")
+    val q = b2.orderBy("vec_id").limit(1)
+    val before = collect(
+      IvfPqIndex.read(spark, tbl, "embedding").search(q, topK = 10))
+    IvfPqIndex.compact(spark, tbl)
+    assert(dataFileCount(spark, s"${tbl}_codes") == buckets.toLong)
+    assert(dataFileCount(spark, s"${tbl}_cells") == buckets.toLong)
+    // serving is bit-identical — compaction is a pure physical rewrite
+    val after = collect(
+      IvfPqIndex.read(spark, tbl, "embedding").search(q, topK = 10))
+    assert(after == before && before.nonEmpty)
+    // still appendable: meta/cent/coarse untouched, bucket spec preserved
+    IvfPqIndex.append(spark, tbl,
+      e.filter(col("vec_id") % 10 === 0), "embedding") // idempotent re-add
+    val again = collect(
+      IvfPqIndex.read(spark, tbl, "embedding").search(q, topK = 10))
+    assert(again == before)
+  }
+
+  test("compact: an interrupted swap (serving table gone, __compacting " +
+      "present) resumes by completing the rename") {
+    import graft.sinks.ManagedTables
+    val tbl = "ivfpq_compact_resume_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__compacting")
+    spark.range(0, 100).selectExpr("id AS k", "id % 7 AS v")
+      .write.mode("overwrite").bucketBy(4, "k").sortBy("k").saveAsTable(tbl)
+    val content = spark.table(tbl).orderBy("k").collect().toSeq
+    // crash window: compacted data fully written under tmp, serving
+    // name already dropped, rename never ran
+    spark.table(tbl).write.mode("overwrite").bucketBy(4, "k").sortBy("k")
+      .saveAsTable(s"${tbl}__compacting")
+    spark.sql(s"DROP TABLE $tbl")
+    // resume completes the RENAME only (no re-read, no re-layout): the
+    // content must be intact and the tmp name gone
+    ManagedTables.compactBucketedTable(spark, tbl)
+    assert(spark.table(tbl).orderBy("k").collect().toSeq == content)
+    assert(!spark.catalog.tableExists(s"${tbl}__compacting"))
+  }
+
   test("read: empty meta table (interrupted build) fails with a named " +
       "error, not a bare NoSuchElementException") {
     val tbl = "ivfpq_emptymeta_spec"

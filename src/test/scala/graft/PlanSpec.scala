@@ -98,7 +98,10 @@ class PlanSpec extends SparkSpec {
       // q153's serving shapes read back off the persisted index tables
       "q175_pq_index_roundtrip",
       // q175's shapes + add-time encode (k-row codebook/coarse crossJoins)
-      "q176_pq_index_append")
+      "q176_pq_index_append",
+      // q176's exact flow + compaction (a pure physical rewrite: same
+      // serving shapes, same 1-row/k-row broadcast crossJoins)
+      "q179_pq_index_compact")
     // Known blind spot: the iterative queries (q42/q60/q80/q81) run
     // their superstep jobs eagerly inside fn, so only their FINAL frame
     // is inspected here; the supersteps' own plan shapes are covered by
@@ -169,6 +172,13 @@ class PlanSpec extends SparkSpec {
     // second-consecutive-batch case: the appended files must ride the
     // bucket layout like the original ones.
     assertZeroIndexSideExchange("q152_band_index_append")
+  }
+
+  test("q180: the COMPACTED band index still joins with zero index-side exchange") {
+    // compaction rewrites the index to one file per bucket with the SAME
+    // bucketBy(band_key) spec — the day-2 check over the compacted index
+    // must still ride the bucket layout without an exchange
+    assertZeroIndexSideExchange("q180_band_index_compact")
   }
 
   test("q83: packing plans exactly one group repartition, no global sort") {
