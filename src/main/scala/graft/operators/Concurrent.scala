@@ -4,6 +4,7 @@ import java.util.concurrent.Executors
 
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
+import scala.util.{Failure, Try}
 
 /** Concurrent materialization of INDEPENDENT lazy Spark chains.
   *
@@ -26,20 +27,40 @@ import scala.concurrent.duration.Duration
   * ladder both materialize their shared state first for exactly this
   * reason.
   *
-  * Results keep item order; a failure in any chain propagates (first
-  * failure wins, as `Future.sequence` fails fast). Single-item input
-  * short-circuits to a plain map — no pool, no overhead.
+  * Results keep item order. A failure propagates — but only AFTER every
+  * sibling chain has finished (each runs to its own completion; the
+  * first failure by item order is rethrown). Fail-fast would return
+  * while orphan chains still run driver jobs in the background, racing
+  * any caller-side retry or cleanup against in-flight writes (the
+  * round-14 review's appendPqIndex-retry scenario: a retry's anti-join
+  * planned against a table an orphan append was still committing to).
+  * Joining first costs nothing extra on success and bounds the failure
+  * path by work already in flight.
+  *
+  * The pool is capped at [[MaxThreads]] submitting threads (matching
+  * Spark's own stage-materialization pool): items beyond the cap queue —
+  * the chains are independent, so queueing changes wall, never results.
+  * Single-item input short-circuits to a plain map — no pool, no
+  * overhead.
   */
 object Concurrent {
+  /** Submitting-thread cap; mirrors Spark's QueryStageCreator pool size. */
+  val MaxThreads = 16
+
   def mapInParallel[A, B](items: Seq[A])(f: A => B): Seq[B] =
     if (items.lengthCompare(1) <= 0) items.map(f)
     else {
-      val pool = Executors.newFixedThreadPool(items.length)
+      val pool = Executors.newFixedThreadPool(
+        math.min(items.length, MaxThreads))
       try {
         implicit val ec: ExecutionContext =
           ExecutionContext.fromExecutor(pool)
-        Await.result(
-          Future.sequence(items.map(a => Future(f(a)))), Duration.Inf)
+        // Try-lifted so sequence NEVER fails fast: every chain runs to
+        // completion before the first failure (in item order) propagates
+        val settled = Await.result(
+          Future.sequence(items.map(a => Future(Try(f(a))))), Duration.Inf)
+        settled.collectFirst { case Failure(e) => throw e }
+        settled.map(_.get)
       } finally pool.shutdown()
     }
 }
