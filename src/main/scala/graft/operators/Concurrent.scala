@@ -29,7 +29,8 @@ import scala.util.{Failure, Try}
   *
   * Results keep item order. A failure propagates — but only AFTER every
   * sibling chain has finished (each runs to its own completion; the
-  * first failure by item order is rethrown). Fail-fast would return
+  * first failure by item order is rethrown, with every other failed
+  * chain's exception attached as suppressed). Fail-fast would return
   * while orphan chains still run driver jobs in the background, racing
   * any caller-side retry or cleanup against in-flight writes (the
   * round-14 review's appendPqIndex-retry scenario: a retry's anti-join
@@ -47,6 +48,9 @@ object Concurrent {
   /** Submitting-thread cap; mirrors Spark's QueryStageCreator pool size. */
   val MaxThreads = 16
 
+  /** How often the (unbounded) join logs that it is still waiting. */
+  private val WaitLogPeriod = scala.concurrent.duration.Duration(300, "s")
+
   def mapInParallel[A, B](items: Seq[A])(f: A => B): Seq[B] =
     if (items.lengthCompare(1) <= 0) items.map(f)
     else {
@@ -57,9 +61,37 @@ object Concurrent {
           ExecutionContext.fromExecutor(pool)
         // Try-lifted so sequence NEVER fails fast: every chain runs to
         // completion before the first failure (in item order) propagates
-        val settled = Await.result(
-          Future.sequence(items.map(a => Future(Try(f(a))))), Duration.Inf)
-        settled.collectFirst { case Failure(e) => throw e }
+        val fut = Future.sequence(items.map(a => Future(Try(f(a)))))
+        // Join observability (round-14 ADVICE): the join is still
+        // unbounded — chains are legitimately long Spark jobs and an
+        // arbitrary cap would kill real work — but a wedged chain used to
+        // hang here silently forever. Logging every 5 minutes makes a
+        // stall visible in the driver log instead of indistinguishable
+        // from progress (the round-14 stall investigation's exact gap).
+        var settled: Seq[Try[B]] = null
+        var waitedSec = 0L
+        while (settled == null) {
+          try settled = Await.result(fut, WaitLogPeriod)
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              waitedSec += WaitLogPeriod.toSeconds
+              System.err.println(
+                s"graft.operators.Concurrent: ${items.length}-chain " +
+                  s"mapInParallel still running after ${waitedSec}s " +
+                  "(unbounded by design; diagnostic only)")
+          }
+        }
+        // sibling failures ride along as suppressed (round-14 ADVICE:
+        // rethrowing only the first discarded every other chain's
+        // diagnosis); `ne` guard — a shared throwable instance must not
+        // suppress itself (addSuppressed throws on self-reference)
+        val failures = settled.collect { case Failure(e) => e }
+        if (failures.nonEmpty) {
+          val head = failures.head
+          failures.iterator.drop(1).foreach(t =>
+            if (t ne head) head.addSuppressed(t))
+          throw head
+        }
         settled.map(_.get)
       } finally pool.shutdown()
     }

@@ -48,6 +48,20 @@ object ManagedTables {
     // left behind). MANAGED tables need no sweep: DROP deletes theirs.
     val wasManaged = known &&
       spark.catalog.getTable(table).tableType == "MANAGED"
+    // An EXTERNAL table's own location must ALSO be captured before the
+    // DROP (round-14 ADVICE): if it happens to BE the db-default managed
+    // path, the orphan sweep below would destroy the very data DROP just
+    // promised to keep. DESCRIBE FORMATTED is the public surface; the
+    // read is bounded metadata, not a data collect.
+    val extLoc: Option[org.apache.hadoop.fs.Path] =
+      if (known && !wasManaged)
+        spark.sql(s"DESCRIBE FORMATTED $table").collect().collectFirst {
+          case r if r.getString(0) != null &&
+              r.getString(0).trim == "Location" &&
+              r.getString(1) != null && r.getString(1).trim.nonEmpty =>
+            new org.apache.hadoop.fs.Path(r.getString(1).trim)
+        }
+      else None
     if (known) spark.sql(s"DROP TABLE IF EXISTS $table")
     if (!wasManaged) {
       val db = dbOpt.getOrElse(spark.catalog.currentDatabase)
@@ -62,12 +76,22 @@ object ManagedTables {
           new org.apache.hadoop.fs.Path(dbLoc),
           tbl.toLowerCase(java.util.Locale.ROOT))
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // Caveat, documented: an EXTERNAL table deliberately LOCATED at
-        // the db-default managed path will lose its directory here —
-        // that name is about to be overwritten as a managed index, and
-        // the rebuild contract wins over a table parked in the managed
-        // namespace.
-        if (fs.exists(p)) fs.delete(p, true)
+        // An EXTERNAL table deliberately LOCATED at the db-default
+        // managed path is NOT swept (round-14 ADVICE — the old code
+        // deleted it here, silently destroying data DROP had just
+        // preserved by contract): the sweep exists only for a PREVIOUS
+        // session's orphan directory. Skipping means the caller's
+        // saveAsTable fails loudly with LOCATION_ALREADY_EXISTS — a
+        // human decides between the parked data and the rebuild, rather
+        // than the library deciding destructively.
+        if (extLoc.exists(l => fs.makeQualified(l) == fs.makeQualified(p)))
+          System.err.println(
+            s"graft.sinks.ManagedTables: NOT sweeping ${fs.makeQualified(p)} — " +
+              s"the dropped EXTERNAL table $table's own data lives there " +
+              "(preserved by DROP's contract); a subsequent saveAsTable to " +
+              "this name will fail with LOCATION_ALREADY_EXISTS until the " +
+              "directory is moved or removed deliberately")
+        else if (fs.exists(p)) fs.delete(p, true)
       }
     }
   }
@@ -140,20 +164,28 @@ object ManagedTables {
     // repartition stays as a no-op safety net (elided when the scan
     // already satisfies it; enforces the layout if it ever doesn't).
     val scanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prior = spark.conf.getOption(scanKey)
-    spark.conf.set(scanKey, "false")
-    try {
-      val one = spark.table(table).repartition(nBuckets,
-        bucketCols.map(org.apache.spark.sql.functions.col): _*)
-      val w0 = one.write.mode("overwrite")
-        .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
-      val w = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*)
-              else w0
-      w.saveAsTable(tmp)
-    } finally prior match {
-      case Some(v) => spark.conf.set(scanKey, v)
-      case None    => spark.conf.unset(scanKey)
-    }
+    // Conf isolation (round-14 ADVICE): two compactions running
+    // concurrently on ONE session (IvfPqIndex.compact rewrites codes and
+    // cells in parallel) would interleave a set/restore window on the
+    // shared SQLConf — B could capture A's "false" as its prior (leaving
+    // the session permanently un-bucketed-scan), and A's restore could
+    // re-enable auto-bucketed-scan while B was still planning, silently
+    // fragmenting B's output to task×bucket files. A CHILD session owns a
+    // private SQLConf while sharing the SparkContext and the external
+    // catalog, so the flip is invisible to every sibling and needs no
+    // restore — the child is discarded. (newSession() seeds its conf from
+    // the SparkContext's SparkConf, so builder-time settings like
+    // shuffle.partitions carry over; the explicit repartition below pins
+    // the layout regardless.)
+    val writer = spark.newSession()
+    writer.conf.set(scanKey, "false")
+    val one = writer.table(table).repartition(nBuckets,
+      bucketCols.map(org.apache.spark.sql.functions.col): _*)
+    val w0 = one.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    val w = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*)
+            else w0
+    w.saveAsTable(tmp)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     spark.catalog.refreshTable(table)

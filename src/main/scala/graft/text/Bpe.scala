@@ -140,9 +140,15 @@ final class BpeModel private (
         toks += wordTokenLen(sb.toString, memo)
         i = j
       } else {
-        if (!(c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'))
+        // RE2 \s = [\t\n\f\r ], the q178 oracle's class -- \u000B is a
+        // TOKEN, not whitespace (round-14 ADVICE: Java's \s disagrees
+        // with the oracle's; the oracle's alphabet wins). And one token
+        // per CODEPOINT: an astral char is one oracle match, so a
+        // surrogate pair counts once.
+        if (!(c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'))
           toks += 1
-        i += 1
+        i += (if (Character.isHighSurrogate(c0) && i + 1 < n &&
+                  Character.isLowSurrogate(s.charAt(i + 1))) 2 else 1)
       }
     }
     toks

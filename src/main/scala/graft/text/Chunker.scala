@@ -106,9 +106,11 @@ object Chunker {
   // would tokenize e.g. 'café' differently in the engine vs the oracle.
   @inline private def asciiAlnum(c: Char): Boolean =
     (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
-  // Java regex \s = [ \t\n\x0B\f\r]
-  @inline private def asciiSpace(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  // RE2 \s = [\t\n\f\r ] -- the DuckDB oracle's class, NOT Java's
+  // (Java \s adds \x0B; round-14 ADVICE: the engine must match the
+  // oracle's alphabet, so \u000B counts as a token here, like RE2)
+  @inline private[text] def asciiSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
   def proxyTokenLen(s: String): Int = {
     var i = 0
@@ -123,7 +125,12 @@ object Chunker {
         i = j
       } else {
         if (!asciiSpace(c)) toks += 1
-        i += 1
+        // one token per CODEPOINT, not per UTF-16 unit: the DuckDB
+        // oracle's regexp_extract_all counts an astral char as one
+        // match, so a surrogate pair must count once here too
+        // (round-14 ADVICE)
+        i += (if (Character.isHighSurrogate(c) && i + 1 < n &&
+                  Character.isLowSurrogate(s.charAt(i + 1))) 2 else 1)
       }
     }
     toks

@@ -99,6 +99,21 @@ class BpeSpec extends SparkSpec {
     assert(memo.size() > 0)
   }
 
+  test("textTokenLen alphabet matches the RE2 oracle: \\u000B is a " +
+      "token (not whitespace) and an astral char counts once") {
+    // RE2 \s = [\t\n\f\r ] — the q178 DuckDB oracle would count \v as
+    // one [^a-zA-Z0-9\s] match; the engine must agree (round-14 ADVICE)
+    assert(fixture.textTokenLen("a\u000Bb") == 3)
+    assert(fixture.textTokenLen("\u000B") == 1)
+    // U+1F600 (😀) is ONE codepoint = one oracle match, though two
+    // UTF-16 units; same for the proxy tokenizer (shared contract)
+    val astral = new String(Character.toChars(0x1F600))
+    assert(fixture.textTokenLen(s"a${astral}b") == 3)
+    assert(fixture.textTokenLen(astral * 3) == 3)
+    assert(Chunker.proxyTokenLen(s"a${astral}b") == 3)
+    assert(Chunker.proxyTokenLen("a\u000Bb") == 3)
+  }
+
   test("fromDataFrame: a merges DataFrame round-trips into the same model") {
     val df = TextQueries.Q178Merges.zipWithIndex
       .map { case ((a, b), r) => (r, a, b) }
