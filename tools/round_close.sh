@@ -23,3 +23,22 @@ SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench 1>&2
 python3 tools/bench_diff.py bench_detail.json "$OUT" 2.0 --md PLANS.md
+# Adopt the new record as the tracked bench_detail.json ONLY when it is
+# nominal — no suspect-flagged queries and stable interleaved controls
+# (round-14 verdict item 1c: the clean tracked record must never be
+# clobbered by a stall-polluted close). Bench.main applies the same
+# guard when writing the default path; this covers the explicit-OUT flow.
+python3 - "$OUT" <<'PYEOF'
+import json, shutil, sys
+d = json.load(open(sys.argv[1]))
+sus, bad = d.get("suspect_n", 0), d.get("ctl_disturbed", False)
+if sus == 0 and not bad:
+    shutil.copy(sys.argv[1], "bench_detail.json")
+    print(f"round_close: adopted {sys.argv[1]} as bench_detail.json "
+          f"(suspect_n=0, ctl_drift={d.get('ctl_drift')})")
+else:
+    print(f"round_close: NOT adopting {sys.argv[1]} (suspect_n={sus}, "
+          f"ctl_disturbed={bad}, suspects={d.get('suspect')}) — re-run on "
+          "a quiet window", file=sys.stderr)
+    sys.exit(1)
+PYEOF
