@@ -459,7 +459,10 @@ object GraphQueries {
       leidenMultiOracle(lpaIters = 2, rounds = 1, Seq(200L, 50L, 10L),
         orderMod = 10)) { (s, dir) =>
       val e = coPurchase(s, dir, orderMod = 10)
-        .localCheckpoint() // refine loop + namespaced split both consume it
+        // lazy: the ladder's m2 count materializes it — one driver gate
+        // fewer than eager (r14 verdict item 3); truncation is immediate
+        // either way (refine loop + namespaced split both consume it)
+        .localCheckpoint(eager = false)
       GraphOps.lpaLeidenRefineMulti(e, "src", "dst",
           lpaIters = 2, rounds = 1, gammaPcts = Seq(200L, 50L, 10L))
         .select(col("gamma_pct"), col("id").as("key"), col("label"))
@@ -482,7 +485,8 @@ object GraphQueries {
       graphragCapstoneOracle(lpaIters = 2, rounds = 1, Seq(200L, 50L, 10L),
         orderMod = 10)) { (s, dir) =>
       val e = coPurchase(s, dir, orderMod = 10)
-        .localCheckpoint() // ladder loop + degree agg both consume it
+        // lazy: the ladder's m2 count materializes it (r14 verdict item 3)
+        .localCheckpoint(eager = false) // ladder loop + degree agg consume it
       // Stages 1-2: build + the fused multi-resolution Leiden ladder
       val ladder = GraphOps.lpaLeidenRefineMulti(e, "src", "dst",
         lpaIters = 2, rounds = 1, gammaPcts = Seq(200L, 50L, 10L))

@@ -703,5 +703,37 @@ object RelationalQueries {
       graft.operators.Checks.ecdfAt(Tables(s, dir, "documents"),
         "source", "n_chars", points = Seq(200L, 500L, 1000L, 2000L))
     },
+
+    // AUTO-salted skewed join (r14 verdict stretch 8 — q99's sibling,
+    // now exercising saltedJoinAuto end-to-end): the key space is melted
+    // deliberately (every orderkey % 5 == 0 collapses to key 0 — ~20% of
+    // lineitem rows on ONE reducer unsalted), the dim side is grouped to
+    // one row per key, and adaptiveSalts measures the hot key and sizes
+    // the replication (targetRowsPerSalt=1000 → a genuine multi-salt
+    // spread at every test SF). The oracle is the PLAIN join: salting —
+    // manual or measured — must be invisible in the result.
+    Q("q181_salted_join_auto",
+      """WITH li AS (
+        |  SELECT CASE WHEN l_orderkey % 5 = 0 THEN 0 ELSE l_orderkey END AS k,
+        |         l_extendedprice
+        |  FROM lineitem),
+        |dim AS (
+        |  SELECT CASE WHEN o_orderkey % 5 = 0 THEN 0 ELSE o_orderkey END AS k,
+        |         MIN(o_orderpriority) AS pri
+        |  FROM orders GROUP BY 1)
+        |SELECT pri, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM li JOIN dim USING (k) GROUP BY pri""".stripMargin) { (s, dir) =>
+      val melt = (c: org.apache.spark.sql.Column) =>
+        when(c % 5 === 0, lit(0L)).otherwise(c)
+      val li = Tables(s, dir, "lineitem")
+        .select(melt(col("l_orderkey")).as("k"), col("l_extendedprice"))
+      val dim = Tables(s, dir, "orders")
+        .select(melt(col("o_orderkey")).as("k"), col("o_orderpriority"))
+        .groupBy("k").agg(min(col("o_orderpriority")).as("pri"))
+      R.saltedJoinAuto(li, dim, "k", targetRowsPerSalt = 1000L)
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n"), R.dsum(col("l_extendedprice")).as("revenue"))
+    },
   )
 }

@@ -231,6 +231,29 @@ class RelationalSpec extends SparkSpec {
     assert(auto.toSeq == plain.toSeq && plain.nonEmpty)
   }
 
+  test("saltedJoinAuto ≡ plain join across three MELT regimes (q181's " +
+      "key shape: uniform, moderate, melted)") {
+    // the q181 pattern: key % mod == 0 collapses to key 0 — mod controls
+    // what fraction of the left side lands on one reducer key
+    val rows = (1L to 400L).map(i => (i, i * 3 % 7))
+    def melted(mod: Long) = rows.map { case (k, v) =>
+      (if (mod > 0 && k % mod == 0) 0L else k, v)
+    }.toDF("k", "v")
+    val dim = (0L to 400L).map(k => (k, s"d$k")).toDF("k", "dv")
+    for (mod <- Seq(0L /* uniform */, 20L /* 5% hot */, 2L /* 50% hot */)) {
+      val left = melted(mod)
+      val auto = R.saltedJoinAuto(left, dim, "k", targetRowsPerSalt = 25)
+        .select("k", "v", "dv").as[(Long, Long, String)].collect().sorted
+      val plain = left.join(dim, "k")
+        .select("k", "v", "dv").as[(Long, Long, String)].collect().sorted
+      assert(auto.toSeq == plain.toSeq && plain.nonEmpty, s"mod=$mod")
+    }
+    // and the sizing really differs across the regimes
+    assert(R.adaptiveSalts(melted(0), "k", targetRowsPerSalt = 25) == 1)
+    assert(R.adaptiveSalts(melted(20), "k", targetRowsPerSalt = 25) == 1)
+    assert(R.adaptiveSalts(melted(2), "k", targetRowsPerSalt = 25) == 8)
+  }
+
   test("zscore: hand-computed values, constant group nulls out") {
     val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("c", 7.0), ("c", 7.0))
       .toDF("grp", "x")
