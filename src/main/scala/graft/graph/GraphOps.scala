@@ -1479,6 +1479,27 @@ object GraphOps {
     // for; decimal keeps the sum exact to 38 digits (m2² at 1e12 edges
     // is 25 digits) and, being exact, leaves every in-range result
     // bit-identical to the long path (round-10 overflow audit).
+    // one scalar job, not two: the 1-row W and ΣD² aggs cross-joined;
+    // γ-independent — every resolution combines the same pair as
+    // q·m2·W − p·ΣD². ΣD² accumulates in DECIMAL(38,0): D_c ≤ m2, so a
+    // long dc·dc wraps once m2 exceeds ~3e9 edge-endpoints (~1.5e9
+    // edges) — far below the 100 TB graphs this ladder is documented
+    // for; decimal keeps the sum exact to 38 digits and, being exact,
+    // leaves every in-range result bit-identical to the long path.
+    def wd2Of(a: DataFrame, dC: DataFrame, k: DataFrame): (Long, BigInt) = {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      // state side hinted like every other vertex-sized join in the
+      // loop: unhinted, this probe re-shuffled the EDGE-bounded k frame
+      // (~59M rows at sf10) once per round just to read two scalars
+      val row = k.join(stateSide(a.withColumnRenamed("c", "cv"), bc), "id")
+        .filter(col("c") === col("cv"))
+        .agg(coalesce(sum(col("kvc")), lit(0L)).as("w"))
+        .crossJoin(
+          dC.agg(coalesce(sum(col("dc").cast(dec) * col("dc")),
+            lit(0L).cast(dec)).as("d2")))
+        .head()
+      (row.getLong(0), BigInt(row.getDecimal(1).toBigInteger))
+    }
     val (dC0, k0) = frames(asg0)
     // The initial probe ALSO yields m2 = Σ D_c (every undirected edge
     // endpoint counted once) — so no caller pays a separate und.count()
@@ -1497,143 +1518,97 @@ object GraphOps {
         .head()
       (row.getLong(0), BigInt(row.getDecimal(1).toBigInteger), row.getLong(2))
     }
-    // γ-TAGGED LOCKSTEP ROUNDS (round 15, r14 verdict item 3): the γ
-    // ladder used to advance each resolution as its OWN chain of frames
-    // — one `moved` checkpoint + frames + scalar probe per γ per round
-    // (round 14 overlapped those chains from concurrent driver threads,
-    // but each still gated the driver separately: under AQE even a lazy
-    // localCheckpoint registration executes the plan's stages). Here the
-    // per-γ state carries a tag column `g` in ONE frame, so a round
-    // costs exactly TWO driver gates regardless of |γ|: the fused
-    // `moved` checkpoint and the fused (W, ΣD²)-per-γ probe (measured on
-    // q147: 3-γ round 4 gates → 2). Within a γ slice every aggregation
-    // sees exactly the rows the per-γ plan saw, and all folds are
-    // exact-integer/decimal, so each γ's gate decision — and the
-    // q134/q140/q147/q150/q60 oracles — stay bit-identical (GraphSpec's
-    // multi-vs-sequential equality pins it).
+    // Per-γ gated local-move loops over the shared start state; `own`
+    // tracks whether (asg, dC, k) are this γ's private frames (safe to
+    // release) or the shared ones (released once, after all γ).
+    // The γ loops run CONCURRENTLY (round 14): each is driver-gated — a
+    // checkpoint registration + a scalar wd2Of probe per round — so run
+    // sequentially the ladder's rounds serialize end to end despite
+    // sharing nothing but the already-materialized start state (the
+    // initial probe above is the materializer: it reads asg0's lazy
+    // checkpoint AND fills the dC0/k0 caches, satisfying Concurrent's
+    // shared-inputs contract). Each γ touches only its own frames after
+    // that, so results — and the q134/q140/q147/q150/q60 oracles — are
+    // bit-identical.
     //
-    // the in-plan move score holds the same products as the driver-side
-    // gate: kvc/kv/dc are cast to DECIMAL(38,0) so gq·m2·kvc and
-    // gp·kv·dc stay exact at any graph size (in range they equal the
-    // long math bit-for-bit, so the argmax — and every oracle — is
-    // unchanged); gq·m2 per γ is a BigDecimal literal behind a CASE on
-    // the tag, immune to the Scala-side wrap. Driver-side qCur in
-    // BigInt: gq·m2·W is ~m2² at worst — wraps a Scala Long at the same
-    // ~1.5e9-edge scale the wd2Plan doc describes.
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val gammas = gammaPcts.map(g => (g, reduced(g)))
-    val gpOf = gammas.foldLeft(lit(-1L)) { case (acc, (g, (gp, _))) =>
-      when(col("g") === g, lit(gp)).otherwise(acc)
-    }
-    val gqm2Of = gammas.foldLeft(lit(null).cast(dec)) { case (acc, (g, (_, gq))) =>
-      when(col("g") === g, lit(new java.math.BigDecimal(
-        (BigInt(gq) * BigInt(m2)).bigInteger)).cast(dec)).otherwise(acc)
-    }
-    // round-1 state: the shared start frames tag-expanded LAZILY over
-    // their caches — a |γ|-branch union scan, no re-aggregation
-    def tagAll(df: DataFrame): DataFrame =
-      gammaPcts.map(g => df.select(lit(g).as("g") +: df.columns.map(col): _*))
-        .reduce(_ unionByName _)
-    def framesAll(a: DataFrame): (DataFrame, DataFrame) = {
-      val dC = a.join(deg, "id").groupBy("g", "c").agg(sum(col("kv")).as("dc"))
-        .persist()
-      val k = und
-        .join(stateSide(a.select(col("g"), col("id").as("dst"), col("c")), bc),
-          "dst")
-        .groupBy(col("g"), col("src").as("id"), col("c"))
-        .agg(count(lit(1)).as("kvc"))
-        .persist()
-      (dC, k)
-    }
-    // per-γ driver state; fin = (base tagged frame) holding this γ's last
-    // ACCEPTED assignment (None = still the shared start asg0)
-    final case class GState(g: Long, gp: Long, gq: Long, qCur: BigInt,
-        improved: Boolean, fin: Option[DataFrame])
-    var states = gammas.map { case (g, (gp, gq)) =>
-      GState(g, gp, gq,
-        qCur = BigInt(gq) * BigInt(m2) * BigInt(w0) - BigInt(gp) * d20,
-        improved = true, fin = None)
-    }
-    var curAsg = tagAll(asg0)
-    var curDC = tagAll(dC0)
-    var curK = tagAll(k0)
-    // frames the loop owns: (moved, dC, k) of the previous round; a moved
-    // checkpoint still referenced by some γ's fin retires to `retired`
-    // and is released only after `out` materializes
-    var curOwned: Option[(DataFrame, DataFrame, DataFrame)] = None
-    val retired = scala.collection.mutable.ListBuffer[DataFrame]()
-    var r = 0
-    while (r < rounds && states.exists(_.improved)) {
-      val activeGs = states.filter(_.improved).map(_.g)
-      val aAsg = curAsg.filter(col("g").isin(activeGs: _*))
-      val aDC = curDC.filter(col("g").isin(activeGs: _*))
-      val aK = curK.filter(col("g").isin(activeGs: _*))
-      // own community is always a candidate (kvc = 0 when v has no
-      // intra-community neighbor); max() folds the duplicate away
-      val cand = aK.unionByName(aAsg.select(col("g"), col("id"), col("c"),
-          lit(0L).as("kvc")))
-        .groupBy("g", "id", "c").agg(max(col("kvc")).as("kvc"))
-      val moved = cand
-        // asg and deg are vertex-sized — hinted, the candidate frame
-        // (edge-bounded) streams through both joins without an exchange
-        .join(stateSide(aAsg.select(col("g"), col("id"), col("c").as("cv")), bc),
-          Seq("g", "id"))
-        .join(stateSide(deg, bc), "id")
-        .join(stateSide(aDC, bc), Seq("g", "c"))
-        .select(col("g"), col("id"), col("c"),
-          (gqm2Of * col("kvc").cast(dec) - gpOf * col("kv").cast(dec) *
-            (col("dc") - when(col("c") === col("cv"), col("kv"))
-              .otherwise(lit(0L)))).as("score"))
-        .groupBy("g", "id")
-        .agg(max(struct(col("score"), (-col("c")).as("nc"))).as("best"))
-        .select(col("g"), col("id"), (-col("best.nc")).as("c"))
-        .localCheckpoint(eager = false) // the round's one lineage gate
-      val (dC2, k2) = framesAll(moved)
-      // the fused probe: ONE job materializes the whole round and
-      // returns every active γ's (W, ΣD²). A γ slice empty on either
-      // side (degenerate/empty graph) defaults to (0, 0) — exactly what
-      // the old per-γ global aggregate returned for it.
-      val w = k2.join(stateSide(moved.withColumnRenamed("c", "cv"), bc),
-          Seq("g", "id"))
-        .filter(col("c") === col("cv"))
-        .groupBy("g").agg(coalesce(sum(col("kvc")), lit(0L)).as("w"))
-      val d2 = dC2.groupBy("g").agg(
-        coalesce(sum(col("dc").cast(dec) * col("dc")), lit(0L).cast(dec)).as("d2"))
-      val rows = w.join(d2, Seq("g"), "full_outer").collect()
-        .map(row => row.getLong(0) -> ((
-          if (row.isNullAt(1)) 0L else row.getLong(1),
-          if (row.isNullAt(2)) BigInt(0) else BigInt(row.getDecimal(2).toBigInteger)
-        ))).toMap
-      states = states.map { st =>
-        if (!st.improved) st
-        else {
-          val (w2, d22) = rows.getOrElse(st.g, (0L, BigInt(0)))
-          val qNew = BigInt(st.gq) * BigInt(m2) * BigInt(w2) - BigInt(st.gp) * d22
-          if (qNew > st.qCur) st.copy(qCur = qNew, fin = Some(moved))
-          else st.copy(improved = false)
+    // NEGATIVE RESULT, measured round 15 (r14 verdict item 3): a fully
+    // FUSED design — all γ in one tagged frame, one checkpoint + one
+    // fused (W, ΣD²) probe per lockstep round — cut q147's driver gates
+    // 27 → 18 (−33%) but ran 1.4–1.7× SLOWER wall at local[32]
+    // (alternating old/new A/B, min-of-2: q147 13.5/13.9 s → 23.6 s,
+    // q134 9.1/10.6 s → 13.9 s; untouched controls flat). One big AQE
+    // execution re-plans its ~3× query stages SEQUENTIALLY on the
+    // driver, serializing exactly what the concurrent per-γ executions
+    // overlap — gate count is not the whole driver-latency story. The
+    // concurrent design is retained; don't re-try the fusion without a
+    // fix for AQE's single-threaded re-optimization loop.
+    val finals = graft.operators.Concurrent.mapInParallel(gammaPcts) { g =>
+      val (gp, gq) = reduced(g)
+      var asg = asg0; var dC = dC0; var k = k0
+      var own = false
+      // driver-side gate in BigInt: gq·m2·W is ~m2² at worst — wraps a
+      // Scala Long at the same ~1.5e9-edge scale wd2Of's doc describes
+      var qCur = BigInt(gq) * BigInt(m2) * BigInt(w0) - BigInt(gp) * d20
+      var r = 0
+      var improved = true
+      // the in-plan move score holds the same products: kvc/kv/dc are
+      // cast to DECIMAL(38,0) so gq·m2·kvc and gp·kv·dc stay exact at
+      // any graph size (in range they equal the long math bit-for-bit,
+      // so the argmax — and every oracle — is unchanged); gq·m2 itself
+      // is a BigDecimal literal, immune to the Scala-side wrap
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val gqm2 = lit(new java.math.BigDecimal(
+        (BigInt(gq) * BigInt(m2)).bigInteger)).cast(dec)
+      while (r < rounds && improved) {
+        // own community is always a candidate (kvc = 0 when v has no
+        // intra-community neighbor); max() folds the duplicate away
+        val cand = k.unionByName(asg.select(col("id"), col("c"),
+            lit(0L).as("kvc")))
+          .groupBy("id", "c").agg(max(col("kvc")).as("kvc"))
+        val moved = cand
+          // asg and deg are vertex-sized — hinted, the candidate frame
+          // (edge-bounded) streams through both joins without an exchange
+          .join(stateSide(asg.select(col("id"), col("c").as("cv")), bc), "id")
+          .join(stateSide(deg, bc), "id")
+          .join(stateSide(dC, bc), "c")
+          .select(col("id"), col("c"),
+            (gqm2 * col("kvc").cast(dec) - lit(gp) * col("kv").cast(dec) *
+              (col("dc") - when(col("c") === col("cv"), col("kv"))
+                .otherwise(lit(0L)))).as("score"))
+          .groupBy("id")
+          .agg(max(struct(col("score"), (-col("c")).as("nc"))).as("best"))
+          .select(col("id"), (-col("best.nc")).as("c"))
+          .localCheckpoint(eager = false) // materialized by the wd2 probe
+        val (dC2, k2) = frames(moved)
+        val (w2, d22) = wd2Of(moved, dC2, k2)
+        val qNew = BigInt(gq) * BigInt(m2) * BigInt(w2) - BigInt(gp) * d22
+        if (qNew > qCur) {
+          if (own) {
+            releaseLocalCheckpoint(asg)
+            dC.unpersist(blocking = false)
+            k.unpersist(blocking = false)
+          }
+          asg = moved; dC = dC2; k = k2; own = true
+          qCur = qNew
+        } else {
+          releaseLocalCheckpoint(moved)
+          dC2.unpersist(blocking = false)
+          k2.unpersist(blocking = false)
+          improved = false
         }
+        r += 1
       }
-      // release the previous round's frames: its dC/k fed only this
-      // round's plans (now materialized); its moved checkpoint lives on
-      // only while some γ's fin still points at it
-      curOwned.foreach { case (pm, pdc, pk) =>
-        pdc.unpersist(blocking = false)
-        pk.unpersist(blocking = false)
-        if (states.exists(_.fin.exists(_ eq pm))) retired += pm
-        else releaseLocalCheckpoint(pm)
+      if (own) {
+        dC.unpersist(blocking = false)
+        k.unpersist(blocking = false)
       }
-      curOwned = Some((moved, dC2, k2))
-      curAsg = moved; curDC = dC2; curK = k2
-      r += 1
+      (g, asg, own)
     }
-    val out = states.map { st =>
-      val asg = st.fin
-        .map(_.filter(col("g") === st.g).select(col("id"), col("c")))
-        .getOrElse(asg0.select(col("id"), col("c")))
+    val out = finals.map { case (g, asg, _) =>
       assignment
         .select(col(idCol).as("id"), col(labelCol).as("label"))
-        .join(asg, Seq("id"), "left")
-        .select(lit(st.g).as("gamma_pct"), col("id"),
+        .join(asg.select(col("id"), col("c")), Seq("id"), "left")
+        .select(lit(g).as("gamma_pct"), col("id"),
           coalesce(col("c"), col("label")).as("label"))
     }.reduce(_ unionByName _).persist()
     // the materializing action doubles as the id-bounds probe: one agg
@@ -1641,12 +1616,9 @@ object GraphOps {
     val brow = out.agg(count(lit(1)), min(col("id")), max(col("id"))).head()
     val idBounds =
       if (brow.isNullAt(1)) None else Some((brow.getLong(1), brow.getLong(2)))
-    curOwned.foreach { case (pm, pdc, pk) =>
-      pdc.unpersist(blocking = false)
-      pk.unpersist(blocking = false)
-      releaseLocalCheckpoint(pm)
+    finals.foreach { case (_, asg, own) =>
+      if (own) releaseLocalCheckpoint(asg)
     }
-    retired.foreach(releaseLocalCheckpoint)
     releaseLocalCheckpoint(asg0)
     dC0.unpersist(blocking = false)
     k0.unpersist(blocking = false)

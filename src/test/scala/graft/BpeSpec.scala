@@ -2,6 +2,7 @@ package graft
 
 import graft.text.{BpeModel, Chunker}
 import graft.queries.TextQueries
+import org.apache.spark.sql.functions.col
 
 /** Exact merges-table BPE (round-13 verdict item 3): the kernel behind
   * q178 and Chunker's exact mode. Pins (1) the lowest-rank-first
@@ -127,68 +128,12 @@ class BpeSpec extends SparkSpec {
 
   // ---- trained-merges drift + exact chunker ----
 
-  /** Classic BPE training (Sennrich 2016), deterministic: merge the
-    * most frequent adjacent pair (ties: lexicographically smallest),
-    * n rounds or until no pair repeats. Test-only — the library takes
-    * merges as data and never trains. */
-  private def trainMerges(words: Seq[String], n: Int): Seq[(String, String)] = {
-    var seqs: Map[Vector[String], Long] =
-      words.groupBy(identity).map { case (w, ws) =>
-        w.map(_.toString).toVector -> ws.size.toLong
-      }
-    val merges = Seq.newBuilder[(String, String)]
-    var done = false
-    var round = 0
-    while (round < n && !done) {
-      val pc = scala.collection.mutable.Map[(String, String), Long]()
-      for ((toks, c) <- seqs; i <- 0 until toks.length - 1)
-        pc.updateWith((toks(i), toks(i + 1)))(o => Some(o.getOrElse(0L) + c))
-      if (pc.isEmpty) done = true
-      else {
-        val ((a, b), cnt) = pc.minBy { case ((x, y), c) => (-c, x, y) }
-        if (cnt < 2) done = true
-        else {
-          merges += ((a, b))
-          seqs = seqs.groupMapReduce { case (toks, _) =>
-            val out = Vector.newBuilder[String]
-            var i = 0
-            while (i < toks.length) {
-              if (i < toks.length - 1 && toks(i) == a && toks(i + 1) == b) {
-                out += (a + b); i += 2
-              } else { out += toks(i); i += 1 }
-            }
-            out.result()
-          } { case (_, c) => c }(_ + _)
-        }
-      }
-      round += 1
-    }
-    merges.result()
-  }
-
-  /** The TextSpec article generator's vocabulary and shape (same seed
-    * discipline): natural-ish word-length distribution. */
-  private def articleFixture(nArticles: Int): Seq[String] = {
-    val rnd = new scala.util.Random(42)
-    val words = Seq("the", "band", "released", "album", "in", "a",
-      "recording", "sessions", "critically", "acclaimed", "tour",
-      "guitarist", "of", "and", "their", "second", "studio",
-      "international", "chart", "success", "nineteen", "eighty")
-    def sentence(): String = {
-      val n = 6 + rnd.nextInt(12)
-      (Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" ")).capitalize + ". "
-    }
-    def paragraph(): String = Seq.fill(3 + rnd.nextInt(5))(sentence()).mkString
-    Seq.fill(nArticles)(
-      Seq.fill(8 + rnd.nextInt(10))(paragraph()).mkString("\n\n"))
-  }
-
   test("proxy-vs-exact drift on the article fixture: a corpus-trained " +
       "merges table lands the proxy within its calibration band") {
-    val arts = articleFixture(20)
+    val arts = BpeTestCorpus.articleFixture(20)
     val corpusWords = arts.flatMap(
       _.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
-    val trained = BpeModel(trainMerges(corpusWords, 200))
+    val trained = BpeModel(BpeTestCorpus.trainMerges(corpusWords, 200))
     val memo = new java.util.HashMap[String, Integer]()
     val exact = arts.map(a => trained.textTokenLen(a, memo)).sum.toDouble
     val proxy = arts.map(Chunker.proxyTokenLen).sum.toDouble
@@ -203,12 +148,65 @@ class BpeSpec extends SparkSpec {
       s"proxy/exact drift $drift left the calibrated band")
   }
 
-  test("tokenChunksExact: every chunk's EXACT token measure respects " +
-      "the window budget, and chunks cover the text") {
-    val arts = articleFixture(3)
+  test("exact-BPE distributed RAG pipeline parity (r14 verdict stretch " +
+      "7): sections -> exact-BPE chunks on the article fixture, chunk " +
+      "counts within the documented proxy drift band; merges table " +
+      "committed as test data and provenance-pinned") {
+    val arts = BpeTestCorpus.articleFixture(12)
     val corpusWords = arts.flatMap(
       _.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
-    val trained = BpeModel(trainMerges(corpusWords, 200))
+    val merges = BpeTestCorpus.trainMerges(corpusWords, 200)
+    // the committed fixture (src/test/resources/bpe_merges_trained_200.csv,
+    // corpus-trained, copyright-free) IS this deterministic trainer's
+    // output — the pin catches trainer or fixture drift
+    val res = getClass.getResourceAsStream("/bpe_merges_trained_200.csv")
+    assert(res != null, "committed merges fixture missing")
+    val committed = scala.io.Source.fromInputStream(res, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { l =>
+        val Array(_, a, b) = l.split(",", 3); (a, b)
+      }.toSeq
+    assert(merges == committed,
+      "trained merges diverged from the committed fixture")
+    // caller-data path, exactly as a user ships an HF merges.txt
+    val model = BpeModel.fromDataFrame(
+      committed.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+        .toDF("rank", "a", "b"))
+    // the q57 pipeline shape: normalize -> sections -> chunk per section
+    val docs = arts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val clean = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.normalizeText(col("text")).as("text"))
+    val secDocs = graft.text.Sections.explode(clean).toDF()
+      .select(col("doc_id"), col("content").as("text"))
+    val exactChunks = Chunker.explodeTokensExact(secDocs, model,
+      size = 256, overlap = 64).persist()
+    val proxyChunks = Chunker.explodeTokens(secDocs,
+      size = 256, overlap = 64)
+    val (ne, np) = (exactChunks.count(), proxyChunks.count())
+    assert(ne > 12, s"pipeline degenerate: $ne exact chunks")
+    // the proxy overcounts tokens on a saturated trained vocabulary by
+    // the calibrated 1.05-1.60x band (the drift test above); chunk
+    // counts follow monotonically, compressed toward 1 by the
+    // GREATEST(1, ...) floor on short sections
+    val ratio = np.toDouble / ne
+    info(f"pipeline chunk counts: exact=$ne proxy=$np drift=$ratio%.3f")
+    assert(ratio >= 1.0 && ratio <= 1.7,
+      s"proxy/exact chunk-count drift $ratio left the band (np=$np ne=$ne)")
+    // every distributed exact chunk respects the exact token budget
+    val memo = new java.util.HashMap[String, Integer]()
+    exactChunks.collect().foreach { c =>
+      assert(model.textTokenLen(c.chunk, memo) <= 256 + 64,
+        s"chunk over budget: ${c.chunk_id}")
+    }
+    exactChunks.unpersist(blocking = false)
+  }
+
+  test("tokenChunksExact: every chunk's EXACT token measure respects " +
+      "the window budget, and chunks cover the text") {
+    val arts = BpeTestCorpus.articleFixture(3)
+    val corpusWords = arts.flatMap(
+      _.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+    val trained = BpeModel(BpeTestCorpus.trainMerges(corpusWords, 200))
     val memo = new java.util.HashMap[String, Integer]()
     for (a <- arts) {
       val chunks = Chunker.tokenChunksExact(a, trained, size = 256, overlap = 64)
@@ -223,8 +221,8 @@ class BpeSpec extends SparkSpec {
 
   test("explodeTokensExact: distributed generator agrees with the " +
       "local kernel (ids, counts, boundaries)") {
-    val arts = articleFixture(4)
-    val trained = BpeModel(trainMerges(arts.flatMap(
+    val arts = BpeTestCorpus.articleFixture(4)
+    val trained = BpeModel(BpeTestCorpus.trainMerges(arts.flatMap(
       _.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)), 100))
     val docs = arts.zipWithIndex.map { case (a, i) => (i.toLong, a) }
       .toDF("doc_id", "text")
