@@ -233,7 +233,17 @@ object Relational {
       pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1)))) // int elements already
-    l.join(r, Seq(key, "__salt")).drop("__salt")
+    // merge hint: the replicated right side must NEVER be broadcast —
+    // size estimates don't see the explode's salts× inflation, so the
+    // optimizer happily plans a "small" broadcast that materializes at
+    // salts× (measured round 15: q181 at sf1, salts=64 → a 9.9 GiB
+    // broadcast attempt over the 8 GiB ceiling, hard error). Broadcast
+    // would also defeat the operator: salting spreads a hot REDUCER key,
+    // and a broadcast join has no reducer to melt. Sort-merge keeps the
+    // join a shuffle on (key, salt) — exactly the skew-spreading shape —
+    // with sort-spill instead of an unbounded hash build on the
+    // salts×-replicated side.
+    l.join(r.hint("merge"), Seq(key, "__salt")).drop("__salt")
   }
 
   /** Sizing rule for [[saltedJoin]]'s `salts` (round-13 verdict item 6):

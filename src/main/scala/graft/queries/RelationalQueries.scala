@@ -731,7 +731,12 @@ object RelationalQueries {
       val dim = Tables(s, dir, "orders")
         .select(melt(col("o_orderkey")).as("k"), col("o_orderpriority"))
         .groupBy("k").agg(min(col("o_orderpriority")).as("pri"))
-      R.saltedJoinAuto(li, dim, "k", targetRowsPerSalt = 1000L)
+      // maxSalts=16 bounds the DEMO's replication at big SFs (the 1000-
+      // row target that guarantees a multi-salt spread at sf0.01 would
+      // otherwise cap out at 64 salts on sf1's 1.2M-row hot key — a 64x
+      // dim replication that costs ~60 s for no extra coverage; the
+      // result is identical for ANY salts >= 1, which is the point)
+      R.saltedJoinAuto(li, dim, "k", targetRowsPerSalt = 1000L, maxSalts = 16)
         .groupBy("pri")
         .agg(count(lit(1)).as("n"), R.dsum(col("l_extendedprice")).as("revenue"))
     },

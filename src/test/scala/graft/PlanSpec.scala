@@ -28,6 +28,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q181: the salted join's replicated side is NEVER broadcast " +
+      "(size estimates don't see the explode's salts-fold inflation — " +
+      "the sf1 9.9 GiB broadcast-ceiling lesson, round 15)") {
+    val p = planOf("q181_salted_join_auto")
+    assert(p.contains("SortMergeJoin"), p.take(400))
+    assert(!p.contains("BroadcastHashJoin"))
+  }
+
   test("q07: global top-k plans TakeOrderedAndProject, not a full sort") {
     val p = planOf("q07_global_topk")
     assert(p.contains("TakeOrderedAndProject"))
