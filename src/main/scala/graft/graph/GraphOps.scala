@@ -1479,13 +1479,6 @@ object GraphOps {
     // for; decimal keeps the sum exact to 38 digits (m2² at 1e12 edges
     // is 25 digits) and, being exact, leaves every in-range result
     // bit-identical to the long path (round-10 overflow audit).
-    // one scalar job, not two: the 1-row W and ΣD² aggs cross-joined;
-    // γ-independent — every resolution combines the same pair as
-    // q·m2·W − p·ΣD². ΣD² accumulates in DECIMAL(38,0): D_c ≤ m2, so a
-    // long dc·dc wraps once m2 exceeds ~3e9 edge-endpoints (~1.5e9
-    // edges) — far below the 100 TB graphs this ladder is documented
-    // for; decimal keeps the sum exact to 38 digits and, being exact,
-    // leaves every in-range result bit-identical to the long path.
     def wd2Of(a: DataFrame, dC: DataFrame, k: DataFrame): (Long, BigInt) = {
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       // state side hinted like every other vertex-sized join in the
@@ -1501,9 +1494,16 @@ object GraphOps {
       (row.getLong(0), BigInt(row.getDecimal(1).toBigInteger))
     }
     val (dC0, k0) = frames(asg0)
-    // The initial probe ALSO yields m2 = Σ D_c (every undirected edge
-    // endpoint counted once) — so no caller pays a separate und.count()
-    // driver gate for it (r14 verdict item 3). An empty graph gives
+    // The initial probe ALSO yields m2 = Σ_v k_v over deg (every
+    // undirected edge endpoint counted once, 2|E|) — so no caller pays a
+    // separate und.count() driver gate for it (r14 verdict item 3).
+    // m2 is summed over DEG, not dC0 (r15 ADVICE): a PARTIAL assignment
+    // (some edge-incident vertices unassigned) would make Σ dc < 2|E|,
+    // silently rescaling every γ·m2-weighted move score with a quantity
+    // that is neither full-graph nor induced-subgraph modularity (kv/dc
+    // still use full degrees). Summing deg keeps m2 assignment-
+    // independent; for total assignments the two sums are equal, so
+    // every existing oracle is bit-identical. An empty graph gives
     // m2 = 0 and every per-γ loop degenerates to the identity relabel
     // below — the old callers' explicit m2 == 0 pre-branch, subsumed.
     val (w0, d20, m2) = {
@@ -1513,8 +1513,9 @@ object GraphOps {
         .agg(coalesce(sum(col("kvc")), lit(0L)).as("w"))
         .crossJoin(
           dC0.agg(coalesce(sum(col("dc").cast(dec) * col("dc")),
-              lit(0L).cast(dec)).as("d2"),
-            coalesce(sum(col("dc")), lit(0L)).as("m2")))
+            lit(0L).cast(dec)).as("d2")))
+        .crossJoin(
+          deg.agg(coalesce(sum(col("kv")), lit(0L)).as("m2")))
         .head()
       (row.getLong(0), BigInt(row.getDecimal(1).toBigInteger), row.getLong(2))
     }

@@ -459,9 +459,12 @@ object GraphQueries {
       leidenMultiOracle(lpaIters = 2, rounds = 1, Seq(200L, 50L, 10L),
         orderMod = 10)) { (s, dir) =>
       val e = coPurchase(s, dir, orderMod = 10)
-        // lazy: the ladder's m2 count materializes it — one driver gate
-        // fewer than eager (r14 verdict item 3); truncation is immediate
-        // either way (refine loop + namespaced split both consume it)
+        // lazy: refineCore's initial scalar probe (W/ΣD²/m2, the first
+        // action that reads the edges) materializes it — one driver
+        // gate fewer than eager (r14 verdict item 3); truncation is
+        // immediate either way (refine loop + namespaced split both
+        // consume it). The exact-count broadcast fallback (deg.count,
+        // stats-refusal path) is the only earlier possible gate.
         .localCheckpoint(eager = false)
       GraphOps.lpaLeidenRefineMulti(e, "src", "dst",
           lpaIters = 2, rounds = 1, gammaPcts = Seq(200L, 50L, 10L))

@@ -179,6 +179,12 @@ object ManagedTables {
     // the layout regardless.)
     val writer = spark.newSession()
     writer.conf.set(scanKey, "false")
+    // A child session's catalog starts at 'default' — it does NOT
+    // inherit the parent's currentDatabase. Without this, an unqualified
+    // `table`/`tmp` would resolve in the wrong database: loud failure at
+    // best, compact-then-DROP of the wrong table at worst (breaking the
+    // crash-safe swap). Pin the child to the caller's database.
+    writer.catalog.setCurrentDatabase(spark.catalog.currentDatabase)
     val one = writer.table(table).repartition(nBuckets,
       bucketCols.map(org.apache.spark.sql.functions.col): _*)
     val w0 = one.write.mode("overwrite")

@@ -199,6 +199,43 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(again == before)
   }
 
+  test("compact: resolves in the caller's CURRENT DATABASE, not the " +
+      "child session's 'default' (r15 ADVICE)") {
+    import graft.sinks.ManagedTables
+    val db = "compact_db_spec"
+    val tbl = "bucketed_in_nondefault"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spark.sql(s"DROP TABLE IF EXISTS $db.$tbl")
+    spark.sql(s"DROP TABLE IF EXISTS $db.${tbl}__compacting")
+    // a DECOY of the same name in default: a database-confused compact
+    // would read/compact this one (or DROP the real table while the
+    // tmp RENAME fails) — the worst-case in the ADVICE finding
+    spark.sql(s"DROP TABLE IF EXISTS default.$tbl")
+    spark.range(0, 10).selectExpr("id AS k", "CAST(-1 AS BIGINT) AS v")
+      .write.bucketBy(2, "k").saveAsTable(s"default.$tbl")
+    val prev = spark.catalog.currentDatabase
+    try {
+      spark.catalog.setCurrentDatabase(db)
+      // two appends → fragmented (files > buckets)
+      spark.range(0, 50).selectExpr("id AS k", "id % 3 AS v")
+        .write.bucketBy(4, "k").sortBy("k").saveAsTable(tbl)
+      spark.range(50, 100).selectExpr("id AS k", "id % 3 AS v")
+        .write.mode("append").bucketBy(4, "k").sortBy("k").saveAsTable(tbl)
+      val content = spark.table(tbl).orderBy("k").collect().toSeq
+      val files = ManagedTables.compactBucketedTable(spark, tbl)
+      assert(files == 4L, s"expected one file per bucket, got $files")
+      assert(spark.table(tbl).orderBy("k").collect().toSeq == content)
+      assert(!spark.catalog.tableExists(s"${tbl}__compacting"))
+    } finally spark.catalog.setCurrentDatabase(prev)
+    // the decoy is untouched — 10 rows, all v = -1
+    val decoy = spark.table(s"default.$tbl")
+    assert(decoy.count() == 10L &&
+      decoy.filter(col("v") =!= -1L).count() == 0L)
+    spark.sql(s"DROP TABLE default.$tbl")
+    spark.sql(s"DROP TABLE $db.$tbl")
+    spark.sql(s"DROP DATABASE $db")
+  }
+
   test("compact: an interrupted swap (serving table gone, __compacting " +
       "present) resumes by completing the rename") {
     import graft.sinks.ManagedTables
