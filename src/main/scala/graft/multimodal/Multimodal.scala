@@ -8,10 +8,14 @@ import org.apache.spark.sql.functions._
   * (the JVM analog of the brief's mapInPandas slot; V1/V4's pluggable
   * inference surface in SURVEY §2.11).
   *
-  * The actual media decode is a STUB — this container has no image/audio
-  * codecs — but everything Spark-side is real: binary column schema,
-  * typed Dataset boundary, mapPartitions batch shape, deterministic
-  * output contract (which is what makes the oracle exact).
+  * The header DECODE is real — [[MediaHeaders.decodeHeader]] parses
+  * PNG/JPEG/GIF/WebP dimensions by fixed-offset byte arithmetic, no codec
+  * dependency — which is the metadata a curation pipeline filters on
+  * (format, resolution) before paying for a full decode. Only the full
+  * pixel/sample decode (resize re-encode, frame decode) remains
+  * out-of-engine: that genuinely needs codec libraries this container
+  * doesn't have, and the Spark-side contract (binary column schema, typed
+  * Dataset boundary, mapPartitions batch shape) is identical either way.
   */
 object Multimodal {
 
@@ -20,30 +24,51 @@ object Multimodal {
       doc_id: Long, n_bytes: Int, format: String,
       width: Int, height: Int, first_byte: Int)
 
-  /** STUB decode: deterministic fake header parse standing in for a real
-    * codec (swap the body for e.g. javax.imageio / JavaCV in production;
-    * the signature — bytes in, typed metadata out, batched per partition —
-    * is the real contract). */
-  def decodeStub(b: Array[Byte]): (String, Int, Int) = {
-    val n = b.length
-    val fmt = (n % 3) match { case 0 => "png"; case 1 => "jpeg"; case _ => "webp" }
-    (fmt, 64 + n % 1024, 64 + (n * 7) % 1024)
-  }
-
   /** Partition-batched metadata extraction: one iterator pass per
     * partition (codec/model init would amortize per partition exactly like
     * a Pandas-UDF batch; chroma_helpers.py:62-81's batch embedder is the
-    * reference shape). */
+    * reference shape). The per-row decode is the real header parse —
+    * total, never throws; unrecognized bytes land as ("unknown", -1, -1)
+    * rows rather than poisoning the batch. */
   def extractMeta(docs: Dataset[BinaryDoc]): Dataset[MediaMeta] = {
     import docs.sparkSession.implicits._
     docs.mapPartitions { it =>
       // per-partition init slot (codec handles, model weights, ...)
       it.map { d =>
-        val (fmt, w, h) = decodeStub(d.content)
+        val (fmt, w, h) = MediaHeaders.decodeHeader(d.content)
         MediaMeta(d.doc_id, d.content.length, fmt, w, h,
           if (d.content.isEmpty) -1 else d.content(0) & 0xFF)
       }
     }
+  }
+
+  /** Deterministic media synthesis over the documents table: doc_id picks
+    * the format (and WebP bitstream variant) and dimensions, the text
+    * bytes ride along as the opaque body. The headers are SPEC-VALID
+    * ([[MediaHeaders]] synth), so the decode side must do real byte
+    * arithmetic to recover (format, width, height) — and the oracle can
+    * predict the result purely arithmetically. Dims stay inside every
+    * variant's cap (3000 < 2^14-1 for VP8's 14-bit field). */
+  def synthMedia(documents: DataFrame): Dataset[BinaryDoc] = {
+    import documents.sparkSession.implicits._
+    documents
+      .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").as("content"))
+      .as[BinaryDoc]
+      .map { d =>
+        val w = (1L + d.doc_id % 3000L).toInt
+        val h = (1L + (d.doc_id * 7L) % 2000L).toInt
+        val bytes = (d.doc_id % 4L).toInt match {
+          case 0 => MediaHeaders.synthPng(w, h, d.content)
+          case 1 => MediaHeaders.synthJpeg(w, h, d.content)
+          case 2 => MediaHeaders.synthGif(w, h, d.content)
+          case _ =>
+            val variant = (d.doc_id % 3L).toInt match {
+              case 0 => "vp8"; case 1 => "vp8l"; case _ => "vp8x"
+            }
+            MediaHeaders.synthWebp(variant, w, h, d.content)
+        }
+        BinaryDoc(d.doc_id, bytes)
+      }
   }
 
   final case class Frame(doc_id: Long, frame_index: Int, n_bytes: Int, fp: String)

@@ -105,18 +105,30 @@ object PipelineQueries {
           col("event_type"), col("n_events"), col("sum_value"))
     },
 
-    // Multimodal: opaque binary column → partition-batched (stub) decode →
-    // typed metadata. The decode contract is deterministic, so the Spark
-    // mapPartitions path has an exact SQL oracle.
+    // Multimodal: opaque binary column → partition-batched REAL header
+    // decode → typed metadata. synthMedia builds SPEC-VALID PNG/JPEG/GIF/
+    // WebP bytes (doc_id picks format/variant/dims, text rides as the
+    // body), so MediaHeaders.decodeHeader must do real fixed-offset byte
+    // arithmetic (BE32 PNG IHDR, JPEG SOFn marker scan, LE16 GIF LSD,
+    // WebP VP8/VP8L/VP8X bit-fields) to recover what the oracle predicts
+    // arithmetically. The parser itself is pinned against REAL image
+    // fixtures in MultimodalSpec so synth+parse can't share a wrong
+    // layout. Header-length constants per format: png 33, jpeg 17,
+    // gif 13, webp 30/25/30 (vp8/vp8l/vp8x by doc_id%3).
     Q("q46_multimodal_meta",
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-        |  CASE CAST(octet_length(encode(text)) AS INT) % 3
-        |       WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
-        |  CAST(64 + octet_length(encode(text)) % 1024 AS INT) AS width,
-        |  CAST(64 + (octet_length(encode(text)) * 7) % 1024 AS INT) AS height,
-        |  CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) + CASE CAST(doc_id % 4 AS INT)
+        |       WHEN 0 THEN 33 WHEN 1 THEN 17 WHEN 2 THEN 13
+        |       ELSE CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN 25 ELSE 30 END
+        |       END AS INT) AS n_bytes,
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |       WHEN 2 THEN 'gif' ELSE 'webp' END AS format,
+        |  CAST(1 + doc_id % 3000 AS INT) AS width,
+        |  CAST(1 + (doc_id * 7) % 2000 AS INT) AS height,
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 137 WHEN 1 THEN 255
+        |       WHEN 2 THEN 71 ELSE 82 END AS first_byte
         |FROM documents""".stripMargin) { (s, dir) =>
-      Multimodal.extractMeta(Multimodal.asBinary(Tables(s, dir, "documents"))).toDF()
+      Multimodal.extractMeta(Multimodal.synthMedia(Tables(s, dir, "documents"))).toDF()
     },
 
     // Range (interval) join: events matched back into their enclosing
@@ -195,6 +207,41 @@ object PipelineQueries {
         |FROM f""".stripMargin) { (s, dir) =>
       Multimodal.frameSample(
         Multimodal.asBinary(Tables(s, dir, "documents")), n = 3).toDF()
+    },
+
+    // Media curation filter — WHY a pipeline parses headers at all:
+    // drop low-resolution and unwanted-format media BEFORE paying for a
+    // full decode. Synth-valid bytes → real header parse → filter on the
+    // PARSED dims/format → per-format stats. The oracle predicts the
+    // same rows purely arithmetically, so any parse error (offset,
+    // endianness, variant confusion) shifts the kept-set and breaks the
+    // hash. Distributed shape: decode is a narrow mapPartitions pass,
+    // the filter prunes before the single small shuffle (4-row groupBy).
+    Q("q182_media_filter",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |         WHEN 2 THEN 'gif' ELSE 'webp' END AS format,
+        |    CAST(1 + doc_id % 3000 AS INT) AS width,
+        |    CAST(1 + (doc_id * 7) % 2000 AS INT) AS height
+        |  FROM documents)
+        |SELECT format, COUNT(*) AS n_kept,
+        |  CAST(SUM(CAST(width AS BIGINT) * height) AS BIGINT) AS sum_pixels,
+        |  CAST(MIN(width) AS INT) AS min_width,
+        |  CAST(MAX(height) AS INT) AS max_height
+        |FROM m
+        |WHERE width >= 256 AND height >= 256 AND format <> 'gif'
+        |GROUP BY format""".stripMargin) { (s, dir) =>
+      Multimodal.extractMeta(Multimodal.synthMedia(Tables(s, dir, "documents")))
+        .toDF()
+        .filter(col("width") >= 256 && col("height") >= 256 &&
+          col("format") =!= "gif")
+        .groupBy("format")
+        .agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("width").cast("bigint") * col("height")).as("sum_pixels"),
+          min(col("width")).as("min_width"),
+          max(col("height")).as("max_height"))
     },
 
     // K2+S2: sparse-JSONL sink roundtrip — null-stripped NDJSON out,

@@ -126,13 +126,19 @@ class SinksSpec extends SparkSpec {
       s"most z-clustered files must narrow the x range, got ${widths.toSeq}")
   }
 
-  test("multimodal: binary plumbing + partition-batched stub decode") {
+  test("multimodal: binary plumbing + partition-batched real decode") {
+    // raw UTF-8 text is NOT a media file: the real header parse must
+    // degrade to unknown/-1/-1 while the plumbing columns stay exact
     val docs = Seq((5L, "hello world")).toDF("doc_id", "text")
     val meta = Multimodal.extractMeta(Multimodal.asBinary(docs)).collect()(0)
     assert(meta.n_bytes == 11)
     assert(meta.first_byte == 'h'.toInt)
-    assert(meta.format == "webp") // 11 % 3 == 2
-    assert(meta.width == 64 + 11 && meta.height == 64 + 77)
+    assert(meta.format == "unknown" && meta.width == -1 && meta.height == -1)
+    // synthMedia wraps the same text in a spec-valid header: doc_id 5 →
+    // jpeg (5%4), 1+5=6 × 1+35=36
+    val m2 = Multimodal.extractMeta(Multimodal.synthMedia(docs)).collect()(0)
+    assert(m2.format == "jpeg" && m2.width == 6 && m2.height == 36)
+    assert(m2.n_bytes == 11 + 17 && m2.first_byte == 0xFF)
   }
 
   test("multimodal: frame sampling covers all bytes, fingerprints distinct content") {
