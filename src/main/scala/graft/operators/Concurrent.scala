@@ -36,7 +36,12 @@ import scala.util.{Failure, Try}
   * round-14 review's appendPqIndex-retry scenario: a retry's anti-join
   * planned against a table an orphan append was still committing to).
   * Joining first costs nothing extra on success and bounds the failure
-  * path by work already in flight.
+  * path by work already in flight. The ONE exception is the optional
+  * hard join bound (`graft.concurrent.maxWaitSec`, default off): a
+  * wedged chain that outlives it is abandoned (pool interrupted, daemon
+  * threads) and a TimeoutException naming the stuck chains is thrown —
+  * callers that set the bound accept that in-flight work may still be
+  * finishing when the exception surfaces.
   *
   * The pool is capped at [[MaxThreads]] submitting threads (matching
   * Spark's own stage-materialization pool): items beyond the cap queue —
@@ -48,37 +53,80 @@ object Concurrent {
   /** Submitting-thread cap; mirrors Spark's QueryStageCreator pool size. */
   val MaxThreads = 16
 
-  /** How often the (unbounded) join logs that it is still waiting. */
-  private val WaitLogPeriod = scala.concurrent.duration.Duration(300, "s")
+  /** How often the join logs that it is still waiting. Overridable for
+    * tests via `-Dgraft.concurrent.waitLogSec=`. */
+  private def waitLogPeriod: scala.concurrent.duration.FiniteDuration =
+    scala.concurrent.duration.Duration(
+      java.lang.Long.getLong("graft.concurrent.waitLogSec", 300L), "s")
+
+  /** Hard join bound in seconds; 0 (the default) = unbounded. Chains are
+    * legitimately long Spark jobs, so the single-box harness keeps this
+    * off — a CLUSTER deployment should set a generous bound
+    * (`-Dgraft.concurrent.maxWaitSec=…`) so one wedged chain (a hung
+    * external shuffle fetch, a deadlocked datasource) surfaces as a
+    * diagnostic naming the stuck chains instead of an eternal silent
+    * join (r15 verdict caution). */
+  private def maxWaitSec: Long =
+    java.lang.Long.getLong("graft.concurrent.maxWaitSec", 0L)
 
   def mapInParallel[A, B](items: Seq[A])(f: A => B): Seq[B] =
     if (items.lengthCompare(1) <= 0) items.map(f)
     else {
       val pool = Executors.newFixedThreadPool(
-        math.min(items.length, MaxThreads))
+        math.min(items.length, MaxThreads),
+        // daemon threads: if the hard bound fires while a chain is
+        // genuinely uninterruptible, it must not pin the JVM open
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r,
+              s"graft-concurrent-${n.getAndIncrement()}")
+            t.setDaemon(true)
+            t
+          }
+        })
       try {
         implicit val ec: ExecutionContext =
           ExecutionContext.fromExecutor(pool)
+        // per-chain completion flags so a stall diagnostic can NAME the
+        // wedged chains, not just report "still running"
+        val done = new java.util.concurrent.atomic.AtomicIntegerArray(
+          items.length)
         // Try-lifted so sequence NEVER fails fast: every chain runs to
         // completion before the first failure (in item order) propagates
-        val fut = Future.sequence(items.map(a => Future(Try(f(a)))))
-        // Join observability (round-14 ADVICE): the join is still
-        // unbounded — chains are legitimately long Spark jobs and an
-        // arbitrary cap would kill real work — but a wedged chain used to
-        // hang here silently forever. Logging every 5 minutes makes a
-        // stall visible in the driver log instead of indistinguishable
-        // from progress (the round-14 stall investigation's exact gap).
+        val fut = Future.sequence(items.zipWithIndex.map { case (a, i) =>
+          Future { val r = Try(f(a)); done.set(i, 1); r }
+        })
+        // Join observability (round-14 ADVICE): by default the join is
+        // unbounded — an arbitrary cap would kill real work — but a
+        // wedged chain used to hang here silently forever. Logging every
+        // 5 minutes makes a stall visible in the driver log instead of
+        // indistinguishable from progress (the round-14 stall
+        // investigation's exact gap); the optional maxWaitSec bound
+        // turns it into a thrown diagnostic.
+        def pendingDesc: String = {
+          val p = items.indices.filterNot(done.get(_) == 1)
+          p.map(i => s"#$i=${items(i).toString.take(60)}").mkString(", ")
+        }
         var settled: Seq[Try[B]] = null
         var waitedSec = 0L
+        val bound = maxWaitSec
         while (settled == null) {
-          try settled = Await.result(fut, WaitLogPeriod)
+          try settled = Await.result(fut, waitLogPeriod)
           catch {
             case _: java.util.concurrent.TimeoutException =>
-              waitedSec += WaitLogPeriod.toSeconds
+              waitedSec += waitLogPeriod.toSeconds
+              if (bound > 0 && waitedSec >= bound) {
+                pool.shutdownNow() // interrupt what can be interrupted
+                throw new java.util.concurrent.TimeoutException(
+                  s"graft.operators.Concurrent: ${items.length}-chain " +
+                    s"mapInParallel exceeded maxWaitSec=$bound with " +
+                    s"unfinished chains: $pendingDesc")
+              }
               System.err.println(
                 s"graft.operators.Concurrent: ${items.length}-chain " +
                   s"mapInParallel still running after ${waitedSec}s " +
-                  "(unbounded by design; diagnostic only)")
+                  s"(pending: $pendingDesc)")
           }
         }
         // sibling failures ride along as suppressed (round-14 ADVICE:

@@ -40,6 +40,32 @@ class ConcurrentSpec extends AnyFunSuite {
     assert(Concurrent.mapInParallel(Seq.empty[Int])(identity).isEmpty)
   }
 
+  test("maxWaitSec bound: a wedged chain throws a diagnostic NAMING it") {
+    System.setProperty("graft.concurrent.waitLogSec", "1")
+    System.setProperty("graft.concurrent.maxWaitSec", "2")
+    try {
+      val ex = intercept[java.util.concurrent.TimeoutException] {
+        Concurrent.mapInParallel(Seq("fast-chain", "wedged-chain")) { s =>
+          if (s == "wedged-chain") {
+            // a chain that never completes on its own (interruptible, so
+            // the bound's shutdownNow cleans it up)
+            try Thread.sleep(3600000L)
+            catch { case _: InterruptedException => () }
+          }
+          s.length
+        }
+      }
+      assert(ex.getMessage.contains("maxWaitSec=2"))
+      assert(ex.getMessage.contains("wedged-chain"),
+        s"diagnostic must name the stuck chain: ${ex.getMessage}")
+      assert(!ex.getMessage.contains("fast-chain"),
+        s"finished chains must not be listed: ${ex.getMessage}")
+    } finally {
+      System.clearProperty("graft.concurrent.waitLogSec")
+      System.clearProperty("graft.concurrent.maxWaitSec")
+    }
+  }
+
   test("chains overlap: n sleeps of t take ~t, not n*t") {
     val inFlight = new AtomicInteger(0)
     val maxSeen = new AtomicInteger(0)
