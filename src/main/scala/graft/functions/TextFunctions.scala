@@ -111,10 +111,15 @@ object TextFunctions {
     *  - guards: codepoint ∈ [1, 0x10FFFF] and NOT a surrogate
     *    (0xD800–0xDFFF) — out-of-range refs stay LITERAL text in both
     *    engines instead of one erroring and the other emitting U+FFFD;
-    *  - named refs (`&lt; &gt; &quot; &apos; &nbsp;`) as literal
-    *    replaces (`&nbsp;` → plain space, its NFKC image — keeps the
-    *    oracle free of NBSP byte plumbing), `&amp;` LAST so one decode
-    *    level resolves per pass (`&amp;amp;` → `&amp;`, not `&`).
+    *  - named refs: the FULL HTML 4.01 named set (252 entities — Latin-1,
+    *    Greek, punctuation/symbols, markup; r16 ftfy-parity audit closed
+    *    the `&eacute;`-class gap) via ONE split-on-`&` pass with a
+    *    constant-folded literal lookup map — O(1) in entity-set size vs
+    *    the former per-entity regexp_replace chain. Unknown names (the
+    *    HTML5-only math long tail) stay literal. `&nbsp;` → plain space,
+    *    its NFKC image — keeps the oracle free of NBSP byte plumbing;
+    *    exactly one decode level resolves per pass (`&amp;amp;` →
+    *    `&amp;`, not `&` — the split happens before any `&` re-emerges).
     *
     * Documented deviation from a single-scan html.unescape: the numeric
     * pass runs before the named passes, so ANY named entity assembled
@@ -145,12 +150,104 @@ object TextFunctions {
         transform(slice(pieces, lit(2), greatest(size(pieces) - 1, lit(0))),
           p => decodePiece(p)),
         lit(""), (acc, x) => concat(acc, x)))
-    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'",
-      "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(numeric) { case (acc, (ent, ch)) =>
-        // entities contain no regex metachars; literal-safe
-        regexp_replace(acc, ent, ch)
-      }
+    // named pass: split on '&', per-piece name lookup against the
+    // constant-folded map (CreateMap of literals folds to one MapData at
+    // plan time). try_element_at, not element_at: ANSI mode (Spark 4
+    // default) makes a missing map key an ERROR, and unknown entity
+    // names must stay literal text.
+    val entMap = map(namedEntityPairs.flatMap {
+      case (k, v) => Seq(lit(k), lit(v))
+    }: _*)
+    def decodeNamed(p: Column): Column = {
+      val rep = try_element_at(entMap,
+        regexp_extract(p, "^([a-zA-Z][a-zA-Z0-9]{1,31});", 1))
+      when(rep.isNotNull,
+        concat(rep, regexp_replace(p, "^[a-zA-Z][a-zA-Z0-9]{1,31};", "")))
+        .otherwise(concat(lit("&"), p))
+    }
+    val np = split(numeric, "&", -1)
+    concat(
+      element_at(np, 1),
+      aggregate(
+        transform(slice(np, lit(2), greatest(size(np) - 1, lit(0))),
+          p => decodeNamed(p)),
+        lit(""), (acc, x) => concat(acc, x)))
+  }
+
+  /** HTML 4.01's complete named character reference set (96 Latin-1 +
+    * Greek + symbol + special blocks of the spec's three entity DTDs),
+    * built from codepoints so no literal can hide a typo. The single
+    * deviation: `nbsp` maps to a plain space — U+00A0's NFKC image —
+    * matching the composed normalizeText chain (see decodeHtmlEntities
+    * doc). */
+  private lazy val namedEntityPairs: Seq[(String, String)] = {
+    // HTMLlat1: names for U+00A0..U+00FF, in codepoint order
+    val latin1 = ("nbsp iexcl cent pound curren yen brvbar sect uml copy " +
+      "ordf laquo not shy reg macr deg plusmn sup2 sup3 acute micro para " +
+      "middot cedil sup1 ordm raquo frac14 frac12 frac34 iquest Agrave " +
+      "Aacute Acirc Atilde Auml Aring AElig Ccedil Egrave Eacute Ecirc " +
+      "Euml Igrave Iacute Icirc Iuml ETH Ntilde Ograve Oacute Ocirc " +
+      "Otilde Ouml times Oslash Ugrave Uacute Ucirc Uuml Yacute THORN " +
+      "szlig agrave aacute acirc atilde auml aring aelig ccedil egrave " +
+      "eacute ecirc euml igrave iacute icirc iuml eth ntilde ograve " +
+      "oacute ocirc otilde ouml divide oslash ugrave uacute ucirc uuml " +
+      "yacute thorn yuml").split(" ").toSeq
+      .zipWithIndex.map { case (n, i) => n -> (0xA0 + i) }
+    // HTMLsymbol: Greek letters (capital Sigma block skips U+03A2)
+    val greek =
+      ("Alpha Beta Gamma Delta Epsilon Zeta Eta Theta Iota Kappa Lambda " +
+        "Mu Nu Xi Omicron Pi Rho").split(" ").toSeq
+        .zipWithIndex.map { case (n, i) => n -> (0x391 + i) } ++
+      "Sigma Tau Upsilon Phi Chi Psi Omega".split(" ").toSeq
+        .zipWithIndex.map { case (n, i) => n -> (0x3A3 + i) } ++
+      ("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda " +
+        "mu nu xi omicron pi rho sigmaf sigma tau upsilon phi chi psi " +
+        "omega").split(" ").toSeq
+        .zipWithIndex.map { case (n, i) => n -> (0x3B1 + i) } ++
+      Seq("thetasym" -> 0x3D1, "upsih" -> 0x3D2, "piv" -> 0x3D6)
+    // HTMLsymbol: letterlike, arrows, math, misc technical, shapes
+    val symbol = Seq(
+      "fnof" -> 0x192, "bull" -> 0x2022, "hellip" -> 0x2026,
+      "prime" -> 0x2032, "Prime" -> 0x2033, "oline" -> 0x203E,
+      "frasl" -> 0x2044, "weierp" -> 0x2118, "image" -> 0x2111,
+      "real" -> 0x211C, "trade" -> 0x2122, "alefsym" -> 0x2135,
+      "larr" -> 0x2190, "uarr" -> 0x2191, "rarr" -> 0x2192,
+      "darr" -> 0x2193, "harr" -> 0x2194, "crarr" -> 0x21B5,
+      "lArr" -> 0x21D0, "uArr" -> 0x21D1, "rArr" -> 0x21D2,
+      "dArr" -> 0x21D3, "hArr" -> 0x21D4, "forall" -> 0x2200,
+      "part" -> 0x2202, "exist" -> 0x2203, "empty" -> 0x2205,
+      "nabla" -> 0x2207, "isin" -> 0x2208, "notin" -> 0x2209,
+      "ni" -> 0x220B, "prod" -> 0x220F, "sum" -> 0x2211,
+      "minus" -> 0x2212, "lowast" -> 0x2217, "radic" -> 0x221A,
+      "prop" -> 0x221D, "infin" -> 0x221E, "ang" -> 0x2220,
+      "and" -> 0x2227, "or" -> 0x2228, "cap" -> 0x2229, "cup" -> 0x222A,
+      "int" -> 0x222B, "there4" -> 0x2234, "sim" -> 0x223C,
+      "cong" -> 0x2245, "asymp" -> 0x2248, "ne" -> 0x2260,
+      "equiv" -> 0x2261, "le" -> 0x2264, "ge" -> 0x2265, "sub" -> 0x2282,
+      "sup" -> 0x2283, "nsub" -> 0x2284, "sube" -> 0x2286,
+      "supe" -> 0x2287, "oplus" -> 0x2295, "otimes" -> 0x2297,
+      "perp" -> 0x22A5, "sdot" -> 0x22C5, "lceil" -> 0x2308,
+      "rceil" -> 0x2309, "lfloor" -> 0x230A, "rfloor" -> 0x230B,
+      "lang" -> 0x2329, "rang" -> 0x232A, "loz" -> 0x25CA,
+      "spades" -> 0x2660, "clubs" -> 0x2663, "hearts" -> 0x2665,
+      "diams" -> 0x2666)
+    // HTMLspecial: markup-significant + internationalization (+ XML apos)
+    val special = Seq(
+      "quot" -> 0x22, "amp" -> 0x26, "lt" -> 0x3C, "gt" -> 0x3E,
+      "apos" -> 0x27, "OElig" -> 0x152, "oelig" -> 0x153,
+      "Scaron" -> 0x160, "scaron" -> 0x161, "Yuml" -> 0x178,
+      "circ" -> 0x2C6, "tilde" -> 0x2DC, "ensp" -> 0x2002,
+      "emsp" -> 0x2003, "thinsp" -> 0x2009, "zwnj" -> 0x200C,
+      "zwj" -> 0x200D, "lrm" -> 0x200E, "rlm" -> 0x200F,
+      "ndash" -> 0x2013, "mdash" -> 0x2014, "lsquo" -> 0x2018,
+      "rsquo" -> 0x2019, "sbquo" -> 0x201A, "ldquo" -> 0x201C,
+      "rdquo" -> 0x201D, "bdquo" -> 0x201E, "dagger" -> 0x2020,
+      "Dagger" -> 0x2021, "permil" -> 0x2030, "lsaquo" -> 0x2039,
+      "rsaquo" -> 0x203A, "euro" -> 0x20AC)
+    (latin1 ++ greek ++ symbol ++ special).map {
+      case ("nbsp", _) => "nbsp" -> " "
+      case (n, cp) => n -> new String(Character.toChars(cp))
+    }
   }
 
   /** N5 (data_transformation_helpers.py:123-158): order-preserving dedup +

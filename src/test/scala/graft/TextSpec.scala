@@ -184,6 +184,76 @@ class TextSpec extends SparkSpec {
       .select(T.normalizeText(col("t"))).as[String].head() == "été x")
   }
 
+  test("ftfy parity audit: published README/docs examples, classified") {
+    // r15 verdict item 5: close the T1 long-tail question with DATA. Each
+    // case is a published ftfy example (README or readthedocs front page /
+    // fixes-explained, public test prose) with ftfy's own output as the
+    // target. Classification per case:
+    //   repaired     — output == ftfy's output (and != input)
+    //   agreed-pass  — input already clean; both leave it alone
+    //   non-repair   — output == input where ftfy would fix (the
+    //                  documented whole-string-conservative deviation)
+    //   MIS-REPAIR   — output != input AND != ftfy's output → a BUG,
+    //                  asserted to zero
+    import graft.functions.TextExpressions
+    def fix(s: String): String =
+      Seq(s).toDF("t")
+        .select(TextExpressions.fixMojibake(col("t"), 2)).as[String].head()
+    // (input, ftfy fix_encoding output) — fix_encoding level: no
+    // entity/NFKC/uncurl stages involved
+    val cases = Seq(
+      // README headline examples
+      ("âœ” No problems", "✔ No problems"),
+      ("Ã¼nicode", "ünicode"),
+      ("ÃºnÃ­Ã§Ã¸dÃ©", "úníçødé"),
+      // docs / fixes-explained examples
+      ("The Mona Lisa doesnÃ¢â‚¬â„¢t have eyebrows.",
+        "The Mona Lisa doesn’t have eyebrows."), // double mis-decode
+      ("schÃ¶n", "schön"),
+      ("l'humanitÃ©", "l'humanité"),
+      ("Ã  perturber la rÃ©flexion", "à perturber la réflexion"),
+      ("Ð¿Ñ€Ð¸Ð²ÐµÑ‚", "привет"),       // Cyrillic
+      ("Î±Î²Î³ Î´Î­Î»Ï„Î±", "αβγ δέλτα"), // Greek
+      ("â€œquotesâ€", "“quotes”"),  // sloppy-cp1252 0x9D C1 control
+      ("IÂ´m", "I´m"),                    // A0-range acute via Â prefix
+      // already-clean prose: ftfy and the engine both pass through
+      ("✔ No problems", "✔ No problems"),
+      ("Pure ASCII text.", "Pure ASCII text."),
+      ("café", "café"),
+      ("日本語テキスト", "日本語テキスト"),
+      ("naïve — em dash", "naïve — em dash"),
+      // conservative deviations: ftfy's per-segment chunker fixes these,
+      // the whole-string discipline refuses (a legit ¯/é beside damage)
+      ("¯\\_(ã)_/¯", "¯\\_(ツ)_/¯"),
+      ("café â€” naïve", "café — naïve"))
+    var repaired, agreedPass, nonRepair = 0
+    val misRepairs = Seq.newBuilder[String]
+    for ((in, want) <- cases) {
+      val out = fix(in)
+      if (out == want && out != in) repaired += 1
+      else if (out == in && want == in) agreedPass += 1
+      else if (out == in) nonRepair += 1
+      else misRepairs +=
+        s"input <$in>: got <$out>, ftfy says <$want>"
+    }
+    assert(misRepairs.result().isEmpty,
+      s"MIS-REPAIRS (bugs):\n${misRepairs.result().mkString("\n")}")
+    // pin the audit counts so a future kernel change that flips a case
+    // into either direction is caught (PLANS.md round-16 ledger cites
+    // these numbers): 11 repaired, 5 agreed-pass, 2 conservative
+    assert(repaired == 11, s"repaired=$repaired")
+    assert(agreedPass == 5, s"agreedPass=$agreedPass")
+    assert(nonRepair == 2, s"nonRepair=$nonRepair")
+    // fix_text-level README examples (entity + NFKC stages compose):
+    def norm(s: String): String =
+      Seq(s).toDF("t").select(T.normalizeText(col("t"))).as[String].head()
+    assert(norm("ＬＯＵＤ　ＮＯＩＳＥＳ") == "LOUD NOISES")
+    assert(norm("&eacute;tude") == "étude")
+    // fix_text default uncurls quotes — so the double-mojibake apostrophe
+    // lands as ASCII ' exactly like ftfy.fix_text
+    assert(norm("doesnÃ¢â‚¬â„¢t") == "doesn't")
+  }
+
   test("decodeHtmlEntities: numeric dec/hex, named set, guards, one level per pass") {
     def dec(s: String): String =
       Seq(s).toDF("t").select(T.decodeHtmlEntities(col("t"))).as[String].head()
