@@ -1605,15 +1605,25 @@ object GraphOps {
       }
       (g, asg, own)
     }
+    // localCheckpoint, NOT persist (round 16, found by the AQE-off A/B):
+    // a persisted `out` leaves the γ-branch union plan alive behind the
+    // cache entry, and a consumer re-plan that bypasses the cache (the
+    // well-connectedness split under AQE-off executed exactly that raw
+    // plan — AqeOffRepro: the failing stage's RDD graph held the three
+    // γ checkpoint RDDs directly, with out's 8/8-cached buffers absent)
+    // walks straight into the per-γ checkpoints released below —
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. Truncating to a LogicalRDD
+    // makes the release provably safe: no downstream plan can reference
+    // the γ frames at all. Same single materializing action either way.
     val out = finals.map { case (g, asg, _) =>
       assignment
         .select(col(idCol).as("id"), col(labelCol).as("label"))
         .join(asg.select(col("id"), col("c")), Seq("id"), "left")
         .select(lit(g).as("gamma_pct"), col("id"),
           coalesce(col("c"), col("label")).as("label"))
-    }.reduce(_ unionByName _).persist()
+    }.reduce(_ unionByName _).localCheckpoint(eager = false)
     // the materializing action doubles as the id-bounds probe: one agg
-    // fills the persist AND returns what the namespacing guard needs
+    // fills the checkpoint AND returns what the namespacing guard needs
     val brow = out.agg(count(lit(1)), min(col("id")), max(col("id"))).head()
     val idBounds =
       if (brow.isNullAt(1)) None else Some((brow.getLong(1), brow.getLong(2)))

@@ -31,6 +31,9 @@ object DriverGates {
       .config("spark.sql.maxPlanStringLength", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // round-16 AQE-off diagnosis knob (the AqeAb crash bisect)
+    if (sys.env.contains("SPARK_AQE_OFF"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
     val jobs = new AtomicLong(0)
     val stages = new AtomicLong(0)
     val actions = new AtomicLong(0) // root SQL executions = library actions

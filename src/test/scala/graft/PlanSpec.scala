@@ -36,6 +36,49 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"))
   }
 
+  test("q142: multi-probe explode inflation lives INSIDE the intended " +
+      "broadcast; the corpus is never the build side (r15 stretch: " +
+      "q181's lesson swept across cardinality-inflating operators)") {
+    val p = planOf("q142_ann_lsh_multiprobe")
+    // the ×(planes+1) probe explode must sit under the BroadcastExchange
+    // (we broadcast the small exploded QUERY; its true size is
+    // |query|·(planes+1), known to the caller — the operator contract).
+    // If the explode ever ends up on the streamed side with the corpus
+    // broadcast instead, a 100 TB corpus hits the broadcast ceiling.
+    val bi = p.indexOf("BroadcastExchange")
+    assert(bi >= 0, p.take(2000))
+    val gi = p.indexOf("Generate explode")
+    assert(gi > bi, s"probe explode not inside the broadcast subtree:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q136: duplicate-span windows (the len/stride-fold explode) are " +
+      "never a broadcast build side — the dup-hash side may broadcast " +
+      "only via AQE's runtime sizes") {
+    val p = planOf("q136_duplicate_spans")
+    // the exploded window frame is persisted (InMemoryTableScan); the
+    // join against the aggregated dup-hash frame must not statically
+    // broadcast the window side. (Audit note: unlike q181's salt
+    // explode, this explode SHRINKS bytes — (id,pos,hash) rows replace
+    // the full text — and the dup side sits behind a shuffle, so AQE
+    // decides from real sizes; this pin guards the static plan.)
+    // Every broadcast build in the plan must be the dup-hash side: the
+    // node right under the exchange is the h-projection over the
+    // groupBy(h) aggregate, which collapses the exploded rows BEFORE
+    // any broadcast. (The raw plan text below an exchange also prints
+    // cached InMemoryRelation definitions, so a naive "no explode after
+    // BroadcastExchange" check false-positives.)
+    var bi = p.indexOf("BroadcastExchange")
+    assert(bi >= 0, p.take(2000)) // dup side broadcasting IS the plan
+    while (bi >= 0) {
+      val win = p.substring(bi, math.min(p.length, bi + 400))
+      assert(win.contains("Project [h#"),
+        s"a broadcast not building from the aggregated dup side:\n$win")
+      bi = p.indexOf("BroadcastExchange", bi + 1)
+    }
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q07: global top-k plans TakeOrderedAndProject, not a full sort") {
     val p = planOf("q07_global_topk")
     assert(p.contains("TakeOrderedAndProject"))
