@@ -286,11 +286,26 @@ object Dedup {
   def minhashSignature(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16): DataFrame = {
-    val toks = wordTokens(col(textCol))
+    // r16 (guide §1.2 per-task work): tokenize ONCE per doc and md5 ONCE
+    // per shingle. The old inlined form re-ran the tokenizer regex 3×
+    // per doc (the size filter + twice inside wordShingles — sequence
+    // bound and slice both inlined `toks`) and md5 2× per shingle (h1
+    // and h2odd each call md5(s)). Materializing each in its own
+    // projection pins one evaluation: CollapseProject refuses to inline
+    // non-cheap expressions used more than once, and the size guard
+    // moved INSIDE the explode argument (empty array ⇒ no rows — the
+    // exact rows the old filter dropped, since sub-n docs emitted
+    // nothing downstream of it) so no Filter gets pushdown-substituted
+    // below the projection. Bit-identical output.
     val sh = df
-      .filter(size(toks) >= shingleN)
-      .select(col(idCol), explode(wordShingles(toks, shingleN)).as("s"))
-      .select(col(idCol), h1(col("s")).as("h1"), h2odd(col("s")).as("h2"))
+      .select(col(idCol), wordTokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(
+        when(size(col("toks")) >= shingleN, wordShingles(col("toks"), shingleN))
+          .otherwise(array().cast("array<string>"))).as("s"))
+      .select(col(idCol), md5(col("s")).as("m"))
+      .select(col(idCol),
+        conv(substring(col("m"), 1, 12), 16, 10).cast("long").as("h1"),
+        (conv(substring(col("m"), 13, 12), 16, 10).cast("long") * 2 + 1).as("h2"))
     val mins = (0 until numHashes).map(i =>
       min((col("h1") + col("h2") * i) % HashSpace).as(s"mh$i"))
     sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
@@ -346,10 +361,18 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[Column], shingleN: Int = 2): DataFrame = {
-    val toks = wordTokens(col(textCol))
+    // `__toks` materialized via withColumn (r16): the old inlined form
+    // ran the tokenizer regex twice more inside wordShingles (and
+    // blockCols may reference arbitrary df columns, so the projection
+    // must keep them all). The size filter must STAY a row filter here
+    // (docs below n tokens must not pair at all — an empty-array row
+    // would emit null-jaccard pairs), so it re-runs the regex once
+    // under pushdown: 2 evals per doc instead of 3.
     val base = df
-      .filter(size(toks) >= shingleN)
-      .select(col(idCol) +: (blockCols :+ wordShingles(toks, shingleN).as("sh")): _*)
+      .withColumn("__toks", wordTokens(col(textCol)))
+      .filter(size(col("__toks")) >= shingleN)
+      .select(col(idCol) +: (blockCols :+
+        wordShingles(col("__toks"), shingleN).as("sh")): _*)
     val a = base.columns.foldLeft(base)((d, c) => d.withColumnRenamed(c, s"a_$c"))
     val b = base.columns.foldLeft(base)((d, c) => d.withColumnRenamed(c, s"b_$c"))
     val joinCond = base.columns.filterNot(c => c == idCol || c == "sh")
@@ -409,9 +432,17 @@ object Dedup {
     import graft.graph.GraphOps
     val cand = lshCandidates(
       minhashBands(docs, idCol, textCol, shingleN, numHashes, bands), idCol)
-    val toks = wordTokens(col(textCol))
-    val sets = docs.filter(size(toks) >= shingleN)
-      .select(col(idCol).as("sid"), wordShingles(toks, shingleN).as("sh"))
+    // tokenize once (r16, same rewrite as minhashSignature): `toks` in
+    // its own projection, size guard inside the shingle expression
+    // instead of a pushdown-substituted Filter. Sub-n docs now carry an
+    // empty `sh` instead of being absent — indistinguishable downstream:
+    // they have no bands, so they can never appear in `cand`, and the
+    // verify join is candidates-only.
+    val sets = docs
+      .select(col(idCol).as("sid"), wordTokens(col(textCol)).as("toks"))
+      .select(col("sid"),
+        when(size(col("toks")) >= shingleN, wordShingles(col("toks"), shingleN))
+          .otherwise(array().cast("array<string>")).as("sh"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val uni = size(col("sh_a")) + size(col("sh_b")) - inter
     val verifiedBase = cand
@@ -556,9 +587,13 @@ object Dedup {
     val cand = nb.join(cb, Seq("band", "band_key"))
       .select("new_id", "old_id").distinct()
     def shingleSets(df: DataFrame, as: String) = {
-      val toks = wordTokens(col(textCol))
-      df.filter(size(toks) >= shingleN)
-        .select(col(idCol).as(as), wordShingles(toks, shingleN).as(s"sh_$as"))
+      // tokenize once (r16, the minhashSignature rewrite): guarded-empty
+      // shingles instead of a filter — sub-n docs have no bands on either
+      // side, so they never reach the candidate join anyway
+      df.select(col(idCol).as(as), wordTokens(col(textCol)).as("toks"))
+        .select(col(as),
+          when(size(col("toks")) >= shingleN, wordShingles(col("toks"), shingleN))
+            .otherwise(array().cast("array<string>")).as(s"sh_$as"))
     }
     val inter = size(array_intersect(col("sh_new_id"), col("sh_old_id")))
     val uni = size(col("sh_new_id")) + size(col("sh_old_id")) - inter
@@ -644,11 +679,15 @@ object Dedup {
   def decontaminateNgrams(
       docs: DataFrame, idCol: String, textCol: String,
       isTest: Column, n: Int = 8): DataFrame = {
+    // size guard inside the explode argument (r16): a Filter here gets
+    // pushdown-substituted below the projection and re-runs the
+    // tokenizer regex per doc; the guarded-empty form tokenizes once
     val toks = docs
       .select(col(idCol), wordTokens(col(textCol)).as("t"), isTest.as("is_test"))
-      .filter(size(col("t")) >= n)
     val grams = toks.select(
-      col(idCol), explode(wordShingles(col("t"), n)).as("ng"), col("is_test"))
+      col(idCol), explode(
+        when(size(col("t")) >= n, wordShingles(col("t"), n))
+          .otherwise(array().cast("array<string>"))).as("ng"), col("is_test"))
     val testGrams = grams.filter(col("is_test")).select("ng").distinct()
     val shared = grams.join(testGrams, "ng")
       .groupBy(col(idCol))
@@ -679,11 +718,14 @@ object Dedup {
   def crossSourceNgramOverlap(
       docs: DataFrame, sourceCol: String, textCol: String,
       n: Int = 8): DataFrame = {
+    // same guarded-empty rewrite as decontaminateNgrams (r16): one
+    // tokenizer run per doc instead of a pushed-down filter's second
     val toks = docs
       .select(col(sourceCol).as("src"), wordTokens(col(textCol)).as("t"))
-      .filter(size(col("t")) >= n)
     val sg = toks
-      .select(col("src"), explode(wordShingles(col("t"), n)).as("ng"))
+      .select(col("src"), explode(
+        when(size(col("t")) >= n, wordShingles(col("t"), n))
+          .otherwise(array().cast("array<string>"))).as("ng"))
       .distinct()
     val tot = sg.groupBy(col("src")).agg(count(lit(1)).as("tot"))
     val pairs = sg.as("a")

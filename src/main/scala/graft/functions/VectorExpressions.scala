@@ -92,9 +92,94 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def prettyName: String = "vec_dot"
 }
 
+/** Squared euclidean distance over two `array<double>` columns — the
+  * k-means assignment fold ([[graft.vector.Clustering.sqDist]]), as a
+  * native expression for the same reason as [[VecDot]] (r16
+  * optimization round): the `aggregate(zip_with(a, b, (x,m) =>
+  * (x-m)*(x-m)), 0.0, _+_)` HOF form it replaces is interpreted AND
+  * allocates the zipped intermediate array per (row, centroid) — the
+  * dominant per-row cost once the assignment argmin runs k folds per
+  * row inside one projection.
+  *
+  * Bit-identical to the HOF form and the DuckDB oracles' list_reduce
+  * replay: the accumulation is the same left-to-right
+  * ((0+d₀²)+d₁²)+… IEEE sequence with d = x−m computed before the
+  * square, each a single rounding, in index order. Null semantics
+  * match the HOF chain: null if either array is null or lengths differ
+  * (zip_with pads the short side with null, which poisons the sum) or
+  * any element is null; empty arrays give 0.0 (aggregate's zero). The
+  * per-element null guard is schema-gated exactly like VecDot. */
+case class VecSqDist(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elementsNullable: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      val guard = elementsNullable
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (guard && (x.isNullAt(i) || y.isNullAt(i))) return null
+        val d = x.getDouble(i) - y.getDouble(i)
+        s += d * d
+        i += 1
+      }
+      java.lang.Double.valueOf(s)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val nullGuard =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
+         |    final double $d = $a.getDouble($i) - $b.getDouble($i);
+         |    $s += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecSqDist =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_sq_dist"
+}
+
 object VectorExpressions {
   /** Codegen'd dot product over two array<double> columns. */
   def vecDot(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       VecDot(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Native squared-euclidean fold over two array<double> columns. */
+  def vecSqDist(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      VecSqDist(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }

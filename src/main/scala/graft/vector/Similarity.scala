@@ -245,16 +245,24 @@ object Similarity {
       cent: DataFrame): DataFrame = {
     val corpus = emb.select(col(idCol), vecD(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
+    // one broadcast array row + a per-row argmax fold, replacing the old
+    // crossJoin→groupBy(id) shape (nCells rows per vector shuffled back
+    // to 1 — a corpus-sized exchange per assignment; r16 guide §2.4).
+    // Bit-identical: array_max over (ccos, -cid) structs is the same
+    // total order the groupBy max(struct) used, so ties still break
+    // low-cid; collect_list order is irrelevant under a total order.
     val c = broadcast(cent
       .select(col("cell").as("cid"), col("cv").cast("array<double>").as("cvv"))
-      .withColumn("cnrm", norm(col("cvv"))))
+      .withColumn("cnrm", norm(col("cvv")))
+      .agg(collect_list(struct(col("cid"), col("cvv"), col("cnrm"))).as("cents")))
     corpus.crossJoin(c)
-      .select(col(idCol),
-        cosine(col("v"), col("cvv"), col("nrm"), col("cnrm")).as("ccos"),
-        col("cid"))
-      .groupBy(col(idCol))
-      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("best"))
-      .select(col(idCol).as("cell_id"), (-col("best.ncid")).as("cell"))
+      .select(col(idCol).as("cell_id"),
+        (-array_max(transform(col("cents"),
+          cc => struct(
+            cosine(col("v"), cc.getField("cvv"), col("nrm"),
+              cc.getField("cnrm")).as("ccos"),
+            (-cc.getField("cid")).as("ncid"))))
+          .getField("ncid")).as("cell"))
   }
 
   def ivfCells(
@@ -544,9 +552,14 @@ object Similarity {
     * persisted. [[release]] drops both cache sets. */
   final case class PqModel(
       m: Int, subDims: Int,
-      asg: Seq[DataFrame], cent: Seq[DataFrame]) {
+      asg: Seq[DataFrame], cent: Seq[DataFrame],
+      // the actually-persisted assignment frames (carry qv; `asg` are
+      // narrow projections of these) — release() must unpersist the
+      // frames persist() was called on, not derived plans (r16)
+      private val cached: Seq[DataFrame] = Nil) {
     def release(): Unit = {
-      asg.foreach(_.unpersist(blocking = false))
+      (if (cached.nonEmpty) cached else asg)
+        .foreach(_.unpersist(blocking = false))
       cent.foreach(_.unpersist(blocking = false))
     }
   }
@@ -583,10 +596,16 @@ object Similarity {
     val fitted = graft.operators.Concurrent.mapInParallel(0 until m) { s =>
       val sub = emb.select(col(idCol),
         slice(vecD(col(vecCol)), s * subDims + 1, subDims).as("sub"))
-      val asg = Clustering.kmeans(sub, idCol, "sub", k, iters, distinctSeeds)
-        .select(col(idCol), col("cluster")).persist()
-      val qsub = sub.select(col(idCol), Clustering.quantize(col("sub")).as("qv"))
-      val cent = asg.join(qsub, idCol)
+      // kmeansFull's assignment carries the quantized subvector, so the
+      // final-codebook update below reads it straight off the assignment
+      // — the old `asg ⋈ qsub` id-join (a corpus-sized exchange per
+      // subspace, r16 guide §2.4) is gone. The persisted asg keeps the
+      // (id, cluster) shape every consumer expects; qv is dropped first.
+      val (asgq, _) = Clustering.kmeansFull(
+        sub, idCol, "sub", k, iters, distinctSeeds)
+      val asgFull = asgq.persist()
+      val asg = asgFull.select(col(idCol), col("cluster"))
+      val cent = asgFull
         .select(col("cluster").as("cid"), posexplode(col("qv")).as(Seq("d", "q")))
         .groupBy("cid", "d")
         .agg(sum("q").as("s"), count(lit(1)).as("n"))
@@ -596,10 +615,11 @@ object Similarity {
             (col("s").cast("double") / col("n")).as("m")))),
           x => x.getField("m")).as("cv"))
         .persist()
-      cent.count() // materializes cent AND populates asg's cache
-      (asg, cent)
+      cent.count() // materializes cent AND populates asgFull's cache
+      (asg, asgFull, cent)
     }
-    PqModel(m, subDims, fitted.map(_._1), fitted.map(_._2))
+    PqModel(m, subDims, fitted.map(_._1), fitted.map(_._3),
+      fitted.map(_._2))
   }
 
   /** PQ codes read off a fitted model — bit-identical to [[pqCodes]]
