@@ -1206,7 +1206,8 @@ object GraphOps {
       edges: DataFrame, srcCol: String, dstCol: String,
       assignment: DataFrame, idCol: String, labelCol: String,
       maxIter: Int = 20,
-      broadcastState: Option[Boolean] = None): DataFrame = {
+      broadcastState: Option[Boolean] = None,
+      graphxMaxEdges: Long = 2000000L): DataFrame = {
     val asg = assignment.select(col(idCol).as("id"), col(labelCol).as("c"))
     // The CC superstep loop must never re-render the deep caller lineage
     // (a refine pass, or a previous split's output) per superstep — a
@@ -1224,12 +1225,28 @@ object GraphOps {
       .join(asg.select(col("id").as("dst"), col("c").as("cd")), "dst")
       .filter(col("cs") === col("cd"))
       .select(col("src"), col("dst"))
-    val comp = ccStarEdges(intra, "src", "dst", maxIter)
+      .persist()
+    // CC engine by intra-graph size (r16): the same measured Auto policy
+    // as fuzzyDedup/semDedup — below graphxMaxEdges the in-process GraphX
+    // Pregel beats the Catalyst star loop's per-superstep fixed overhead
+    // (driver gates + 32-partition shuffles of near-empty data dominate
+    // at bench scale); above it, ccStarEdges' O(log n) pointer-jumping
+    // rounds win (the round-12 sf10 measurement: minutes of RDD churn vs
+    // 88 s). Both label every vertex with its component's MIN id
+    // (AlgoRandomSpec pins set-equality), so the split is results-
+    // identical whichever engine runs. The probe count doubles as the
+    // intra materializer — ccStarEdges would have paid an equivalent
+    // lineage-truncation pass (ownPre) on the same frame anyway.
+    val spark = edges.sparkSession
+    val comp = if (intra.count() <= graphxMaxEdges)
+      connectedComponentsDF(spark, fromEdges(spark, intra, "src", "dst"))
+    else ccStarEdges(intra, "src", "dst", maxIter)
     val out = asg.join(comp, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("component"), col("id")).as("label"))
       .persist()
     out.count()
+    intra.unpersist(blocking = false)
     out
   }
 

@@ -434,7 +434,8 @@ object Similarity {
     * (idCol, cluster, keep_id, is_dup) for every embedded doc. */
   def semDedup(
       emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, tau: Double): DataFrame = {
+      k: Int, iters: Int, tau: Double,
+      graphxMaxEdges: Long = 2000000L): DataFrame = {
     // persist the clustered-vector frame: it feeds BOTH sides of the
     // pair join AND the final projection — without the cache every
     // consumer re-executes the full Lloyd chain (measured 31 s → ~8 s
@@ -451,7 +452,22 @@ object Similarity {
       .filter(col("ia") < col("ib"))
       .filter(cosine(col("va"), col("vb"), col("na"), col("nb")) >= tau)
       .select(col("ia").as("src"), col("ib").as("dst"))
-    val comp = graft.graph.GraphOps.ccEdges(pairs, "src", "dst")
+      .persist()
+    // CC engine by pair-graph size — fuzzyDedup's measured Auto policy
+    // applied here too (r16: the unconditional Catalyst pointer-jumping
+    // loop was q143's bound — 6.8 s of superstep fixed overhead for a
+    // 1,168-edge τ-graph at sf0.1, vs in-process GraphX Pregel which
+    // wins on small graphs; past graphxMaxEdges the Catalyst path's
+    // O(log n) rounds win — the round-12 sf10 measurement). Both paths
+    // label every vertex with its component's MIN id (AlgoRandomSpec
+    // pins set-equality), so the switch can never change results. The
+    // probe count doubles as the pair materializer (the τ-join is the
+    // expensive frame both the probe and CC read).
+    val spark = emb.sparkSession
+    val comp = if (pairs.count() <= graphxMaxEdges)
+      graft.graph.GraphOps.connectedComponentsDF(
+        spark, graft.graph.GraphOps.fromEdges(spark, pairs, "src", "dst"))
+    else graft.graph.GraphOps.ccEdges(pairs, "src", "dst")
     val out = v.select(col(idCol), col("cluster"))
       .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), col("cluster"),
@@ -459,6 +475,7 @@ object Similarity {
       .withColumn("is_dup", col("keep_id") =!= col(idCol))
       .persist()
     out.count()
+    pairs.unpersist(blocking = false)
     v.unpersist(blocking = false)
     out
   }
