@@ -438,7 +438,18 @@ object Dedup {
     // empty `sh` instead of being absent — indistinguishable downstream:
     // they have no bands, so they can never appear in `cand`, and the
     // verify join is candidates-only.
+    // r16 candidate restriction (guide §2.3/§8): the verify-side shingle
+    // arrays are built ONLY for docs appearing in some candidate pair —
+    // the old form re-tokenized and shuffled the whole corpus a second
+    // time (the band pass already paid the first) even when candidates
+    // covered a sliver of it. The semi-join is an identity on the inner
+    // candidate joins below; AQE sizes it from the candidate side's real
+    // runtime bytes. Worst case (every doc in some pair) it degrades to
+    // the old corpus-sized shape plus one cheap semi filter.
+    val candIds = cand.select(
+      explode(array(col("id_a"), col("id_b"))).as("cid"))
     val sets = docs
+      .join(candIds, docs(idCol) === candIds("cid"), "left_semi")
       .select(col(idCol).as("sid"), wordTokens(col(textCol)).as("toks"))
       .select(col("sid"),
         when(size(col("toks")) >= shingleN, wordShingles(col("toks"), shingleN))
@@ -586,11 +597,27 @@ object Dedup {
     val cb = corpusBands.select(col("old_id"), col("band"), col("band_key"))
     val cand = nb.join(cb, Seq("band", "band_key"))
       .select("new_id", "old_id").distinct()
-    def shingleSets(df: DataFrame, as: String) = {
+    // Verify-side shingle sets are computed ONLY for docs that appear in
+    // a candidate pair (r16, guide §2.3/§8 "decide with small rows"): the
+    // old form tokenized+shingled the ENTIRE corpus per batch — corpus-
+    // sized CPU plus a corpus-sized (id, shingle-array) shuffle — even
+    // though the inner verify join keeps only candidate old_ids
+    // (batch-bounded). The semi-join is an identity on that inner join
+    // (a non-candidate row can never survive it), and AQE plans it from
+    // the candidate side's REAL runtime size — broadcast when small, so
+    // the corpus is scanned in place, filtered, and only candidate rows
+    // pay the tokenizer and the shuffle; when candidates are genuinely
+    // huge the fallback is a corpus shuffle of raw text, the same bytes
+    // class the old shape always paid. `cand` feeds three consumers, all
+    // above its distinct's Exchange, which ReuseExchange dedups — the
+    // band join still runs once.
+    def shingleSets(
+        df: DataFrame, candIds: DataFrame, candIdCol: String, as: String) = {
       // tokenize once (r16, the minhashSignature rewrite): guarded-empty
       // shingles instead of a filter — sub-n docs have no bands on either
       // side, so they never reach the candidate join anyway
-      df.select(col(idCol).as(as), wordTokens(col(textCol)).as("toks"))
+      df.join(candIds, df(idCol) === candIds(candIdCol), "left_semi")
+        .select(col(idCol).as(as), wordTokens(col(textCol)).as("toks"))
         .select(col(as),
           when(size(col("toks")) >= shingleN, wordShingles(col("toks"), shingleN))
             .otherwise(array().cast("array<string>")).as(s"sh_$as"))
@@ -598,8 +625,10 @@ object Dedup {
     val inter = size(array_intersect(col("sh_new_id"), col("sh_old_id")))
     val uni = size(col("sh_new_id")) + size(col("sh_old_id")) - inter
     val dups = cand
-      .join(shingleSets(newDocs, "new_id"), "new_id")
-      .join(shingleSets(corpus, "old_id"), "old_id")
+      .join(shingleSets(newDocs, cand.select(col("new_id")), "new_id", "new_id"),
+        "new_id")
+      .join(shingleSets(corpus, cand.select(col("old_id")), "old_id", "old_id"),
+        "old_id")
       .filter(inter * jaccDen >= uni * jaccNum)
       .groupBy(col("new_id"))
       .agg(min(col("old_id")).as("dup_of"))
