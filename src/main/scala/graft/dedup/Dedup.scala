@@ -49,9 +49,11 @@ object Dedup {
   }
 
   /** Lowercased word tokens — the shingling base. Same regex runs on
-    * DuckDB's RE2. */
+    * DuckDB's RE2; the engine side rides the codegen'd ASCII fast scan
+    * with Spark's own lower+regex as the non-ASCII fallback
+    * ([[graft.functions.TextExpressions.fastWordTokens]], r16). */
   def wordTokens(c: Column): Column =
-    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+    graft.functions.TextExpressions.fastWordTokens(c)
 
   /** Distinct word n-gram shingles (space-joined). Callers should filter
     * `size(wordTokens) >= n` first; shorter docs would yield one truncated

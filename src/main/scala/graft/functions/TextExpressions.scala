@@ -14,6 +14,68 @@ object TextKernels {
     UTF8String.fromString(
       java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFKC))
 
+  /** Fused `lower` + `[a-z0-9]+` token scan for PURE-ASCII strings — the
+    * dedup/text-stats tokenizer hot path (r16 optimization round, guide
+    * §1.2 step 2 "per-task work"): the
+    * `regexp_extract_all(lower(text), '[a-z0-9]+', 0)` composition this
+    * accelerates first COPIES the string through `lower`, then walks it
+    * with java.util.regex — per-byte interpreter dispatch plus match-
+    * object churn — and it is the single most expensive scalar of the
+    * MinHash band pass, which every fuzzy-dedup operator pays once per
+    * corpus document.
+    *
+    * Returns null when the input contains ANY non-ASCII byte: callers
+    * compose `coalesce(asciiWordTokens(c), regexp_extract_all(lower(c),
+    * …))`, so non-ASCII rows are tokenized by Spark's own built-ins —
+    * the fast path never has to replicate Unicode lowering (locale/ICU
+    * edge cases stay with the engine that the oracle already pins).
+    * For ASCII input the scan is EXACTLY the composition: `lower` maps
+    * only A–Z (+32), and `[a-z0-9]+` matches are the maximal runs of
+    * [a-z0-9] in the lowered bytes — emitted here in order, lowercased,
+    * one UTF8String per run, no empty matches possible under `+`. */
+  def asciiWordTokens(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = s.getBytes // zero-copy when the string is exactly its buffer
+    val n = b.length
+    var i = 0
+    val out = new java.util.ArrayList[UTF8String]()
+    var start = -1
+    var needsLower = false
+    while (i < n) {
+      val c = b(i)
+      if (c < 0) return null // non-ASCII byte → built-in fallback
+      val isDigit = c >= '0' && c <= '9'
+      val isLower = c >= 'a' && c <= 'z'
+      val isUpper = c >= 'A' && c <= 'Z'
+      if (isDigit || isLower || isUpper) {
+        if (start < 0) { start = i; needsLower = false }
+        if (isUpper) needsLower = true
+      } else if (start >= 0) {
+        out.add(sliceLower(b, start, i, needsLower))
+        start = -1
+      }
+      i += 1
+    }
+    if (start >= 0) out.add(sliceLower(b, start, n, needsLower))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size())))
+  }
+
+  private def sliceLower(
+      b: Array[Byte], from: Int, until: Int, needsLower: Boolean): UTF8String = {
+    val len = until - from
+    val t = new Array[Byte](len)
+    System.arraycopy(b, from, t, 0, len)
+    if (needsLower) {
+      var j = 0
+      while (j < len) {
+        val c = t(j)
+        if (c >= 'A' && c <= 'Z') t(j) = (c + 32).toByte
+        j += 1
+      }
+    }
+    UTF8String.fromBytes(t)
+  }
+
   /** cp1252 codepoint → byte for the 27 printable characters windows-1252
     * places in the 0x80–0x9F range (the "sloppy" superset of latin-1 that
     * encoding-repair needs: mojibake produced by a cp1252 mis-decode shows
@@ -207,6 +269,27 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override def prettyName: String = "rolling_hash"
 }
 
+/** ASCII fast-path word tokenizer — see [[TextKernels.asciiWordTokens]].
+  * Unlike the other expressions here it is nullable BEYOND its child's
+  * nullability (non-ASCII input → null, the composed fallback's cue), so
+  * its codegen sets isNull from the kernel's result explicitly
+  * (defineCodeGen would mark a null array non-null and NPE downstream). */
+case class AsciiWordTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.asciiWordTokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextKernels.asciiWordTokens($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): AsciiWordTokens =
+    copy(child = newChild)
+  override def prettyName: String = "ascii_word_tokens"
+}
+
 object TextExpressions {
   def nfkc(c: Column): Column =
     GraftSqlBridge.column(NfkcNormalize(GraftSqlBridge.expression(c)))
@@ -214,4 +297,19 @@ object TextExpressions {
     GraftSqlBridge.column(FixMojibake(GraftSqlBridge.expression(c), passes))
   def rollingHash(c: Column): Column =
     GraftSqlBridge.column(RollingHash(GraftSqlBridge.expression(c)))
+
+  /** Drop-in replacement for
+    * `regexp_extract_all(lower(c), '[a-z0-9]+', 0)` (the corpus
+    * tokenizer): the codegen'd ASCII scan when the row is pure ASCII,
+    * Spark's own lower+regex otherwise (null input stays null through
+    * both branches, so the coalesce is transparent). Bit-identical by
+    * construction off the fast path and by the ASCII-semantics argument
+    * (+ TextSpec's property pin) on it. */
+  def fastWordTokens(c: Column): Column =
+    org.apache.spark.sql.functions.coalesce(
+      GraftSqlBridge.column(AsciiWordTokens(GraftSqlBridge.expression(c))),
+      org.apache.spark.sql.functions.regexp_extract_all(
+        org.apache.spark.sql.functions.lower(c),
+        org.apache.spark.sql.functions.lit("[a-z0-9]+"),
+        org.apache.spark.sql.functions.lit(0)))
 }

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 object TextStats {
 
   private def tokens(textCol: String) =
-    expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")
+    graft.functions.TextExpressions.fastWordTokens(col(textCol))
 
   /** Term co-occurrence graph with exact integer PMI-lift — the
     * text→graph bridge of a GraphRAG build (the reference derives its
@@ -476,12 +476,18 @@ object TextStats {
   def lineFilter(
       docs: DataFrame, idCol: String, textCol: String,
       minWords: Int, badwords: Seq[String]): DataFrame = {
-    val lineToks = expr("regexp_extract_all(lower(line), '[a-z0-9]+', 0)")
+    // `__lt` materialized in its own projection (r16, the Change-2
+    // discipline): the old inlined form re-ran the tokenizer regex once
+    // per badword (each array_contains) plus once for the size guard —
+    // 1 + |badwords| evals per LINE. Same rows, same keep decisions.
+    val lineToks = col("__lt")
     val bad =
       if (badwords.isEmpty) lit(false)
       else badwords.map(b => array_contains(lineToks, b)).reduce(_ || _)
     val lines = docs.select(col(idCol),
       posexplode(split(col(textCol), "\n")).as(Seq("i", "line")))
+      .withColumn("__lt",
+        graft.functions.TextExpressions.fastWordTokens(col("line")))
     val w = Window.partitionBy(col(idCol), col("line")).orderBy(col("i"))
     lines
       .withColumn("keep",
@@ -591,7 +597,14 @@ object TextStats {
     * a pure projection, embarrassingly parallel, no shuffle. */
   def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    val words = expr(s"regexp_extract_all($textCol, '\\\\S+', 0)")
+    // `__w`/`__st` hoisted into their own projection (r16, the Change-2
+    // discipline): the stop-word regex used to sit INSIDE the filter
+    // lambda over the 8-element stop array — higher-order-function
+    // lambdas are interpreted per element outside codegen's
+    // subexpression elimination, so it re-tokenized every document 8×.
+    // `words` is likewise pinned to one evaluation instead of leaning on
+    // codegen CSE across its three consumers. Same columns, same values.
+    val words = col("__w")
     val nWords = greatest(size(words), lit(1)).cast("long")
     val nChars = length(regexp_replace(t, "\\s+", "")).cast("long")
     val nSym = size(expr(s"regexp_extract_all($textCol, '#|\\\\.\\\\.\\\\.|…', 0)")).cast("long")
@@ -600,11 +613,18 @@ object TextStats {
     val nBullet = size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
     val nEllip = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
     val nAlpha = size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("long")
-    val stopHits = size(filter(
-      array(GopherStops.map(lit): _*),
-      s => array_contains(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"), s)))
-      .cast("long")
-    docs.select(
+    // sum-of-contains, not size(filter(stops, contains)): the same count,
+    // but `__st` is referenced 8× OUTSIDE any lambda — multi-use of a
+    // non-cheap column is what stops CollapseProject re-inlining the
+    // regex into a per-element HOF body (a single-use column would be
+    // inlined right back where it started)
+    val stopHits = GopherStops
+      .map(s => when(array_contains(col("__st"), s), 1L).otherwise(0L))
+      .reduce(_ + _)
+    docs
+      .withColumn("__w", expr(s"regexp_extract_all($textCol, '\\\\S+', 0)"))
+      .withColumn("__st", expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
+      .select(
         col(idCol),
         size(words).cast("long").as("n_words"),
         round(nChars.cast("double") / nWords, 6).as("mean_word_len"),

@@ -181,4 +181,31 @@ object KernelProps extends Properties("kernels") {
       val sane = s.forall(_ < 0x80) || s.exists(_ > 0x2122)
       !sane || fix(s, 2) == s
     }
+
+  // --- asciiWordTokens (r16): the ASCII fast path must be EXACTLY the
+  // regexp_extract_all(lower(s), '[a-z0-9]+') composition it replaces ---
+
+  private val asciiGen: Gen[String] = for {
+    n <- Gen.choose(0, 400)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      (12, Gen.alphaNumChar), (3, Gen.const(' ')), (1, Gen.const('\n')),
+      (1, Gen.oneOf('.', ',', '-', '_', '!', '#', '\t', '~', '[', '@'))))
+  } yield cs.mkString
+
+  private def refTokens(s: String): Seq[String] =
+    "[a-z0-9]+".r.findAllIn(s.toLowerCase(java.util.Locale.ROOT)).toSeq
+
+  property("asciiWordTokens equals lower+regex on ASCII input") =
+    Prop.forAll(asciiGen) { s =>
+      val got = TextKernels.asciiWordTokens(UTF8String.fromString(s))
+      got != null &&
+        got.toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.asInstanceOf[UTF8String].toString).toSeq == refTokens(s)
+    }
+
+  property("asciiWordTokens is null exactly on non-ASCII input") =
+    Prop.forAll(uniGen) { s =>
+      val got = TextKernels.asciiWordTokens(UTF8String.fromString(s))
+      (got == null) == s.exists(_ >= 0x80)
+    }
 }

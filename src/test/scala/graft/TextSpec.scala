@@ -9,6 +9,26 @@ import org.apache.spark.sql.functions._
 class TextSpec extends SparkSpec {
   import spark.implicits._
 
+  // --- fastWordTokens (r16): engine-level pin that the ASCII fast path +
+  // fallback composition is row-identical to the built-ins it replaces ---
+
+  test("fastWordTokens equals regexp_extract_all(lower) on mixed input") {
+    val rows = Seq(
+      "Simple ASCII words 123", "ALL CAPS AND-HYPHENS", "a", "7", "",
+      "   ", "no1Match2Gap3", "tabs\tand\nnewlines", "punct!@#$%^&*()",
+      "unicode café naïve ÉTÉ", "中文 mixed ascii 42", "İstanbul I ı",
+      "ﬁ ligature", "emoji 🙂 here", null)
+    val df = rows.toDF("t")
+    val got = df.select(
+      graft.functions.TextExpressions.fastWordTokens(col("t")).as("a"),
+      regexp_extract_all(lower(col("t")), lit("[a-z0-9]+"), lit(0)).as("b"))
+      .collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
   // --- Sections (T2; reference wikipedia_helpers.py:104-152 semantics) ---
 
   test("sections: intro + headers + stop at excluded + min length") {
