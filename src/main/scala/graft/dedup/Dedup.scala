@@ -479,9 +479,19 @@ object Dedup {
       case CcPath.Catalyst => false
       case CcPath.Auto => verified.count() <= graphxMaxEdges
     }
+    // Catalyst branch through a lineage-TRUNCATED view when Auto
+    // persisted the frame (r16, the semDedup sf1 lesson): ccStarEdges
+    // skips its ownPre checkpoint for caller-cached inputs, so the
+    // pointer-jumping rounds would otherwise re-render the whole
+    // LSH+verify lineage per round. The lazy checkpoint reads once from
+    // the probe-filled cache. Forced paths are unpersisted and keep
+    // ccStarEdges' own truncation.
     val cc = if (useGraphX)
       GraphOps.connectedComponentsDF(
         spark, GraphOps.fromEdges(spark, verified, "id_a", "id_b"))
+    else if (ccPath == CcPath.Auto)
+      GraphOps.ccStarEdges(
+        verified.localCheckpoint(eager = false), "id_a", "id_b")
     else
       GraphOps.ccStarEdges(verified, "id_a", "id_b")
     // both CC paths materialize their label frame before returning

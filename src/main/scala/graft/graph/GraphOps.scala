@@ -1207,7 +1207,15 @@ object GraphOps {
       assignment: DataFrame, idCol: String, labelCol: String,
       maxIter: Int = 20,
       broadcastState: Option[Boolean] = None,
-      graphxMaxEdges: Long = 2000000L): DataFrame = {
+      // 50k, not fuzzyDedup's 2M (r16 sf1 measurement): GraphX Pregel
+      // loses ~2x to the truncated Catalyst loop well below 2M edges —
+      // q150's fused 3-γ split graph at sf1 read 68 s under GraphX vs
+      // 38 s under the old unconditional ccStarEdges; semDedup's
+      // 207k-edge τ-graph measured the same inversion (16-20 s vs
+      // 9.2-9.9 s). GraphX's win regime is the genuinely SMALL graph
+      // (q147's sf0.1 intra: ~2.3 s saved) — 50k is the midpoint of the
+      // measured [1.2k wins, 207k loses] bracket.
+      graphxMaxEdges: Long = 50000L): DataFrame = {
     val asg = assignment.select(col(idCol).as("id"), col(labelCol).as("c"))
     // The CC superstep loop must never re-render the deep caller lineage
     // (a refine pass, or a previous split's output) per superstep — a
@@ -1238,9 +1246,17 @@ object GraphOps {
     // intra materializer — ccStarEdges would have paid an equivalent
     // lineage-truncation pass (ownPre) on the same frame anyway.
     val spark = edges.sparkSession
+    // Catalyst branch through a lineage-TRUNCATED view (r16 sf1 fix):
+    // persisting `intra` above made callerCached true, which DISABLED
+    // the ownPre checkpoint this function's own comment relies on — at
+    // sf1+ (intra > graphxMaxEdges) every pointer-jumping round would
+    // re-render the refine ladder's full lineage (the SuperstepBlock
+    // pathology). The lazy checkpoint reads once from the probe-filled
+    // cache; GraphX (the small regime) keeps the bare cached frame.
     val comp = if (intra.count() <= graphxMaxEdges)
       connectedComponentsDF(spark, fromEdges(spark, intra, "src", "dst"))
-    else ccStarEdges(intra, "src", "dst", maxIter)
+    else ccStarEdges(intra.localCheckpoint(eager = false),
+      "src", "dst", maxIter)
     val out = asg.join(comp, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("component"), col("id")).as("label"))

@@ -431,11 +431,21 @@ object Similarity {
     * at production scale k tracks corpus size (the paper uses ~10⁵
     * clusters for ~10⁸ docs) so cluster sizes, and the pair cost,
     * stay bounded; CC runs on the τ-graph only (≪ corpus). Returns
-    * (idCol, cluster, keep_id, is_dup) for every embedded doc. */
+    * (idCol, cluster, keep_id, is_dup) for every embedded doc.
+    *
+    * `graphxMaxEdges` is LOWER here than fuzzyDedup's 2M: semDedup's
+    * τ-graphs are dense near-clique blobs, and the r16 sf1 measurement
+    * (SemCcAb, same process, 2 rounds each) put GraphX Pregel at
+    * 16.4–20.3 s vs the truncated Catalyst loop's 9.2–9.9 s on a
+    * 207k-edge clique graph, while GraphX still wins 5.8 s vs 12.1 s
+    * on the 1.2k-edge sf0.1 graph — the crossover sits inside
+    * [1.2k, 207k]; 50k is the bracket midpoint. Both engines are
+    * results-identical (min-id labels, AlgoRandomSpec), so the
+    * threshold affects wall time only. */
   def semDedup(
       emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, tau: Double,
-      graphxMaxEdges: Long = 2000000L): DataFrame = {
+      graphxMaxEdges: Long = 50000L): DataFrame = {
     // persist the clustered-vector frame: it feeds BOTH sides of the
     // pair join AND the final projection — without the cache every
     // consumer re-executes the full Lloyd chain (measured 31 s → ~8 s
@@ -464,10 +474,19 @@ object Similarity {
     // probe count doubles as the pair materializer (the τ-join is the
     // expensive frame both the probe and CC read).
     val spark = emb.sparkSession
+    // Catalyst branch gets a lineage-TRUNCATED view (r16 sf1 regression
+    // fix): ccEdges skips its own localCheckpoint when the caller cached
+    // the input (ownPre), so handing it the persisted `pairs` bare put
+    // the FULL kmeans+pair-join lineage back into every superstep plan —
+    // the exact 85 s plan-rendering pathology ccEdges' own comment
+    // documents (measured again this round: forced-Catalyst semDedup at
+    // sf1 399 s vs 30 s). The lazy checkpoint materializes once FROM the
+    // probe-filled cache; the loop then roots at a LogicalRDD leaf.
     val comp = if (pairs.count() <= graphxMaxEdges)
       graft.graph.GraphOps.connectedComponentsDF(
         spark, graft.graph.GraphOps.fromEdges(spark, pairs, "src", "dst"))
-    else graft.graph.GraphOps.ccEdges(pairs, "src", "dst")
+    else graft.graph.GraphOps.ccEdges(
+      pairs.localCheckpoint(eager = false), "src", "dst")
     val out = v.select(col(idCol), col("cluster"))
       .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), col("cluster"),
