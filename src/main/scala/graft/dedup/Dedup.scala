@@ -474,10 +474,18 @@ object Dedup {
     // persist, which is precisely the ~0.7 s the escape hatch recovers.
     val verified =
       if (ccPath == CcPath.Auto) verifiedBase.persist() else verifiedBase
+    // Auto's probe count also sizes the CC engine's parallelism (r17,
+    // sizedLoopParts — the persisted pair frame compiled without AQE, at
+    // the session partition floor); forced paths skip probe and sizing
+    // both, exactly as before.
+    var ccParts: Option[Int] = None
     val useGraphX = ccPath match {
       case CcPath.GraphX => true
       case CcPath.Catalyst => false
-      case CcPath.Auto => verified.count() <= graphxMaxEdges
+      case CcPath.Auto =>
+        val n = verified.count()
+        ccParts = Some(GraphOps.sizedLoopParts(spark, BigInt(n) * 2))
+        n <= graphxMaxEdges
     }
     // Catalyst branch through a lineage-TRUNCATED view when Auto
     // persisted the frame (r16, the semDedup sf1 lesson): ccStarEdges
@@ -488,10 +496,12 @@ object Dedup {
     // ccStarEdges' own truncation.
     val cc = if (useGraphX)
       GraphOps.connectedComponentsDF(
-        spark, GraphOps.fromEdges(spark, verified, "id_a", "id_b"))
+        spark, GraphOps.fromEdges(spark,
+          ccParts.fold(verified)(p => verified.coalesce(p)), "id_a", "id_b"))
     else if (ccPath == CcPath.Auto)
       GraphOps.ccStarEdges(
-        verified.localCheckpoint(eager = false), "id_a", "id_b")
+        verified.localCheckpoint(eager = false), "id_a", "id_b",
+        numPartitions = ccParts)
     else
       GraphOps.ccStarEdges(verified, "id_a", "id_b")
     // both CC paths materialize their label frame before returning

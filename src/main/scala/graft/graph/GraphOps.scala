@@ -179,6 +179,51 @@ object GraphOps {
   private def callerCached(df: DataFrame): Boolean =
     df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
 
+  /** Estimated edge rows from optimizer statistics — job-free. Parquet
+    * scan-derived frames propagate ~4 stats-bytes/row (measured in
+    * tools_dev.StatsProbe and re-confirmed by PartsProbe: the bipartite
+    * graph reads 2.24 MB of stats for 591 k true rows), so the estimate
+    * is the right order for every scan/aggregate-derived graph. JOIN
+    * products overestimate wildly (SizeInBytesOnly multiplies the
+    * children: the 121 k-row co-purchase graph reads 3 TB) — which
+    * [[sizedLoopParts]] degrades to the session default, never below
+    * the data's true need. */
+  private def statsEdgeRows(edges: DataFrame): BigInt = {
+    val st = edges.queryExecution.optimizedPlan.stats
+    st.rowCount.getOrElse(st.sizeInBytes / 4)
+  }
+
+  /** Scale-adaptive superstep partition count (r16 verdict item 2: the
+    * 8-core driver suite beat the 32-core one on identical code because
+    * `shuffle.partitions = cpus` makes every near-empty superstep task
+    * set pay the SESSION parallelism, not the data — the cached loop
+    * frames compile without AQE, so runtime coalescing never reaches
+    * them; PartsProbe measured the ladder 2× faster at 8 partitions on
+    * the same 32 cores). Partitions = ceil(undRows / target) clamped to
+    * [1, session shuffle partitions]: big graphs keep today's plans
+    * exactly (the cap), small graphs stop paying the floor. The target
+    * (default 100 k rows/partition — the constant communityLevels and
+    * q138 already measured) is a session conf so a cluster deployment
+    * can retune it without code. Partition count never changes results:
+    * every loop body is exact-integer aggregation with total-order
+    * tie-breaks. */
+  private[graft] def sizedLoopParts(
+      spark: SparkSession, undRows: BigInt): Int = {
+    val target = BigInt(math.max(1L,
+      spark.conf.get("spark.graft.superstep.targetRowsPerPartition",
+        "100000").toLong))
+    val cap = spark.sessionState.conf.numShufflePartitions
+    if (undRows >= target * cap) cap
+    else math.max(1, ((undRows + target - 1) / target).toInt)
+  }
+
+  /** [[sizedLoopParts]] from statistics: the job-free default for loop
+    * setup sites whose edge frames are scan-derived (see
+    * [[statsEdgeRows]] for why join-derived inputs safely degrade to
+    * the session default). */
+  private def sizedLoopPartsFromStats(edges: DataFrame): Int =
+    sizedLoopParts(edges.sparkSession, statsEdgeRows(edges) * 2)
+
   def lpaEdges(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int,
       broadcastState: Option[Boolean] = None, numPartitions: Option[Int] = None): DataFrame = {
     // The undirected expansion is cached PRE-PARTITIONED ON src — the
@@ -198,13 +243,14 @@ object GraphOps {
     val pre = if (ownPre) pre0.persist() else pre0
     // numPartitions: callers that KNOW the edge set is small (e.g. a
     // community-contracted graph — always ≪ the original by construction)
-    // pass an explicit low count; 32 near-empty tasks per superstep
-    // otherwise cost more scheduling than the data (measured ~25% of the
-    // contracted-LPA stage at sf0.1). Default = session shuffle
-    // partitions, the cluster-scale path.
+    // pass an explicit low count. Default (r17): sized from the edge
+    // frame's statistics — see sizedLoopParts; big graphs keep the
+    // session shuffle partitions, small ones stop paying the session
+    // floor per superstep.
     val base = pre.union(pre.select(col("dst").as("src"), col("src").as("dst")))
-    val und = numPartitions.fold(base.repartition(col("src")))(
-        n => base.repartition(n, col("src")))
+    val und = base
+      .repartition(numPartitions.getOrElse(sizedLoopPartsFromStats(edges)),
+        col("src"))
       .persist()
     // exact-count fallback: only evaluated when the stats bound refuses
     // (dense-graph regime) — one distinct-count over the edge cache buys
@@ -317,8 +363,9 @@ object GraphOps {
     val undBase = und0
       .union(und0.select(col("src")).distinct()
         .select(col("src"), col("src").as("dst")))
-    val und = numPartitions.fold(undBase.repartition(col("src")))(
-        n => undBase.repartition(n, col("src")))
+    val und = undBase
+      .repartition(numPartitions.getOrElse(sizedLoopPartsFromStats(edges)),
+        col("src"))
       .persist()
     // exact-count fallback (evaluated only when the stats bound refuses);
     // the probe PERSISTS the vertex frame it counts and the label seed
@@ -394,12 +441,13 @@ object GraphOps {
     * ~2× ccEdges' per-superstep work, won back exponentially on
     * diameter. Returns (id, component). */
   def ccStarEdges(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30, numPartitions: Option[Int] = None): DataFrame = {
     val pre0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val ownPre = !callerCached(edges)
     val pre = if (ownPre) pre0.localCheckpoint(eager = false) else pre0
     val und = pre.union(pre.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
+      .repartition(numPartitions.getOrElse(sizedLoopPartsFromStats(edges)),
+        col("src"))
       .persist()
     // NOT checkpointed (round 15, r14 verdict item 3 — one driver gate
     // fewer): round 1 references this twice, recomputing the distinct
@@ -610,7 +658,7 @@ object GraphOps {
     // vertex-sized state moves per iteration.
     val pre = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val und = pre.union(pre.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("dst"))
+      .repartition(sizedLoopPartsFromStats(edges), col("dst"))
       .persist()
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       .persist()
@@ -687,7 +735,7 @@ object GraphOps {
     // exchange-free iteration discipline; see pageRankFixedPoint
     val pre = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val und = pre.union(pre.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("dst"))
+      .repartition(sizedLoopPartsFromStats(edges), col("dst"))
       .persist()
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       .persist()
@@ -774,7 +822,7 @@ object GraphOps {
       col(weightCol).cast("long").as("w"))
     val und = pre
       .union(pre.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-      .repartition(col("dst"))
+      .repartition(sizedLoopPartsFromStats(edges), col("dst"))
       .persist()
     val deg = und.groupBy(col("src").as("id")).agg(sum(col("w")).as("wdeg"))
       .persist()
@@ -848,7 +896,7 @@ object GraphOps {
     val ownPre = !callerCached(edges)
     val pre = if (ownPre) pre0.persist() else pre0
     val und = pre.union(pre.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("dst"))
+      .repartition(sizedLoopPartsFromStats(edges), col("dst"))
       .persist()
     // frontier ∪ visited state is bounded by the vertex count — the
     // exact fallback only runs when the stats bound refuses (dense graph)
@@ -926,8 +974,9 @@ object GraphOps {
     // — 6.4s vs 4.8s for q108 at sf0.1 — the extra materialization job
     // costs more than the saved second scan of the edge derivation.)
     val pre = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val eByDst = pre.repartition(col("dst")).persist()
-    val eBySrc = pre.repartition(col("src")).persist()
+    val hitsParts = sizedLoopPartsFromStats(edges)
+    val eByDst = pre.repartition(hitsParts, col("dst")).persist()
+    val eBySrc = pre.repartition(hitsParts, col("src")).persist()
     val srcs = eBySrc.select(col("src").as("id")).distinct()
     val nSrc = srcs.count()
     if (nSrc == 0) {
@@ -1253,10 +1302,19 @@ object GraphOps {
     // re-render the refine ladder's full lineage (the SuperstepBlock
     // pathology). The lazy checkpoint reads once from the probe-filled
     // cache; GraphX (the small regime) keeps the bare cached frame.
-    val comp = if (intra.count() <= graphxMaxEdges)
-      connectedComponentsDF(spark, fromEdges(spark, intra, "src", "dst"))
+    // Both engines get DATA-SIZED parallelism from the probe count the
+    // split already pays (r17, sizedLoopParts): intra is a persisted
+    // join output whose plan compiled without AQE — at the session
+    // partition floor — and near-empty superstep tasks were the
+    // dominant split cost at bench scale. coalesce is narrow (no
+    // shuffle); partition count never changes CC labels.
+    val intraRows = intra.count()
+    val ccParts = sizedLoopParts(spark, BigInt(intraRows) * 2)
+    val comp = if (intraRows <= graphxMaxEdges)
+      connectedComponentsDF(spark,
+        fromEdges(spark, intra.coalesce(ccParts), "src", "dst"))
     else ccStarEdges(intra.localCheckpoint(eager = false),
-      "src", "dst", maxIter)
+      "src", "dst", maxIter, numPartitions = Some(ccParts))
     val out = asg.join(comp, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("component"), col("id")).as("label"))
@@ -1299,9 +1357,10 @@ object GraphOps {
   def lpaLeidenRefineMulti(
       edges: DataFrame, srcCol: String, dstCol: String,
       lpaIters: Int, rounds: Int, gammaPcts: Seq[Long],
-      broadcastState: Option[Boolean] = None): DataFrame = {
+      broadcastState: Option[Boolean] = None,
+      numPartitions: Option[Int] = None): DataFrame = {
     val (refined, idBounds) = lpaLouvainRefineMultiCore(edges, srcCol,
-      dstCol, lpaIters, rounds, gammaPcts, broadcastState)
+      dstCol, lpaIters, rounds, gammaPcts, broadcastState, numPartitions)
     val n = gammaPcts.size.toLong
     // bounds ride refineCore's materializing agg — no separate probe job
     // (r14 verdict item 3). None = empty graph, nothing to guard.
@@ -1365,14 +1424,16 @@ object GraphOps {
       edges: DataFrame, srcCol: String, dstCol: String,
       assignment: DataFrame, idCol: String, labelCol: String,
       rounds: Int, gammaPcts: Seq[Long],
-      broadcastState: Option[Boolean] = None): DataFrame = {
+      broadcastState: Option[Boolean] = None,
+      numPartitions: Option[Int] = None): DataFrame = {
     require(gammaPcts.nonEmpty && gammaPcts.forall(_ >= 1),
       s"louvainRefine needs gammaPct >= 1, got $gammaPcts")
     val pre0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val ownPre = !callerCached(edges)
     val pre = if (ownPre) pre0.persist() else pre0
     val und = pre.union(pre.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
+      .repartition(numPartitions.getOrElse(sizedLoopPartsFromStats(edges)),
+        col("src"))
       .persist()
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("kv"))
       .persist()
@@ -1403,9 +1464,10 @@ object GraphOps {
   def lpaLouvainRefineMulti(
       edges: DataFrame, srcCol: String, dstCol: String,
       lpaIters: Int, rounds: Int, gammaPcts: Seq[Long],
-      broadcastState: Option[Boolean] = None): DataFrame =
+      broadcastState: Option[Boolean] = None,
+      numPartitions: Option[Int] = None): DataFrame =
     lpaLouvainRefineMultiCore(edges, srcCol, dstCol, lpaIters, rounds,
-      gammaPcts, broadcastState)._1
+      gammaPcts, broadcastState, numPartitions)._1
 
   /** [[lpaLouvainRefineMulti]] plus the id bounds refineCore's
     * materializer already read — so [[lpaLeidenRefineMulti]]'s
@@ -1414,14 +1476,16 @@ object GraphOps {
   private def lpaLouvainRefineMultiCore(
       edges: DataFrame, srcCol: String, dstCol: String,
       lpaIters: Int, rounds: Int, gammaPcts: Seq[Long],
-      broadcastState: Option[Boolean] = None): (DataFrame, Option[(Long, Long)]) = {
+      broadcastState: Option[Boolean] = None,
+      numPartitions: Option[Int] = None): (DataFrame, Option[(Long, Long)]) = {
     require(gammaPcts.nonEmpty && gammaPcts.forall(_ >= 1),
       s"louvainRefine needs gammaPct >= 1, got $gammaPcts")
     val pre0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val ownPre = !callerCached(edges)
     val pre = if (ownPre) pre0.persist() else pre0
     val und = pre.union(pre.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
+      .repartition(numPartitions.getOrElse(sizedLoopPartsFromStats(edges)),
+        col("src"))
       .persist()
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("kv"))
       .persist()
@@ -1733,7 +1797,7 @@ object GraphOps {
     // exchange-free hop discipline (see bfsLevels)
     val pre = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val und = pre.union(pre.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("dst"))
+      .repartition(sizedLoopPartsFromStats(edges), col("dst"))
       .persist()
     val bc = resolveBroadcastStateExact(broadcastState, edges,
       und.select(col("src")).distinct().count())

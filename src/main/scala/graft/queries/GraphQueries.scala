@@ -440,8 +440,14 @@ object GraphQueries {
       // disconnected-community pathology the split exists for
       val e = coPurchase(s, dir, orderMod = 5)
         .localCheckpoint() // consumed by the refine loop AND the split
+      // superstep partitions sized from the true edge count (r17: the
+      // co-purchase join's statistics overestimate ~10^7×, so the
+      // stats-based default would keep the session floor; the count is
+      // a metadata-cheap scan of the eager checkpoint)
+      val parts = Some(GraphOps.sizedLoopParts(s, BigInt(e.count()) * 2))
       val refined = GraphOps.lpaLouvainRefineMulti(e, "src", "dst",
-          lpaIters = 2, rounds = 1, gammaPcts = Seq(100L))
+          lpaIters = 2, rounds = 1, gammaPcts = Seq(100L),
+          numPartitions = parts)
         .select(col("id"), col("label"))
       GraphOps.wellConnectedSplit(e, "src", "dst", refined, "id", "label")
         .select(col("id").as("key"), col("label"))
@@ -459,15 +465,18 @@ object GraphQueries {
       leidenMultiOracle(lpaIters = 2, rounds = 1, Seq(200L, 50L, 10L),
         orderMod = 10)) { (s, dir) =>
       val e = coPurchase(s, dir, orderMod = 10)
-        // lazy: refineCore's initial scalar probe (W/ΣD²/m2, the first
-        // action that reads the edges) materializes it — one driver
-        // gate fewer than eager (r14 verdict item 3); truncation is
-        // immediate either way (refine loop + namespaced split both
-        // consume it). The exact-count broadcast fallback (deg.count,
-        // stats-refusal path) is the only earlier possible gate.
+        // the count materializes the lazy checkpoint (same single
+        // materialization as before — it just moved from refineCore's
+        // initial probe to here) AND sizes the ladder's superstep
+        // partitions to the data (r17: the co-purchase join's
+        // statistics overestimate ~10^7×, so the stats default would
+        // keep the session partition floor the 8c-beats-32c inversion
+        // exposed)
         .localCheckpoint(eager = false)
+      val parts = Some(GraphOps.sizedLoopParts(s, BigInt(e.count()) * 2))
       GraphOps.lpaLeidenRefineMulti(e, "src", "dst",
-          lpaIters = 2, rounds = 1, gammaPcts = Seq(200L, 50L, 10L))
+          lpaIters = 2, rounds = 1, gammaPcts = Seq(200L, 50L, 10L),
+          numPartitions = parts)
         .select(col("gamma_pct"), col("id").as("key"), col("label"))
     },
 
@@ -488,11 +497,14 @@ object GraphQueries {
       graphragCapstoneOracle(lpaIters = 2, rounds = 1, Seq(200L, 50L, 10L),
         orderMod = 10)) { (s, dir) =>
       val e = coPurchase(s, dir, orderMod = 10)
-        // lazy: the ladder's m2 count materializes it (r14 verdict item 3)
+        // the count materializes the lazy checkpoint and sizes the
+        // ladder's superstep partitions (see q147)
         .localCheckpoint(eager = false) // ladder loop + degree agg consume it
+      val parts = Some(GraphOps.sizedLoopParts(s, BigInt(e.count()) * 2))
       // Stages 1-2: build + the fused multi-resolution Leiden ladder
       val ladder = GraphOps.lpaLeidenRefineMulti(e, "src", "dst",
-        lpaIters = 2, rounds = 1, gammaPcts = Seq(200L, 50L, 10L))
+        lpaIters = 2, rounds = 1, gammaPcts = Seq(200L, 50L, 10L),
+        numPartitions = parts)
       // connectivity = undirected co-purchase degree (the reference ranks
       // representatives by similar_artists list length)
       val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))

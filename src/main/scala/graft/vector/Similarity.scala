@@ -482,11 +482,19 @@ object Similarity {
     // documents (measured again this round: forced-Catalyst semDedup at
     // sf1 399 s vs 30 s). The lazy checkpoint materializes once FROM the
     // probe-filled cache; the loop then roots at a LogicalRDD leaf.
-    val comp = if (pairs.count() <= graphxMaxEdges)
+    // data-sized CC parallelism from the probe count (r17,
+    // sizedLoopParts): `pairs` is a persisted join output compiled
+    // without AQE — at the session partition floor; coalesce is narrow
+    // and partition count never changes the min-id labels
+    val nPairs = pairs.count()
+    val ccParts = graft.graph.GraphOps.sizedLoopParts(spark, BigInt(nPairs) * 2)
+    val comp = if (nPairs <= graphxMaxEdges)
       graft.graph.GraphOps.connectedComponentsDF(
-        spark, graft.graph.GraphOps.fromEdges(spark, pairs, "src", "dst"))
+        spark, graft.graph.GraphOps.fromEdges(
+          spark, pairs.coalesce(ccParts), "src", "dst"))
     else graft.graph.GraphOps.ccEdges(
-      pairs.localCheckpoint(eager = false), "src", "dst")
+      pairs.localCheckpoint(eager = false), "src", "dst",
+      numPartitions = Some(ccParts))
     val out = v.select(col(idCol), col("cluster"))
       .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), col("cluster"),
