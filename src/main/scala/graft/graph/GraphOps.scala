@@ -1328,68 +1328,47 @@ object GraphOps {
     * ladder with the well-connectedness split applied PER RESOLUTION —
     * the reference's full community stack (leidenalg at resolutions
     * [2.0, 0.5, 0.1] with split-refinement, neo4j_helpers.py:237-268
-    * via /root/reference). The splits for ALL resolutions run as ONE
-    * constrained-CC pass: vertex ids are γ-namespaced (id·n + γindex),
-    * the edge set is replicated once per γ within its namespace, and
-    * min-label propagation runs over the disjoint union — one superstep
-    * loop instead of |γ| loops (the supersteps are fixed-overhead-bound,
-    * so this is ~|γ|× cheaper than per-γ splits). Labels decode as
-    * label·n + idx → label (min of id·n+idx over a component is
-    * (min id)·n + idx, so integer division inverts exactly).
+    * via /root/reference). The per-γ splits are INDEPENDENT until the
+    * final union, so they run as |γ| CONCURRENT [[wellConnectedSplit]]
+    * calls (Concurrent.mapInParallel — the refine loops' own r14
+    * discipline): each split's driver gates (the intra probe, the CC
+    * superstep actions, the output materializer) overlap the other
+    * chains' stage execution instead of serializing end to end.
     *
-    * 100 TB note — the fused pass REPLICATES the edge set |γ|× (the
-    * broadcast-|γ|-row crossJoin below): it trades shuffle VOLUME for
-    * job COUNT. At bench scale the CC loop is fixed-overhead-bound
-    * (driver round-trips + planning dominate), so one fused loop beats
-    * |γ| loops measurably; at corpus scale, where a single edge pass is
-    * already minutes of shuffle I/O, the |γ|× volume becomes the cost
-    * that matters — run [[wellConnectedSplit]] per γ there (same
-    * results; the decode/encode below is the only fused-only code).
-    * |γ| is small (the reference ladder is 3 resolutions), so both
-    * shapes are linear in the graph; pick by which resource is scarce.
-    *
-    * Precondition (guarded): vertex ids must be ≥ 0 and ≤
-    * Long.MaxValue/|γ| — the id·n+idx namespacing mis-decodes negative
-    * ids (Spark's DIV truncates toward zero) and overflows near
-    * Long.MaxValue. The guard is one tiny agg over the already-persisted
-    * refine output.
+    * History (r17, replacing the r15 fused namespaced pass): the old
+    * shape γ-namespaced vertex ids (id·n + γindex), replicated the edge
+    * set |γ|× through a crossJoin, and ran ONE constrained-CC loop over
+    * the disjoint union — right when splits ran SEQUENTIALLY (one
+    * fixed-overhead-bound loop beats |γ| sequential ones), wrong once
+    * they overlap: the fused loop's supersteps shuffle |γ|× the bytes
+    * AND its driver gates still run in series, while |γ| concurrent
+    * loops pay 1× the bytes each with gates overlapped (measured: the
+    * ladder A/B below). At corpus scale the per-γ shape was already the
+    * documented recommendation (the fused pass's |γ|× shuffle volume is
+    * the scarce resource there), so bench and 100 TB now run the same
+    * code. The namespacing precondition (ids in [0, MaxValue/|γ|]) is
+    * gone with the encode; results are identical — GraphSpec pins
+    * fused ≡ per-γ composition, and min-id labels don't depend on how
+    * the γ levels are batched.
     * Returns (gamma_pct, id, label). */
   def lpaLeidenRefineMulti(
       edges: DataFrame, srcCol: String, dstCol: String,
       lpaIters: Int, rounds: Int, gammaPcts: Seq[Long],
       broadcastState: Option[Boolean] = None,
       numPartitions: Option[Int] = None): DataFrame = {
-    val (refined, idBounds) = lpaLouvainRefineMultiCore(edges, srcCol,
+    val (refined, _) = lpaLouvainRefineMultiCore(edges, srcCol,
       dstCol, lpaIters, rounds, gammaPcts, broadcastState, numPartitions)
-    val n = gammaPcts.size.toLong
-    // bounds ride refineCore's materializing agg — no separate probe job
-    // (r14 verdict item 3). None = empty graph, nothing to guard.
-    idBounds.foreach { case (lo, hi) =>
-      require(lo >= 0 && hi <= Long.MaxValue / n,
-        s"lpaLeidenRefineMulti needs vertex ids in [0, ${Long.MaxValue / n}] " +
-          s"for the |γ|=$n namespacing (got [$lo, $hi]); " +
-          "re-key the graph (e.g. zipWithIndex) before the ladder")
+    // Shared-inputs contract (Concurrent): `refined` is checkpointed and
+    // materialized by refineCore's bounds probe; `edges` was materialized
+    // by the refine setup (its union scans fill any caller checkpoint/
+    // cache). Each split then touches only its own frames.
+    val splits = graft.operators.Concurrent.mapInParallel(gammaPcts) { g =>
+      wellConnectedSplit(edges, srcCol, dstCol,
+          refined.filter(col("gamma_pct") === g), "id", "label",
+          broadcastState = broadcastState)
+        .select(lit(g).as("gamma_pct"), col("id"), col("label"))
     }
-    val idxOf = gammaPcts.zipWithIndex.foldLeft(lit(-1L)) {
-      case (acc, (g, i)) =>
-        when(col("gamma_pct") === g, lit(i.toLong)).otherwise(acc)
-    }
-    val asgN = refined.select(
-      (col("id") * n + idxOf).as("id"), col("label"))
-    val gi = broadcast(edges.sparkSession.range(n).toDF("gi"))
-    val eN = edges.select(col(srcCol).as("s0"), col(dstCol).as("d0"))
-      .crossJoin(gi)
-      .select((col("s0") * n + col("gi")).as("src"),
-        (col("d0") * n + col("gi")).as("dst"))
-    val split = wellConnectedSplit(eN, "src", "dst", asgN, "id", "label",
-      broadcastState = broadcastState)
-    val gammaOf = gammaPcts.zipWithIndex.foldLeft(lit(-1L)) {
-      case (acc, (g, i)) =>
-        when(pmod(col("id"), lit(n)) === i, lit(g)).otherwise(acc)
-    }
-    split.select(gammaOf.as("gamma_pct"),
-      expr(s"CAST(id DIV $n AS BIGINT)").as("id"),
-      expr(s"CAST(label DIV $n AS BIGINT)").as("label"))
+    splits.reduce(_ unionByName _)
   }
 
   /** Leiden-style refinement: the gated Louvain local-move pass
