@@ -498,11 +498,16 @@ object Dedup {
       GraphOps.connectedComponentsDF(
         spark, GraphOps.fromEdges(spark,
           ccParts.fold(verified)(p => verified.coalesce(p)), "id_a", "id_b"))
-    else if (ccPath == CcPath.Auto)
-      GraphOps.ccStarEdges(
-        verified.localCheckpoint(eager = false), "id_a", "id_b",
-        numPartitions = ccParts)
-    else
+    else if (ccPath == CcPath.Auto) {
+      // inputTruncated (r16 ADVICE): declared so ccStarEdges doesn't
+      // checkpoint the same frame a second time; the labels are
+      // materialized when it returns, so the view releases immediately
+      val view = verified.localCheckpoint(eager = false)
+      val labels = GraphOps.ccStarEdges(view, "id_a", "id_b",
+        numPartitions = ccParts, inputTruncated = true)
+      GraphOps.releaseLocalCheckpoint(view)
+      labels
+    } else
       GraphOps.ccStarEdges(verified, "id_a", "id_b")
     // both CC paths materialize their label frame before returning
     if (ccPath == CcPath.Auto) verified.unpersist(blocking = false)

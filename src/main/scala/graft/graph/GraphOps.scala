@@ -339,9 +339,18 @@ object GraphOps {
     * SuperstepBlock), `maxIter` bounds pathological chains. */
   def ccEdges(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 20,
       broadcastState: Option[Boolean] = None,
-      numPartitions: Option[Int] = None): DataFrame = {
+      numPartitions: Option[Int] = None,
+      inputTruncated: Boolean = false): DataFrame = {
     val pre0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val ownPre = !callerCached(edges)
+    // inputTruncated (r17, the r16 ADVICE medium item): callers that hand
+    // a lineage-truncated view (a localCheckpoint) declare it, because
+    // callerCached() cannot see it — checkpoint views are never
+    // cacheManager-cached, so ownPre stayed true and the edge frame was
+    // stored in local-checkpoint blocks TWICE per call (and the caller's
+    // copy was only freed by ContextCleaner GC). The caller keeps
+    // ownership: it must release its checkpoint after the labels
+    // materialize (releaseLocalCheckpoint).
+    val ownPre = !inputTruncated && !callerCached(edges)
     // localCheckpoint, NOT persist: the superstep loop references this
     // frame twice per superstep and every block action re-renders the
     // full logical plan — persist caches the DATA but keeps the deep
@@ -441,9 +450,13 @@ object GraphOps {
     * ~2× ccEdges' per-superstep work, won back exponentially on
     * diameter. Returns (id, component). */
   def ccStarEdges(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 30, numPartitions: Option[Int] = None): DataFrame = {
+      maxIter: Int = 30, numPartitions: Option[Int] = None,
+      inputTruncated: Boolean = false): DataFrame = {
     val pre0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val ownPre = !callerCached(edges)
+    // inputTruncated: see ccEdges — skips the redundant second
+    // localCheckpoint for callers that hand an already-truncated view
+    // (they release it after the labels materialize)
+    val ownPre = !inputTruncated && !callerCached(edges)
     val pre = if (ownPre) pre0.localCheckpoint(eager = false) else pre0
     val und = pre.union(pre.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(numPartitions.getOrElse(sizedLoopPartsFromStats(edges)),
@@ -1066,7 +1079,7 @@ object GraphOps {
     * per-iteration state blocks of checkpoint-truncated loops stay
     * resident for the session. The frame's data must already be consumed
     * (checkpointed lineage cannot recompute after unpersist). */
-  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+  private[graft] def releaseLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
@@ -1310,16 +1323,25 @@ object GraphOps {
     // shuffle); partition count never changes CC labels.
     val intraRows = intra.count()
     val ccParts = sizedLoopParts(spark, BigInt(intraRows) * 2)
+    // the truncated view is declared (inputTruncated) so ccStarEdges
+    // doesn't checkpoint the same frame a second time (r16 ADVICE);
+    // this function releases it once the labels are materialized
+    var ccView: Option[DataFrame] = None
     val comp = if (intraRows <= graphxMaxEdges)
       connectedComponentsDF(spark,
         fromEdges(spark, intra.coalesce(ccParts), "src", "dst"))
-    else ccStarEdges(intra.localCheckpoint(eager = false),
-      "src", "dst", maxIter, numPartitions = Some(ccParts))
+    else {
+      val view = intra.localCheckpoint(eager = false)
+      ccView = Some(view)
+      ccStarEdges(view, "src", "dst", maxIter,
+        numPartitions = Some(ccParts), inputTruncated = true)
+    }
     val out = asg.join(comp, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("component"), col("id")).as("label"))
       .persist()
     out.count()
+    ccView.foreach(releaseLocalCheckpoint)
     intra.unpersist(blocking = false)
     out
   }

@@ -488,13 +488,20 @@ object Similarity {
     // and partition count never changes the min-id labels
     val nPairs = pairs.count()
     val ccParts = graft.graph.GraphOps.sizedLoopParts(spark, BigInt(nPairs) * 2)
+    // inputTruncated (r16 ADVICE): the view is declared truncated so
+    // ccEdges doesn't checkpoint the same frame a second time; released
+    // below once the output is materialized
+    var ccView: Option[org.apache.spark.sql.DataFrame] = None
     val comp = if (nPairs <= graphxMaxEdges)
       graft.graph.GraphOps.connectedComponentsDF(
         spark, graft.graph.GraphOps.fromEdges(
           spark, pairs.coalesce(ccParts), "src", "dst"))
-    else graft.graph.GraphOps.ccEdges(
-      pairs.localCheckpoint(eager = false), "src", "dst",
-      numPartitions = Some(ccParts))
+    else {
+      val view = pairs.localCheckpoint(eager = false)
+      ccView = Some(view)
+      graft.graph.GraphOps.ccEdges(view, "src", "dst",
+        numPartitions = Some(ccParts), inputTruncated = true)
+    }
     val out = v.select(col(idCol), col("cluster"))
       .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), col("cluster"),
@@ -502,6 +509,7 @@ object Similarity {
       .withColumn("is_dup", col("keep_id") =!= col(idCol))
       .persist()
     out.count()
+    ccView.foreach(graft.graph.GraphOps.releaseLocalCheckpoint)
     pairs.unpersist(blocking = false)
     v.unpersist(blocking = false)
     out

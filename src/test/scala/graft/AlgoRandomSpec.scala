@@ -654,6 +654,22 @@ class AlgoRandomSpec extends SparkSpec {
       val prop = GraphOps.ccEdges(df, "src", "dst", maxIter = 40)
         .as[(Long, Long)].collect().toMap
       assert(star == prop, s"ccStar mismatch for seed $seed")
+      // inputTruncated (r17): a caller-owned localCheckpoint view with
+      // the double-checkpoint skipped must label identically — and the
+      // caller-side release afterwards must not break the returned frame
+      val viewS = df.localCheckpoint(eager = false)
+      val starT = GraphOps.ccStarEdges(viewS, "src", "dst",
+        inputTruncated = true)
+      val starTm = starT.as[(Long, Long)].collect().toMap
+      GraphOps.releaseLocalCheckpoint(viewS)
+      assert(starTm == star, s"ccStar inputTruncated mismatch for seed $seed")
+      assert(starT.as[(Long, Long)].collect().toMap == star,
+        s"ccStar labels unreadable after view release for seed $seed")
+      val viewP = df.localCheckpoint(eager = false)
+      val propT = GraphOps.ccEdges(viewP, "src", "dst", maxIter = 40,
+        inputTruncated = true).as[(Long, Long)].collect().toMap
+      GraphOps.releaseLocalCheckpoint(viewP)
+      assert(propT == prop, s"ccEdges inputTruncated mismatch for seed $seed")
     }
   }
 
