@@ -432,8 +432,20 @@ object Dedup {
       graphxMaxEdges: Long = 2000000L,
       ccPath: CcPath = CcPath.Auto): DataFrame = {
     import graft.graph.GraphOps
-    val cand = lshCandidates(
+    // A3 (r16 ADVICE): the cand subplan is embedded THREE times in the
+    // verify stage (candIds inside both shingle-set sides plus the
+    // verify join itself) — correctness never depended on it, but
+    // avoiding a triple MinHash band pass rested entirely on
+    // ReuseExchange/AQE stage reuse canonicalizing the copies
+    // identically. In the Auto path (which materializes `verified`
+    // eagerly anyway) the band pass is persisted for the verify stage
+    // and released right after the probe count — one guaranteed band
+    // pass, no reliance on exchange reuse. Forced paths return a lazy
+    // frame and keep the reuse-based single-action shape.
+    val candBase = lshCandidates(
       minhashBands(docs, idCol, textCol, shingleN, numHashes, bands), idCol)
+    val cand =
+      if (ccPath == CcPath.Auto) candBase.persist() else candBase
     // tokenize once (r16, same rewrite as minhashSignature): `toks` in
     // its own projection, size guard inside the shingle expression
     // instead of a pushdown-substituted Filter. Sub-n docs now carry an
@@ -483,7 +495,8 @@ object Dedup {
       case CcPath.GraphX => true
       case CcPath.Catalyst => false
       case CcPath.Auto =>
-        val n = verified.count()
+        val n = verified.count() // materializes through the cand cache
+        cand.unpersist(blocking = false)
         ccParts = Some(GraphOps.sizedLoopParts(spark, BigInt(n) * 2))
         n <= graphxMaxEdges
     }

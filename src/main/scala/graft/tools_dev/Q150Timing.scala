@@ -41,6 +41,12 @@ object Q150Timing {
         .localCheckpoint(eager = false)
       val cnt = t("edges count (checkpoint fill)")(e.count())
       val parts = Some(GraphOps.sizedLoopParts(spark, BigInt(cnt) * 2))
+      t("lpa+refine alone (core)") {
+        GraphOps.lpaLouvainRefineMulti(e, "src", "dst",
+            lpaIters = 2, rounds = 1, gammaPcts = Seq(200L, 50L, 10L),
+            numPartitions = parts)
+          .write.format("noop").mode("overwrite").save()
+      }
       val ladder = t("ladder (lpa+refine+splits)") {
         val r = GraphOps.lpaLeidenRefineMulti(e, "src", "dst",
           lpaIters = 2, rounds = 1, gammaPcts = Seq(200L, 50L, 10L),
