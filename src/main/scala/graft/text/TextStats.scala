@@ -480,13 +480,19 @@ object TextStats {
     // discipline): the old inlined form re-ran the tokenizer regex once
     // per badword (each array_contains) plus once for the size guard —
     // 1 + |badwords| evals per LINE. Same rows, same keep decisions.
-    val lineToks = col("__lt")
+    // Collision-free helper name (r16 ADVICE): the narrowed frame holds
+    // (idCol, i, line), so only an idCol literally named "__lt" could
+    // silently collide with the helper — suffix past it.
+    val ltName =
+      Iterator.from(0).map(i => if (i == 0) "__lt" else "__lt" + i)
+        .find(n => n != idCol && n != "i" && n != "line").get
+    val lineToks = col(ltName)
     val bad =
       if (badwords.isEmpty) lit(false)
       else badwords.map(b => array_contains(lineToks, b)).reduce(_ || _)
     val lines = docs.select(col(idCol),
       posexplode(split(col(textCol), "\n")).as(Seq("i", "line")))
-      .withColumn("__lt",
+      .withColumn(ltName,
         graft.functions.TextExpressions.fastWordTokens(col("line")))
     val w = Window.partitionBy(col(idCol), col("line")).orderBy(col("i"))
     lines
@@ -604,7 +610,16 @@ object TextStats {
     // subexpression elimination, so it re-tokenized every document 8×.
     // `words` is likewise pinned to one evaluation instead of leaning on
     // codegen CSE across its three consumers. Same columns, same values.
-    val words = col("__w")
+    // Helper names are COLLISION-FREE (r16 ADVICE): withColumn silently
+    // replaces a same-named caller column, which would change results
+    // with no error; suffix until absent from the input schema.
+    def fresh(base: String): String =
+      Iterator.from(0)
+        .map(i => if (i == 0) base else base + i)
+        .find(n => !docs.columns.contains(n)).get
+    val wName = fresh("__w")
+    val stName = fresh("__st")
+    val words = col(wName)
     val nWords = greatest(size(words), lit(1)).cast("long")
     val nChars = length(regexp_replace(t, "\\s+", "")).cast("long")
     val nSym = size(expr(s"regexp_extract_all($textCol, '#|\\\\.\\\\.\\\\.|…', 0)")).cast("long")
@@ -619,11 +634,11 @@ object TextStats {
     // regex into a per-element HOF body (a single-use column would be
     // inlined right back where it started)
     val stopHits = GopherStops
-      .map(s => when(array_contains(col("__st"), s), 1L).otherwise(0L))
+      .map(s => when(array_contains(col(stName), s), 1L).otherwise(0L))
       .reduce(_ + _)
     docs
-      .withColumn("__w", expr(s"regexp_extract_all($textCol, '\\\\S+', 0)"))
-      .withColumn("__st", expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
+      .withColumn(wName, expr(s"regexp_extract_all($textCol, '\\\\S+', 0)"))
+      .withColumn(stName, expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
       .select(
         col(idCol),
         size(words).cast("long").as("n_words"),
